@@ -1,0 +1,166 @@
+"""Vectorized MinHash signatures over token shingles + LSH band keys.
+
+Semantics mirror the reference's ``LSHMatcher``
+(``takco/cluster/matchers/lsh.py:23-247``): ``num_perm=128`` signatures over
+the distinct lowercased token units of a document, LSH banding for blocking,
+and the Jaccard *estimator* = mean of positional digest equality
+(``lsh.py:244``). The implementation is new: instead of datasketch's
+per-object SHA1 MinHash, everything is numpy —
+
+- unique tokens per batch are hashed once (blake2b, C-speed),
+- k-token shingles are a vectorized polynomial combine of token hashes,
+- the 128 permutations are multiply-add universal hashes with native uint64
+  wraparound, minimized per document with ``np.minimum.reduceat``.
+
+Determinism: all coefficients come from a seeded ``RandomState``; the same
+(seed, num_perm, shingle_k) always yields identical signatures, which is what
+lets the fixture generator compute gold block membership independently
+(FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import hash64_strings
+from .tokenize import tokenize_many
+
+# Polynomial base for shingle combination (odd 64-bit constant).
+_SHINGLE_BASE = np.uint64(0x9E3779B97F4A7C15)
+# Sentinel signature entry for empty documents.
+_EMPTY_TOKEN_HASH = np.uint64(0x27D4EB2F165667C5)
+
+
+class MinHasher:
+    """Stateless-per-call, deterministic MinHash signature computer.
+
+    Constructed once per worker/actor (coefficients ~2 KB); ``signatures``
+    is called per batch. Equivalent role to ``LSHMatcher.add``
+    (``lsh.py:107-144``) but with no shared mutable index — signatures are
+    just a column.
+    """
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 5, seed: int = 41):
+        self.num_perm = int(num_perm)
+        self.shingle_k = int(shingle_k)
+        self.seed = int(seed)
+        rs = np.random.RandomState(seed)
+        # multiply-add universal hash: h_p(x) = a_p * x + b_p  (mod 2^64), a odd
+        self.a = (
+            rs.randint(0, 2**63, size=self.num_perm).astype(np.uint64) * np.uint64(2)
+            + np.uint64(1)
+        )
+        self.b = rs.randint(0, 2**63, size=self.num_perm).astype(np.uint64) * np.uint64(
+            2
+        ) + np.uint64(1)
+
+    # ---- shingling -------------------------------------------------------
+
+    def _shingle_hashes(self, token_hashes: np.ndarray) -> np.ndarray:
+        """uint64 hash per k-shingle (rolling polynomial combine), deduplicated."""
+        k = self.shingle_k
+        n = len(token_hashes)
+        if n == 0:
+            return np.array([_EMPTY_TOKEN_HASH], dtype=np.uint64)
+        if n < k:
+            k = n
+        acc = token_hashes[: n - k + 1].copy()
+        for j in range(1, k):
+            acc *= _SHINGLE_BASE
+            acc += token_hashes[j : n - k + 1 + j]
+        return np.unique(acc)
+
+    def shingles_for_texts(self, texts) -> list:
+        """Deduplicated shingle-hash array per text (used by tests/oracles)."""
+        token_lists = tokenize_many(texts)
+        return self._shingles_from_tokens(token_lists)
+
+    def _shingles_from_tokens(self, token_lists) -> list:
+        # hash unique tokens once per batch, then map
+        vocab = {}
+        for toks in token_lists:
+            for t in toks:
+                if t not in vocab:
+                    vocab[t] = len(vocab)
+        if vocab:
+            vocab_hashes = hash64_strings(list(vocab.keys()), seed=self.seed)
+        else:
+            vocab_hashes = np.empty(0, dtype=np.uint64)
+        out = []
+        for toks in token_lists:
+            idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
+            out.append(self._shingle_hashes(vocab_hashes[idx]))
+        return out
+
+    # ---- signatures ------------------------------------------------------
+
+    def signatures(self, texts, perm_chunk: int = 16) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix for a batch of texts.
+
+        Fully vectorized: all docs' shingles are concatenated and the per-doc
+        min is taken with ``np.minimum.reduceat`` so the permutation loop is
+        numpy-only. ``perm_chunk`` bounds the (total_shingles × chunk)
+        temporary (16 perms × 1M shingles ≈ 128 MB) — tune with batch_size.
+        """
+        shingle_lists = self._shingles_from_tokens(tokenize_many(texts))
+        return self.signatures_from_shingles(shingle_lists, perm_chunk=perm_chunk)
+
+    def signatures_from_shingles(self, shingle_lists, perm_chunk: int = 16) -> np.ndarray:
+        n_docs = len(shingle_lists)
+        sig = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        if n_docs == 0:
+            return sig
+        lengths = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64, count=n_docs)
+        flat = (
+            np.concatenate(shingle_lists)
+            if n_docs > 1
+            else np.asarray(shingle_lists[0], dtype=np.uint64)
+        )
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        for c0 in range(0, self.num_perm, perm_chunk):
+            c1 = min(c0 + perm_chunk, self.num_perm)
+            # (n_shingles, chunk) with uint64 wraparound
+            vals = flat[:, None] * self.a[None, c0:c1]
+            vals += self.b[None, c0:c1]
+            sig[:, c0:c1] = np.minimum.reduceat(vals, offsets, axis=0)
+        return sig
+
+
+def jaccard_from_signatures(sig1: np.ndarray, sig2: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard per pair = mean positional equality of signatures.
+
+    Exactly the reference's estimator (``lsh.py:244``:
+    ``(digests1 == digests2).mean(1)``). Inputs: (n_pairs, num_perm) uint64.
+    """
+    return (sig1 == sig2).mean(axis=1)
+
+
+def band_keys(signatures: np.ndarray, num_bands: int, seed: int = 41) -> np.ndarray:
+    """(n_docs, num_bands) uint64 LSH band keys.
+
+    Splits each signature into ``num_bands`` bands of ``num_perm/num_bands``
+    rows and hashes each band to one uint64 (polynomial combine + band-index
+    salt). Blocking then becomes *data*: explode to ``(band_key, id)`` rows
+    and ``groupby(band_key)`` — no central ``MinHashLSH`` index
+    (contrast ``lsh.py:64-101``'s shared/Redis index, which cannot scale out).
+    """
+    n_docs, num_perm = signatures.shape
+    if num_perm % num_bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by num_bands={num_bands}")
+    r = num_perm // num_bands
+    rs = np.random.RandomState(seed + 1)
+    band_salts = (
+        rs.randint(0, 2**63, size=num_bands).astype(np.uint64) * np.uint64(2)
+        + np.uint64(1)
+    )
+    out = np.empty((n_docs, num_bands), dtype=np.uint64)
+    for bi in range(num_bands):
+        acc = signatures[:, bi * r].copy()
+        for j in range(1, r):
+            acc *= _SHINGLE_BASE
+            acc += signatures[:, bi * r + j]
+        acc *= band_salts[bi]
+        acc += np.uint64(bi)
+        out[:, bi] = acc
+    return out
