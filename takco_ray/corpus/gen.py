@@ -284,7 +284,7 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig) -> dict:
             "repo": repos,
             "path": paths,
             "commit": commits,
-            "file_id": pa.array(file_ids, type=pa.uint64()),
+            "file_id": pa.array(file_ids, type=pa.int64()),
             "entity_id": pa.array(entity_ids, type=pa.int64()),
             "sha256": sha,
         }
@@ -328,8 +328,8 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig) -> dict:
     ent = np.asarray(entity_ids)
     lp = pa.table(
         {
-            "id1": pa.array([int(file_ids[a]) for a, _ in pairs], type=pa.uint64()),
-            "id2": pa.array([int(file_ids[b]) for _, b in pairs], type=pa.uint64()),
+            "id1": pa.array([int(file_ids[a]) for a, _ in pairs], type=pa.int64()),
+            "id2": pa.array([int(file_ids[b]) for _, b in pairs], type=pa.int64()),
             "same_block": pa.array([True] * len(pairs)),
             "is_match": pa.array([bool(ent[a] == ent[b]) for a, b in pairs]),
         }

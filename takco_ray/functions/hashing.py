@@ -57,12 +57,13 @@ def sha256_hex(values) -> list:
 
 
 def stable_file_id(repo, path, commit) -> np.ndarray:
-    """Deterministic uint64 file id from the (repo, path, commit) key.
+    """Deterministic int64 file id from the (repo, path, commit) key.
 
     Replaces the reference's global contiguous numbering
     (``takco/__init__.py:210-217``) with an order-independent id so no serial
     pass is ever needed. Collisions are ~n²/2⁶⁵ — negligible below 10^9 rows
-    per key-space and checked in tests.
+    per key-space and checked in tests. int64 (bit-reinterpreted) because
+    Ray Data's sort-based shuffle handles signed keys natively.
     """
     keys = [f"{r}\x00{p}\x00{c}" for r, p, c in zip(repo, path, commit)]
-    return hash64_strings(keys, seed=0xF11E)
+    return hash64_strings(keys, seed=0xF11E).view(np.int64)

@@ -1,0 +1,129 @@
+"""Flagship pipeline: blocking + pairwise scoring + transitive clustering.
+
+The Ray-Data-native reimagining of the reference's cluster step
+(``takco/__init__.py:231-430``):
+
+    read_parquet(files)                                   [S2]
+      → fingerprint: sha256 / file_id / size              [map_batches]
+      → MinHash signatures, content dropped               [actor pool]
+      → hot-band pre-pass → salted band groupby → pairs   [1-2 shuffles]
+      → pair dedup → scoring actor pool → edges ≥ θ       [1 shuffle + map]
+      → large-star/small-star connected components        [iterated groupby]
+      → labels ∪ singleton self-labels → join sha256      [groupby + join]
+
+Every stage boundary can checkpoint to partitioned Parquet with a lineage
+fingerprint (resume skips valid stages — ``state/checkpoint.py``). Edges and
+labels are 16-24 B rows: content never enters a wide operation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, asdict, field
+
+import pyarrow as pa
+
+import ray.data
+
+from ..sources import read_files_corpus
+from ..stages.normalize import fingerprint as fingerprint_stage
+from ..stages.minhash import SignatureStage
+from ..stages.blocking import candidate_pairs
+from ..stages.scoring import score_pairs, DEFAULT_AGG_EXPR, DEFAULT_THRESHOLD
+from ..stages.components import connected_components, attach_singletons
+from ..state import StageRunner, stage_fingerprint
+
+
+@dataclass
+class ERConfig:
+    num_perm: int = 128
+    num_bands: int = 16
+    shingle_k: int = 5
+    seed: int = 41
+    agg_expr: str = DEFAULT_AGG_EXPR
+    threshold: float = DEFAULT_THRESHOLD
+    hot_threshold: int = 512
+    salt_target: int = 512
+    max_block_size: int = 512
+    min_size_ratio: float = 0.4
+    scorer_batch_size: int = 4096
+    scorer_concurrency: int | tuple | None = None
+    sig_concurrency: int | tuple | None = None
+    join_partitions: int = 16
+
+
+def er_pipeline(
+    corpus_dir: str,
+    cfg: ERConfig | None = None,
+    checkpoint_root: str | None = None,
+) -> dict:
+    """Run the flagship ER pipeline over a files corpus directory.
+
+    Returns ``{"labels": Dataset(file_id, cluster_id, sha256, repo, path),
+    "edges": Dataset(u, v, score), "metrics": {stage: counters}}``.
+    """
+    cfg = cfg or ERConfig()
+    runner = StageRunner(checkpoint_root)
+    params = asdict(cfg)
+
+    # ---- stage 1: fingerprint + signatures (content dropped afterwards) --
+    fp_fp = stage_fingerprint("signatures", params)
+
+    def build_signatures():
+        from ..util import default_concurrency
+
+        files = read_files_corpus(corpus_dir)
+        fp = fingerprint_stage(files)
+        return fp.map_batches(
+            SignatureStage,
+            fn_constructor_kwargs=dict(
+                num_perm=cfg.num_perm, shingle_k=cfg.shingle_k, seed=cfg.seed
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=cfg.sig_concurrency or default_concurrency(),
+        )
+
+    sigs = runner.run("signatures", fp_fp, build_signatures)
+
+    # ---- stage 2: blocking + scoring → edges ------------------------------
+    edges_fp = stage_fingerprint("edges", params, upstream=[fp_fp])
+
+    def build_edges():
+        pairs = candidate_pairs(
+            sigs,
+            num_bands=cfg.num_bands,
+            seed=cfg.seed,
+            hot_threshold=cfg.hot_threshold,
+            salt_target=cfg.salt_target,
+            max_block_size=cfg.max_block_size,
+            min_size_ratio=cfg.min_size_ratio,
+        )
+        return score_pairs(
+            pairs,
+            agg_expr=cfg.agg_expr,
+            threshold=cfg.threshold,
+            batch_size=cfg.scorer_batch_size,
+            concurrency=cfg.scorer_concurrency,
+        )
+
+    edges = runner.run("edges", edges_fp, build_edges)
+
+    # ---- stage 3: connected components → total labels ---------------------
+    labels_fp = stage_fingerprint("clusters", params, upstream=[edges_fp])
+
+    def build_labels():
+        cc = connected_components(edges)
+        all_ids = sigs.select_columns(["file_id"])
+        labels = attach_singletons(cc, all_ids)
+        # re-attach the per-row invariant + provenance via a hash join on the
+        # compact id (content itself stays out of the shuffle)
+        side = sigs.select_columns(["file_id", "sha256", "repo", "path"])
+        return labels.join(
+            side,
+            join_type="inner",
+            num_partitions=cfg.join_partitions,
+            on=("file_id",),
+        )
+
+    labels = runner.run("clusters", labels_fp, build_labels)
+    return {"labels": labels, "edges": edges, "metrics": runner.metrics}

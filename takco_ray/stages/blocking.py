@@ -1,0 +1,268 @@
+"""LSH band blocking with explicit skew handling.
+
+The reference blocks via a central ``datasketch.MinHashLSH`` bucket index
+(``takco/cluster/matchers/lsh.py:156-186, 215-226``) queried per table, with
+giant buckets unhandled (its corpus has 492k-row boilerplate unions —
+``docs/tutorials/wikitables.ipynb``). Here blocking is *data*:
+
+1. every file explodes into ``num_bands`` ``(block_key, features)`` rows;
+2. a cheap count-only pre-pass finds hot band keys (vendored/boilerplate
+   files) and broadcasts them — the "small side" pattern, never re-shipped
+   per batch;
+3. hot keys are **salted**: each member lands in two overlapping sub-blocks
+   (``salt = id % ns`` and ``(id+1) % ns``), so sub-blocks chain-connect
+   through shared members and transitive clustering still unifies the block
+   without any O(m²) pair explosion;
+4. ``groupby(block_key)`` shuffles once; per-group pair generation caps
+   emitted pairs (ring + strided spokes on oversized groups) and applies the
+   reference's filter-matcher prefilter idea (J2, ``cluster.py:399-422``) as
+   a size-ratio gate before any expensive kernel runs;
+5. cross-band duplicate pairs collapse via ``groupby(pair_key).first`` so the
+   expensive scoring actors see each candidate once (the reference dedups
+   its similarity index the same way, ``cluster.py:671``).
+
+Partitioning assumption: a (possibly salted) block fits one task comfortably
+(≤ ``2 × salt_target`` rows ≈ a few MB of signatures).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.minhash import band_keys
+from .minhash import DEFAULT_NUM_BANDS, DEFAULT_SEED, signatures_to_numpy
+
+# Columns carried through blocking into scoring (content stays behind).
+FEATURE_COLUMNS = ["file_id", "path", "size", "lang", "sig"]
+
+_SALT_MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _block_schema(sig_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            ("block_key", pa.int64()),
+            ("file_id", pa.int64()),
+            ("path", pa.string()),
+            ("size", pa.int64()),
+            ("lang", pa.string()),
+            ("sig", sig_type),
+        ]
+    )
+
+
+class _BandExploder:
+    """map_batches fn: one input row → num_bands (or 2×) block rows."""
+
+    def __init__(
+        self,
+        hot_sizes: dict | None,
+        num_bands: int = DEFAULT_NUM_BANDS,
+        seed: int = DEFAULT_SEED,
+        salt_target: int = 512,
+    ):
+        self.hot_sizes = hot_sizes or {}
+        self.num_bands = num_bands
+        self.seed = seed
+        self.salt_target = salt_target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = signatures_to_numpy(batch.column("sig"))
+        n = len(batch)
+        bands = band_keys(sigs, self.num_bands, seed=self.seed)  # (n, B)
+        # int64 bit-reinterpretation: Ray's sort shuffle wants signed keys
+        flat_keys = bands.T.reshape(-1).view(np.int64)  # band-major
+        flat_rows = np.tile(np.arange(n, dtype=np.int64), self.num_bands)
+
+        if self.hot_sizes:
+            ids = np.asarray(batch.column("file_id").combine_chunks(), dtype=np.int64)
+            hot_arr = np.fromiter(self.hot_sizes.keys(), dtype=np.int64)
+            is_hot = np.isin(flat_keys, hot_arr)
+            # vectorized cold path; Python loop only over hot-key hits
+            keys_parts = [flat_keys[~is_hot]]
+            rows_parts = [flat_rows[~is_hot]]
+            h_keys: list = []
+            h_rows: list = []
+            for idx in np.nonzero(is_hot)[0]:
+                k = int(flat_keys[idx])
+                i = int(flat_rows[idx])
+                ns = max(2, -(-2 * self.hot_sizes[k] // self.salt_target))
+                fid = int(ids[i])
+                for salt in (fid % ns, (fid + 1) % ns):
+                    h_rows.append(i)
+                    mixed = (k * int(_SALT_MIX) + salt + 1) % (1 << 64)
+                    h_keys.append(mixed - (1 << 64) if mixed >= (1 << 63) else mixed)
+            if h_keys:
+                keys_parts.append(np.asarray(h_keys, dtype=np.int64))
+                rows_parts.append(np.asarray(h_rows, dtype=np.int64))
+            flat_keys = np.concatenate(keys_parts)
+            flat_rows = np.concatenate(rows_parts)
+
+        take = batch.select(list(FEATURE_COLUMNS)).take(pa.array(flat_rows, type=pa.int64()))
+        return pa.table(
+            {
+                "block_key": pa.array(flat_keys, type=pa.int64()),
+                **{c: take.column(c) for c in FEATURE_COLUMNS},
+            }
+        )
+
+
+def hot_band_keys(
+    ds,
+    num_bands: int = DEFAULT_NUM_BANDS,
+    seed: int = DEFAULT_SEED,
+    threshold: int = 512,
+) -> dict:
+    """Count-only pre-pass → ``{band_key: count}`` for blocks above threshold.
+
+    Shuffles only a uint64 key column (8 B × num_bands per file), then the
+    result — a handful of boilerplate keys — is collected and broadcast to
+    the exploder (SURVEY.md §4 skew row / A9 block-size stats).
+    """
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        sigs = signatures_to_numpy(batch.column("sig"))
+        bands = band_keys(sigs, num_bands, seed=seed)
+        return pa.table(
+            {"band_key": pa.array(bands.reshape(-1).view(np.int64), type=pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band_key")
+        .count()
+    )
+    import pyarrow.compute as pc
+
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), threshold)),
+        batch_format="pyarrow",
+    )
+    # only boilerplate keys survive the filter — a tiny driver-side dict that
+    # the caller broadcasts into the exploder (never re-shipped per batch)
+    out: dict = {}
+    for row in hot.take_all():
+        out[int(row["band_key"])] = int(row["count()"])
+    return out
+
+
+class _PairEmitter:
+    """map_groups fn: one (salted) block → canonical candidate pairs.
+
+    - all i<j pairs when the group is small;
+    - ring + strided spokes when the group exceeds ``max_block_size``
+      (near-identical boilerplate: chain pairs keep the block connected
+      while bounding work at O(m));
+    - size-ratio prefilter (cheap semi-join, reference J2) before emission.
+    """
+
+    def __init__(self, max_block_size: int = 512, min_size_ratio: float = 0.4):
+        self.max_block_size = max_block_size
+        self.min_size_ratio = min_size_ratio
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        m = len(group)
+        sig_type = group.column("sig").type
+        if m < 2:
+            return _empty_pairs(sig_type)
+        order = pa.compute.sort_indices(group.column("file_id"))
+        group = group.take(order)
+        if m <= self.max_block_size:
+            ii, jj = np.triu_indices(m, k=1)
+        else:
+            ring_i = np.arange(m - 1)
+            spokes = np.arange(0, m, 16)[1:]
+            ii = np.concatenate([ring_i, np.zeros(len(spokes), dtype=np.int64)])
+            jj = np.concatenate([ring_i + 1, spokes])
+        sizes = np.asarray(group.column("size").combine_chunks(), dtype=np.float64)
+        s1, s2 = sizes[ii], sizes[jj]
+        ratio = np.minimum(s1, s2) / np.maximum(np.maximum(s1, s2), 1.0)
+        keep = ratio >= self.min_size_ratio
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return _empty_pairs(sig_type)
+        left = group.take(pa.array(ii, type=pa.int64()))
+        right = group.take(pa.array(jj, type=pa.int64()))
+        id1 = np.asarray(left.column("file_id").combine_chunks(), dtype=np.int64)
+        id2 = np.asarray(right.column("file_id").combine_chunks(), dtype=np.int64)
+        # canonical order guaranteed by the sort above (id1 < id2)
+        pair_key = (
+            id1.view(np.uint64) * _SALT_MIX + id2.view(np.uint64)
+        ).view(np.int64)  # 64-bit mix; collisions ~n²/2⁶⁴ only drop a candidate
+        cols = {
+            "pair_key": pa.array(pair_key, type=pa.int64()),
+            "id1": pa.array(id1, type=pa.int64()),
+            "id2": pa.array(id2, type=pa.int64()),
+        }
+        for c in ("path", "size", "lang", "sig"):
+            cols[f"{c}1"] = left.column(c)
+            cols[f"{c}2"] = right.column(c)
+        return pa.table(cols)
+
+
+def _empty_pairs(sig_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {
+            "pair_key": pa.array([], type=pa.int64()),
+            "id1": pa.array([], type=pa.int64()),
+            "id2": pa.array([], type=pa.int64()),
+            "path1": pa.array([], type=pa.string()),
+            "path2": pa.array([], type=pa.string()),
+            "size1": pa.array([], type=pa.int64()),
+            "size2": pa.array([], type=pa.int64()),
+            "lang1": pa.array([], type=pa.string()),
+            "lang2": pa.array([], type=pa.string()),
+            "sig1": pa.array([], type=sig_type),
+            "sig2": pa.array([], type=sig_type),
+        }
+    )
+
+
+def emit_band_rows(
+    ds,
+    hot_sizes: dict | None = None,
+    num_bands: int = DEFAULT_NUM_BANDS,
+    seed: int = DEFAULT_SEED,
+    salt_target: int = 512,
+):
+    """files-with-sig Dataset → (block_key, features) rows."""
+    return ds.map_batches(
+        _BandExploder(hot_sizes, num_bands=num_bands, seed=seed, salt_target=salt_target),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def candidate_pairs(
+    ds,
+    num_bands: int = DEFAULT_NUM_BANDS,
+    seed: int = DEFAULT_SEED,
+    hot_threshold: int = 512,
+    salt_target: int = 512,
+    max_block_size: int = 512,
+    min_size_ratio: float = 0.4,
+    skip_hot_detection: bool = False,
+):
+    """Full blocking: hot-key pre-pass → explode → groupby → pairs → dedup.
+
+    Returns a Dataset of unique canonical candidate pairs with both sides'
+    features attached, ready for the scoring actor pool.
+    """
+    hot = {} if skip_hot_detection else hot_band_keys(
+        ds, num_bands=num_bands, seed=seed, threshold=hot_threshold
+    )
+    bands = emit_band_rows(
+        ds, hot, num_bands=num_bands, seed=seed, salt_target=salt_target
+    )
+    emitter = _PairEmitter(max_block_size=max_block_size, min_size_ratio=min_size_ratio)
+
+    def emit_pairs(group):
+        return emitter(group)
+
+    pairs = bands.groupby("block_key").map_groups(emit_pairs, batch_format="pyarrow")
+    # cross-band dedup: same pair surfaces in up to num_bands blocks
+    def first_row(g):
+        return g.slice(0, 1)
+
+    return pairs.groupby("pair_key").map_groups(first_row, batch_format="pyarrow")

@@ -1,0 +1,70 @@
+"""MinHash signature stage.
+
+Replaces the reference's ``LSHMatcher.add`` index-build
+(``takco/cluster/matchers/lsh.py:107-144``): instead of inserting digests
+into a central (optionally Redis-backed, ``lsh.py:64-101``) index, each file's
+signature is just a column — blocking later becomes a ``groupby`` over band
+keys, so there is no shared mutable state anywhere.
+
+Run as an actor pool: ``ds.map_batches(SignatureStage, concurrency=N)``.
+The permutation coefficients are built once per actor in ``__init__``
+(stateful-stage shape, SURVEY.md §7.3); ``__call__`` is numpy-vectorized per
+batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.minhash import MinHasher
+
+DEFAULT_NUM_PERM = 128
+DEFAULT_NUM_BANDS = 16
+DEFAULT_SHINGLE_K = 5
+DEFAULT_SEED = 41
+
+
+class SignatureStage:
+    """Append ``sig: fixed_size_list<uint64>[num_perm]`` computed from ``content``.
+
+    Deterministic for a fixed (seed, num_perm, shingle_k) — the same
+    parameters the fixture generator uses to compute gold band membership,
+    so engine blocks and gold blocks agree by construction.
+    """
+
+    def __init__(
+        self,
+        num_perm: int = DEFAULT_NUM_PERM,
+        shingle_k: int = DEFAULT_SHINGLE_K,
+        seed: int = DEFAULT_SEED,
+        content_column: str = "content",
+        drop_content: bool = True,
+    ):
+        self.hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+        self.content_column = content_column
+        # content is multi-KB per row; everything downstream of the signature
+        # needs only (file_id, sig, path, size, lang) — dropping it here keeps
+        # the blocking shuffle payload ~10× smaller (SURVEY.md §7.5 item 5)
+        self.drop_content = drop_content
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.content_column).to_pylist()
+        sigs = self.hasher.signatures(texts)  # (n, num_perm) uint64
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1), type=pa.uint64()), sigs.shape[1]
+        )
+        out = batch.append_column("sig", sig_col)
+        if self.drop_content:
+            out = out.drop_columns([self.content_column])
+        return out
+
+
+def signatures_to_numpy(sig_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Zero-copy (n, num_perm) uint64 view of a fixed-size-list sig column."""
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    n = len(sig_col)
+    num_perm = sig_col.type.list_size
+    flat = sig_col.flatten()
+    return np.asarray(flat).reshape(n, num_perm)

@@ -1,0 +1,52 @@
+"""Fingerprint / feature columns for the files corpus.
+
+The reference derives per-table fields lazily on access
+(``takco/table.py:164-173``: ``numCols``, ``headerId`` content hash, …).
+Here the analogous derived columns — ``sha256(content)`` (the per-row
+invariant the driver checks), deterministic ``file_id``, size features — are
+materialized ONCE by a single zero-copy ``map_batches`` pass and carried in
+the schema, so every later stage can project them without touching
+``content`` again (SURVEY.md §7.5: keep MB-sized content out of the
+edge/CC path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import sha256_hex, stable_file_id
+
+FINGERPRINT_COLUMNS = ["file_id", "sha256", "size", "n_lines"]
+
+
+def add_fingerprint_columns(batch: pa.Table) -> pa.Table:
+    """pyarrow batch fn: append file_id / sha256 / size / n_lines.
+
+    ``sha256`` matches DuckDB's ``sha256(text)`` and the generator's
+    precomputed ``labels.sha256`` — the end-to-end content invariant.
+    ``size``/``n_lines`` come from pyarrow compute kernels (no Python loop);
+    sha256 itself is a per-row hashlib call (C-speed, unavoidable).
+    """
+    content = batch.column("content")
+    file_id = stable_file_id(
+        batch.column("repo").to_pylist(),
+        batch.column("path").to_pylist(),
+        batch.column("commit").to_pylist(),
+    )
+    sha = sha256_hex(content.to_pylist())
+    size = pc.binary_length(content)
+    n_lines = pc.count_substring(content, "\n")
+    return batch.append_column(
+        "file_id", pa.array(file_id, type=pa.int64())
+    ).append_column("sha256", pa.array(sha, type=pa.string())).append_column(
+        "size", pc.cast(size, pa.int64())
+    ).append_column("n_lines", pc.cast(n_lines, pa.int64()))
+
+
+def fingerprint(ds, **map_kwargs):
+    """Dataset → Dataset with fingerprint columns appended."""
+    return ds.map_batches(
+        add_fingerprint_columns, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+    )
