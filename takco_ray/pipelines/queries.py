@@ -1,0 +1,557 @@
+"""Driver-conformance query catalog: Ray pipelines + DuckDB oracle SQL.
+
+One entry per operator family from SURVEY.md §2, run over the driver's
+testdata tables (``TESTDATA.md``). Contract (see ``__ray_entry__.py``):
+
+- every Ray query names computed columns EXACTLY as its oracle SQL does;
+- aggregates over decimal-valued doubles are integerized (×100 / ×10000,
+  rounded, summed as int64) in BOTH engines, so value hashes match exactly —
+  float sums would differ by summation order;
+- genuinely non-SQL ops (LSH clustering, simhash, language-ID, ER) have no
+  oracle entry → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..sources import read_table
+from ..functions.hashing import sha256_hex
+from ..stages import dedup as dedup_stages
+from ..stages import textstats
+from ..stages import ann as ann_stages
+from ..stages.multimodal import synthesize_media, extract_media_features
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _int_units(col: pa.ChunkedArray, factor: int) -> pa.Array:
+    """double → int64 units (×factor, round) — deterministic summation."""
+    scaled = pc.multiply(col.cast(pa.float64()), pa.scalar(float(factor)))
+    return pc.cast(pc.round(scaled), pa.int64())
+
+
+def _rename(ds, mapping: dict):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SQL-oracled queries (groupby / join / sort / filter / dedup / set ops)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate over lineitem (SURVEY §2.5 A1/A8).
+
+    Column pruning at the read; Ray's AggregateFn does map-side partials
+    before the 4-group shuffle.
+    """
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t.column("l_extendedprice").cast(pa.float64()),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount").cast(pa.float64())),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": t.column("l_quantity").cast(pa.int64()),
+                "price_c": _int_units(t.column("l_extendedprice"), 100),
+                "disc_price_u": pc.cast(
+                    pc.round(pc.multiply(disc_price, pa.scalar(10000.0))), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty"), Sum("price_c"), Sum("disc_price_u"), Count())
+    )
+    return _rename(
+        agg,
+        {
+            "sum(qty)": "sum_qty",
+            "sum(price_c)": "sum_price_c",
+            "sum(disc_price_u)": "sum_disc_price_u",
+            "count()": "count_order",
+        },
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_u,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(sf_dir: str):
+    """orders ⋈ customer ⋈ nation via BROADCAST map-side join (SURVEY §2.4 J3).
+
+    Dimension tables (customer, nation) are collected once, shipped via
+    ``ray.put`` and looked up inside ``map_batches`` — no shuffle of the fact
+    table; the only wide op is the tiny per-nation aggregate.
+    """
+    import ray as _ray
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = dict(zip(cust.c_custkey, cust.c_nationkey))
+    nn = dict(zip(nation.n_nationkey, nation.n_name))
+    lookup_ref = _ray.put({int(k): nn.get(int(v), None) for k, v in nk.items()})
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        lookup = _ray.get(lookup_ref)
+        names = [lookup.get(int(k)) for k in t.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "price_c": _int_units(t.column("o_totalprice"), 100),
+            }
+        )
+
+    agg = (
+        orders.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Sum("price_c"), Count())
+    )
+    return _rename(agg, {"sum(price_c)": "revenue_c", "count()": "n_orders"})
+
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_c,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_segment_orders(sf_dir: str):
+    """orders ⋈ customer via the HASH-SHUFFLE join (``Dataset.join``) —
+    the wide-path join for when neither side is broadcastable."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "price_c": _int_units(t.column("o_totalprice"), 100),
+            }
+        )
+
+    agg = (
+        joined.map_batches(prep, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("price_c"), Count())
+    )
+    return _rename(agg, {"sum(price_c)": "revenue_c", "count()": "n_orders"})
+
+
+SQL_SEGMENT_ORDERS = """
+SELECT c.c_mktsegment,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_c,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_top_parts(sf_dir: str):
+    """Global sort + limit (SURVEY §2.6 O1/O6)."""
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_PARTS = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+"""
+
+
+def q_filter_orders(sf_dir: str):
+    """Predicate filter + projection (SURVEY §2.2 M7/M8)."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t.column("o_orderstatus"), "O"),
+            pc.greater(t.column("o_totalprice"), 150000.0),
+        )
+        return t.filter(mask).select(["o_orderkey", "o_totalprice"])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FILTER_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 150000.0
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window grouped aggregate over the events stream table
+    (batch analog of a windowed aggregate; SURVEY §2.9)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(t.column("ts"), unit="hour"),
+                "event_type": t.column("event_type"),
+                "value_u": _int_units(t.column("value"), 10000),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["hour", "event_type"])
+        .aggregate(Sum("value_u"), Count())
+    )
+    return _rename(agg, {"sum(value_u)": "sum_value_u", "count()": "n_events"})
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       sum(CAST(round(value * 10000) AS BIGINT)) AS sum_value_u,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_distinct_segments(sf_dir: str):
+    """Distinct values (SURVEY §2.7 D6)."""
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, type=pa.string())})
+
+
+SQL_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_union_accounts(sf_dir: str):
+    """Union-all of two sources with a tag column (SURVEY §2.7 D1)."""
+    cust = read_table(sf_dir, "customer", columns=["c_name", "c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "name": t.column("c_name"),
+                "acctbal_c": _int_units(t.column("c_acctbal"), 100),
+                "side": pa.array(["customer"] * len(t), type=pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = read_table(sf_dir, "supplier", columns=["s_name", "s_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "name": t.column("s_name"),
+                "acctbal_c": _int_units(t.column("s_acctbal"), 100),
+                "side": pa.array(["supplier"] * len(t), type=pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return cust.union(supp)
+
+
+SQL_UNION_ACCOUNTS = """
+SELECT c_name AS name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+       'customer' AS side FROM customer
+UNION ALL
+SELECT s_name AS name, CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c,
+       'supplier' AS side FROM supplier
+"""
+
+
+def q_doc_sha256(sf_dir: str):
+    """Per-row content hash — the engine's invariant column (SURVEY §2.8)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "sha": pa.array(sha256_hex(t.column("text").to_pylist())),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOC_SHA256 = "SELECT doc_id, sha256(text) AS sha FROM documents"
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup: min-id survivor + dup_count per distinct text
+    (SURVEY §2.7 D2, reference header-union A2)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_stages.exact_dedup(ds, text_column="text", id_column="doc_id")
+    return out.select_columns(["doc_id", "dup_count"])
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def q_token_counts_docs(sf_dir: str):
+    """Token counting (SURVEY §2.8 tokenize / M13)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.token_counts(ds, text_column="text", id_column="doc_id")
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id AS id,
+       len(regexp_extract_all(text, '\w+')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS n_unique_tokens
+FROM documents
+"""
+
+
+def q_doc_char_stats(sf_dir: str):
+    """Integer quality counters (chars / punct / tokens) — the SQL-checkable
+    core of quality scoring; the float composite is rows-only (q_doc_quality).
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        import re
+
+        texts = t.column("text").to_pylist()
+        punct = re.compile(r"[^\w\s]")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": pa.array([len(x or "") for x in texts], type=pa.int64()),
+                "n_punct": pa.array(
+                    [len(punct.findall(x or "")) for x in texts], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOC_CHAR_STATS = r"""
+SELECT doc_id, length(text) AS n_chars,
+       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+FROM documents
+"""
+
+
+def q_embedding_neighbors(sf_dir: str):
+    """Threshold cosine similarity against a fixed query set (SURVEY §2.6 O3,
+    reference EmbeddingMatcher blocking).
+
+    Membership-only output (no float column): rank ties can't flip the hash.
+    """
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtab = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 50")
+        .to_pandas()
+    )
+    qids = qtab.vec_id.to_numpy()
+    qmat = np.stack(qtab.embedding.to_numpy())
+    # 0.3 sits ≥1e-4 from every cosine in this synthetic corpus — float
+    # noise (~1e-15 relative) cannot flip membership vs the DuckDB oracle
+    out = ann_stages.cosine_above(
+        emb, qids, qmat, threshold=0.3, id_column="vec_id", emb_column="embedding"
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t.column("query_id"), t.column("neighbor_id"))
+        return t.filter(mask).select(["query_id", "neighbor_id"])
+
+    return out.map_batches(strip, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NEIGHBORS = """
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+FROM embeddings q, embeddings e
+WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
+  AND list_cosine_similarity(q.embedding, e.embedding) >= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: LSH clustering, heuristics, ER)
+# --------------------------------------------------------------------------
+
+def q_minhash_dedup_docs(sf_dir: str):
+    """MinHash+LSH near-dup clusters over documents (SURVEY §2.7 D3)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stages.minhash_dedup(
+        ds, text_column="text", id_column="doc_id", shingle_k=3, threshold=0.5
+    )
+
+
+def q_simhash_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stages.simhash_dedup(ds, text_column="text", id_column="doc_id")
+
+
+def q_ngram_jaccard_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stages.ngram_jaccard_pairs(
+        ds, text_column="text", id_column="doc_id", shingle_k=3, threshold=0.5
+    )
+
+
+def q_language_id_docs(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.language_id(ds, text_column="text", id_column="doc_id")
+
+
+def q_doc_quality(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.quality_scores(ds, text_column="text", id_column="doc_id")
+
+
+def q_doc_fingerprints(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.fingerprints(ds, text_column="text", id_column="doc_id")
+
+
+def q_embedding_topk(sf_dir: str):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtab = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 10")
+        .to_pandas()
+    )
+    qmat = np.stack(qtab.embedding.to_numpy())
+    return ann_stages.brute_topk(
+        emb, qtab.vec_id.to_numpy(), qmat, k=5, id_column="vec_id", emb_column="embedding"
+    )
+
+
+def q_embedding_lsh_pairs(sf_dir: str):
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    dim = len(
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        .column("embedding")[0]
+        .as_py()
+    )
+    return ann_stages.lsh_bucket_neighbors(emb, dim=dim, bits=6, threshold=0.95)
+
+
+def q_media_features(sf_dir: str):
+    media = ray.data.from_arrow(synthesize_media(n=96))
+    return extract_media_features(media, batch_size=16)
+
+
+def _corpus_scale_for(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": "test", "sf0.01": "small", "sf0.1": "bench"}.get(name, "test")
+
+
+def q_er_clusters(sf_dir: str):
+    """Flagship ER pipeline on the deterministic synthetic code corpus sized
+    to match the sf scale (BASELINE.json north star; rows-only check —
+    correctness is gated by the F1/invariant pytest suite instead)."""
+    from ..corpus import CorpusConfig, generate_corpus, SCALES
+    from .er import er_pipeline
+
+    scale = _corpus_scale_for(sf_dir)
+    out_dir = f"/tmp/takco_fixtures/{scale}"
+    generate_corpus(out_dir, CorpusConfig(n_files=SCALES[scale]))
+    result = er_pipeline(os.path.join(out_dir, "files"))
+    return result["labels"]
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def build_queries() -> dict:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "nation_revenue": q_nation_revenue,
+        "segment_orders": q_segment_orders,
+        "top_parts": q_top_parts,
+        "filter_orders": q_filter_orders,
+        "events_hourly": q_events_hourly,
+        "distinct_segments": q_distinct_segments,
+        "union_accounts": q_union_accounts,
+        "doc_sha256": q_doc_sha256,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "token_counts_docs": q_token_counts_docs,
+        "doc_char_stats": q_doc_char_stats,
+        "embedding_neighbors": q_embedding_neighbors,
+        # rows-only (non-SQL-expressible)
+        "minhash_dedup_docs": q_minhash_dedup_docs,
+        "simhash_docs": q_simhash_docs,
+        "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        "language_id_docs": q_language_id_docs,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprints": q_doc_fingerprints,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "media_features": q_media_features,
+        "er_clusters": q_er_clusters,
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "pricing_summary": SQL_PRICING,
+        "nation_revenue": SQL_NATION_REVENUE,
+        "segment_orders": SQL_SEGMENT_ORDERS,
+        "top_parts": SQL_TOP_PARTS,
+        "filter_orders": SQL_FILTER_ORDERS,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "distinct_segments": SQL_DISTINCT_SEGMENTS,
+        "union_accounts": SQL_UNION_ACCOUNTS,
+        "doc_sha256": SQL_DOC_SHA256,
+        "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+        "token_counts_docs": SQL_TOKEN_COUNTS,
+        "doc_char_stats": SQL_DOC_CHAR_STATS,
+        "embedding_neighbors": SQL_EMBEDDING_NEIGHBORS,
+    }

@@ -3,12 +3,14 @@
 from __future__ import annotations
 
 
-def default_concurrency(reserve: int = 1, floor: int = 2) -> int:
-    """Actor-pool size from the cluster's CPU count (leave some headroom).
+def default_concurrency(reserve: int = 1, floor: int = 2) -> tuple:
+    """Autoscaling actor-pool bounds ``(1, cap)`` from the cluster CPU count.
 
-    Sized once at pipeline build; per-stage overrides take precedence. On a
-    multi-node cluster ``cluster_resources`` already sums all nodes, so pools
-    scale with the cluster without config changes.
+    The min of 1 matters: a pipeline often runs several actor-pool stages in
+    one DAG, and fixed-size pools that each demand ~all CPUs deadlock waiting
+    for actors; with (1, cap) every pool makes progress and Ray scales the
+    busiest one. On a multi-node cluster ``cluster_resources`` sums all
+    nodes, so caps grow with the cluster without config changes.
     """
     try:
         import ray
@@ -16,4 +18,4 @@ def default_concurrency(reserve: int = 1, floor: int = 2) -> int:
         n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
     except Exception:
         n = 4
-    return max(floor, n - reserve)
+    return (1, max(floor, n - reserve))
