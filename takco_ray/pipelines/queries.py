@@ -479,7 +479,9 @@ def q_embedding_lsh_pairs(sf_dir: str):
         .column("embedding")[0]
         .as_py()
     )
-    return ann_stages.lsh_bucket_neighbors(emb, dim=dim, bits=6, threshold=0.95)
+    # the synthetic embeddings have no tight clusters (max pairwise cosine
+    # ≈0.5), so the demo threshold sits where pairs actually exist
+    return ann_stages.lsh_bucket_neighbors(emb, dim=dim, bits=4, threshold=0.35)
 
 
 def q_media_features(sf_dir: str):

@@ -127,16 +127,39 @@ def connected_components(edges, max_rounds: int = 50):
         if sig == prev_sig:
             break
         prev_sig = sig
-    # fixpoint: (child → root) star edges; min per child guards stragglers
-    labels = cur.groupby("u").min("v")
-    return labels.map_batches(
-        lambda t: pa.table(
+    # fixpoint: (child → root) star edges. Roots have no outgoing edge, so
+    # union in (root, root) self-labels before the per-node min.
+    def as_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
                 "file_id": t.column("u").cast(pa.int64()),
-                "cluster_id": t.column("min(v)").cast(pa.int64()),
+                "cluster_id": t.column("v").cast(pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    def root_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "file_id": t.column("v").cast(pa.int64()),
+                "cluster_id": t.column("v").cast(pa.int64()),
+            }
+        )
+
+    children = cur.map_batches(as_labels, batch_format="pyarrow")
+    roots = cur.map_batches(root_labels, batch_format="pyarrow")
+    return (
+        children.union(roots)
+        .groupby("file_id")
+        .min("cluster_id")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "file_id": t.column("file_id").cast(pa.int64()),
+                    "cluster_id": t.column("min(cluster_id)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 

@@ -1,0 +1,80 @@
+"""Connected components vs a brute-force union-find oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class _UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _oracle_labels(edges):
+    uf = _UnionFind()
+    for u, v in edges:
+        uf.union(int(u), int(v))
+    return {n: uf.find(n) for n in uf.p}
+
+
+@pytest.mark.parametrize("n_nodes,n_edges,seed", [(50, 40, 0), (500, 600, 1), (200, 100, 2)])
+def test_cc_matches_union_find_on_random_graphs(ray_session, n_nodes, n_edges, seed):
+    import ray.data
+    from takco_ray.stages.components import connected_components
+
+    rs = np.random.RandomState(seed)
+    u = rs.randint(0, n_nodes, n_edges).astype(np.int64)
+    v = rs.randint(0, n_nodes, n_edges).astype(np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"u": pa.array(u, type=pa.int64()), "v": pa.array(v, type=pa.int64())})
+    )
+    got = {
+        int(r["file_id"]): int(r["cluster_id"])
+        for r in connected_components(edges).take_all()
+    }
+    want = _oracle_labels(zip(u, v))
+    # oracle includes self-loop-only nodes; engine labels nodes on real edges
+    real_nodes = {int(x) for a, b in zip(u, v) if a != b for x in (a, b)}
+    for n in real_nodes:
+        assert got[n] == want[n], f"node {n}"
+
+
+def test_cc_chain_worst_case(ray_session):
+    """A long path graph — stresses the O(log n) star rounds."""
+    import ray.data
+    from takco_ray.stages.components import connected_components
+
+    n = 300
+    u = np.arange(n - 1, dtype=np.int64)
+    v = u + 1
+    edges = ray.data.from_arrow(pa.table({"u": u, "v": v}))
+    labels = connected_components(edges).take_all()
+    assert len({int(r["cluster_id"]) for r in labels}) == 1
+    assert len(labels) == n
+
+
+def test_attach_singletons_total_labeling(ray_session):
+    import ray.data
+    from takco_ray.stages.components import connected_components, attach_singletons
+
+    edges = ray.data.from_arrow(
+        pa.table({"u": pa.array([1, 2], type=pa.int64()), "v": pa.array([2, 3], type=pa.int64())})
+    )
+    all_ids = ray.data.from_arrow(
+        pa.table({"file_id": pa.array([1, 2, 3, 99], type=pa.int64())})
+    )
+    labels = attach_singletons(connected_components(edges), all_ids)
+    got = {int(r["file_id"]): int(r["cluster_id"]) for r in labels.take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 99: 99}

@@ -1,0 +1,102 @@
+"""End-to-end flagship ER pipeline tests (SURVEY.md §5 new-engine plan).
+
+(1) pairwise F1 ≥ 0.99 vs planted labels on same-block pairs;
+(2) per-row sha256 invariant in == out;
+(3) hot boilerplate block survives salting as ONE cluster;
+(4) checkpoint resume: stage reuse without recompute, identical output.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from takco_ray.pipelines.er import er_pipeline, ERConfig
+
+
+@pytest.fixture(scope="module")
+def er_result(ray_session, test_corpus):
+    out = er_pipeline(test_corpus["files"])
+    labels = out["labels"].to_pandas()
+    gold = pq.read_table(test_corpus["dir"] + "/labels.parquet").to_pandas()
+    return out, labels, gold
+
+
+def _pairwise_f1(labels, pairs):
+    lab = dict(zip(labels.file_id, labels.cluster_id))
+    pred = np.array(
+        [lab.get(a) is not None and lab.get(a) == lab.get(b) for a, b in zip(pairs.id1, pairs.id2)]
+    )
+    gold = pairs.is_match.to_numpy()
+    tp = int((pred & gold).sum())
+    fp = int((pred & ~gold).sum())
+    fn = int((~pred & gold).sum())
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    return 2 * p * r / max(p + r, 1e-9), p, r
+
+
+def test_pairwise_f1_on_same_block_pairs(er_result, test_corpus):
+    _, labels, _ = er_result
+    pairs = pq.read_table(test_corpus["dir"] + "/labeled_pairs.parquet").to_pandas()
+    f1, p, r = _pairwise_f1(labels, pairs)
+    assert f1 >= 0.99, f"F1={f1:.4f} P={p:.4f} R={r:.4f}"
+
+
+def test_sha256_invariant_end_to_end(er_result):
+    _, labels, gold = er_result
+    merged = labels.merge(gold, on="file_id", suffixes=("", "_gold"))
+    assert len(merged) == len(gold)
+    assert (merged.sha256 == merged.sha256_gold).all()
+
+
+def test_every_input_row_labeled_exactly_once(er_result, test_corpus):
+    _, labels, _ = er_result
+    assert len(labels) == test_corpus["manifest"]["n_files"]
+    assert labels.file_id.is_unique
+
+
+def test_hot_block_single_cluster_despite_salting(er_result):
+    """The boilerplate entity (largest planted) must remain ONE cluster —
+    overlapping-salt sub-blocks chain-connect (blocking.py §3)."""
+    _, labels, gold = er_result
+    merged = labels.merge(gold, on="file_id", suffixes=("", "_gold"))
+    hot_entity = merged.entity_id.value_counts().idxmax()
+    hot = merged[merged.entity_id == hot_entity]
+    assert len(hot) >= 50
+    assert hot.cluster_id.nunique() == 1
+
+
+def test_exact_duplicates_always_co_clustered(er_result):
+    _, labels, gold = er_result
+    merged = labels.merge(gold, on="file_id", suffixes=("", "_gold"))
+    per_sha = merged.groupby("sha256_gold").cluster_id.nunique()
+    assert (per_sha == 1).all()
+
+
+def test_checkpoint_resume_skips_stages_and_reproduces(ray_session, test_corpus):
+    root = "/tmp/takco_ckpt_test"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = ERConfig()
+    out1 = er_pipeline(test_corpus["files"], cfg, checkpoint_root=root)
+    labels1 = out1["labels"].to_pandas().sort_values("file_id").reset_index(drop=True)
+    assert not out1["metrics"]["signatures"]["skipped"]
+
+    # kill the downstream stage; rerun must reuse upstream checkpoints
+    shutil.rmtree(os.path.join(root, "clusters"))
+    out2 = er_pipeline(test_corpus["files"], cfg, checkpoint_root=root)
+    labels2 = out2["labels"].to_pandas().sort_values("file_id").reset_index(drop=True)
+    assert out2["metrics"]["signatures"]["skipped"]
+    assert out2["metrics"]["edges"]["skipped"]
+    assert not out2["metrics"]["clusters"]["skipped"]
+    assert labels1[["file_id", "cluster_id", "sha256"]].equals(
+        labels2[["file_id", "cluster_id", "sha256"]]
+    )
+
+    # config change invalidates the fingerprint chain → full rebuild
+    cfg2 = ERConfig(threshold=0.7)
+    out3 = er_pipeline(test_corpus["files"], cfg2, checkpoint_root=root)
+    assert not out3["metrics"]["signatures"]["skipped"]
+    shutil.rmtree(root, ignore_errors=True)

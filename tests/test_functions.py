@@ -1,0 +1,96 @@
+"""Unit tests for the pure kernels (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from takco_ray.functions.hashing import hash64_strings, sha256_hex, stable_file_id
+from takco_ray.functions.minhash import MinHasher, band_keys, jaccard_from_signatures
+from takco_ray.functions.strings import jaccard_tokens, levenshtein_ratio, jaro_winkler
+from takco_ray.functions.tokenize import tokenize
+from takco_ray.functions.aggdsl import compile_agg_expr
+
+
+def test_tokenize_matches_reference_semantics():
+    # lowercase \w+ split — takco/cluster/matchers/matcher.py:23-26
+    assert tokenize("Foo BAR_baz  12x!") == ["foo", "bar_baz", "12x"]
+    assert tokenize("") == []
+    assert tokenize(None) == []
+
+
+def test_hash64_deterministic_and_seeded():
+    a = hash64_strings(["x", "y"], seed=1)
+    b = hash64_strings(["x", "y"], seed=1)
+    c = hash64_strings(["x", "y"], seed=2)
+    assert (a == b).all()
+    assert (a != c).any()
+
+
+def test_sha256_matches_hashlib():
+    import hashlib
+
+    assert sha256_hex(["abc"])[0] == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_stable_file_id_no_collisions_and_order_free():
+    ids = stable_file_id(
+        [f"r{i}" for i in range(10_000)],
+        [f"p{i}" for i in range(10_000)],
+        ["c"] * 10_000,
+    )
+    assert ids.dtype == np.int64
+    assert len(set(ids.tolist())) == 10_000
+
+
+def test_minhash_deterministic():
+    mh1, mh2 = MinHasher(seed=41), MinHasher(seed=41)
+    texts = ["a b c d e f g h i j", "k l m n o p q r s t"]
+    assert (mh1.signatures(texts) == mh2.signatures(texts)).all()
+    assert (mh1.signatures(texts) != MinHasher(seed=42).signatures(texts)).any()
+
+
+def test_minhash_jaccard_estimator_error_bound():
+    """Estimator mean |err| ≤ ~2/sqrt(num_perm) on controlled-overlap docs."""
+    rng = np.random.RandomState(0)
+    vocab = [f"t{i}" for i in range(400)]
+    mh = MinHasher(num_perm=128, shingle_k=1, seed=41)
+    errs = []
+    for frac in (0.2, 0.5, 0.8):
+        shared = vocab[: int(200 * frac)]
+        a = " ".join(shared + vocab[200 : 400 - int(200 * frac)])
+        b = " ".join(shared + [v + "x" for v in vocab[200 : 400 - int(200 * frac)]])
+        sa, sb = set(tokenize(a)), set(tokenize(b))
+        true_j = len(sa & sb) / len(sa | sb)
+        sigs = mh.signatures([a, b])
+        est = jaccard_from_signatures(sigs[:1], sigs[1:])[0]
+        errs.append(abs(est - true_j))
+    assert max(errs) < 0.15
+    assert np.mean(errs) < 0.08
+
+
+def test_identical_docs_share_all_bands_distinct_none():
+    mh = MinHasher(seed=41)
+    sigs = mh.signatures(["x y z w v u t s", "x y z w v u t s", "a b c d e f g h"])
+    bands = band_keys(sigs, 16, seed=41)
+    assert (bands[0] == bands[1]).all()
+    assert not (bands[0] == bands[2]).any()
+
+
+def test_agg_dsl_matches_numpy():
+    fn = compile_agg_expr("@mean(@max(a, @pow(b, 4)), @min(a, b))")
+    a = np.array([0.5, 1.0])
+    b = np.array([0.8, 0.2])
+    expect = (np.maximum(a, b**4) + np.minimum(a, b)) / 2
+    assert np.allclose(fn({"a": a, "b": b}), expect)
+
+
+def test_agg_dsl_missing_channel_is_zero():
+    fn = compile_agg_expr("@max(a, nosuch)")
+    assert np.allclose(fn({"a": np.array([0.3])}), [0.3])
+
+
+def test_string_similarities():
+    assert jaccard_tokens(["a", "b"], ["b", "c"]) == pytest.approx(1 / 3)
+    assert levenshtein_ratio("kitten", "sitting") == pytest.approx(1 - 3 / 7)
+    assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert levenshtein_ratio("", "x") == 0.0

@@ -1,0 +1,188 @@
+"""Stage-level tests over small deterministic inputs."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_fingerprint_invariant(ray_session, test_corpus):
+    import ray.data
+    from takco_ray.stages.normalize import fingerprint
+    import pyarrow.parquet as pq
+
+    files = ray.data.read_parquet(test_corpus["files"]).limit(200)
+    out = fingerprint(files).to_pandas()
+    for _, row in out.iterrows():
+        assert row["sha256"] == hashlib.sha256(row["content"].encode()).hexdigest()
+        assert row["size"] == len(row["content"].encode())
+    gold = pq.read_table(test_corpus["dir"] + "/labels.parquet").to_pandas()
+    merged = out.merge(gold, on=["repo", "path", "commit"], suffixes=("", "_gold"))
+    assert (merged.sha256 == merged.sha256_gold).all()
+    assert (merged.file_id == merged.file_id_gold).all()
+
+
+def test_exact_dedup_vs_duckdb(ray_session):
+    import duckdb
+    from takco_ray.sources import read_table
+    from takco_ray.stages.dedup import exact_dedup
+
+    ds = read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+    got = (
+        exact_dedup(ds, text_column="text", id_column="doc_id")
+        .to_pandas()[["doc_id", "dup_count"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            f"""SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM read_parquet('{SF_DIR}/documents.parquet') GROUP BY text
+            ORDER BY doc_id"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == want.doc_id.tolist()
+    assert got.dup_count.tolist() == want.dup_count.tolist()
+
+
+def test_minhash_dedup_finds_planted_near_dups(ray_session):
+    """Planted corpus: exact + near duplicates cluster; distinct docs don't."""
+    import ray.data
+    from takco_ray.stages.dedup import minhash_dedup_labels
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("gamma", "gammaX", 1)
+    other = "one two three four five six seven eight nine ten " * 5
+    rows = [(0, base), (1, base), (2, near), (3, other), (4, "solo doc " * 20)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        )
+    )
+    labels = {
+        int(r["file_id"]): int(r["cluster_id"])
+        for r in minhash_dedup_labels(
+            ds, "text", "doc_id", shingle_k=3, threshold=0.5
+        ).take_all()
+    }
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] != labels[0]
+    assert labels[4] not in (labels[0], labels[3])
+    assert len(labels) == 5
+
+
+def test_simhash_identical_docs_same_hash(ray_session):
+    import ray.data
+    from takco_ray.stages.dedup import simhash_dedup
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": ["same words here", "same words here", "different entirely now"],
+            }
+        )
+    )
+    out = {int(r["id"]): (int(r["simhash"]), int(r["cluster_id"])) for r in simhash_dedup(ds, "text", "doc_id").take_all()}
+    assert out[0][0] == out[1][0]
+    assert out[0][1] == out[1][1] == 0
+    assert out[2][0] != out[0][0]
+
+
+def test_textstats_token_counts(ray_session):
+    import ray.data
+    from takco_ray.stages.textstats import token_counts, quality_scores, language_id
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": ["The cat and the dog.", ""],
+            }
+        )
+    )
+    tc = {int(r["id"]): r for r in token_counts(ds, "text", "doc_id").take_all()}
+    assert tc[0]["n_tokens"] == 5
+    assert tc[0]["n_unique_tokens"] == 4  # "the" twice after lowering
+    assert tc[1]["n_tokens"] == 0
+    q = {int(r["id"]): r for r in quality_scores(ds, "text", "doc_id").take_all()}
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    lid = {int(r["id"]): r for r in language_id(ds, "text", "doc_id").take_all()}
+    assert lid[0]["lang_pred"] == "en"
+    assert lid[1]["lang_pred"] == "und"
+
+
+def test_brute_topk_matches_numpy(ray_session):
+    import ray.data
+    from takco_ray.stages.ann import brute_topk
+
+    rs = np.random.RandomState(3)
+    mat = rs.normal(size=(100, 16)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(100), type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), type=pa.float32()), 16
+                ),
+            }
+        )
+    )
+    qids = np.array([0, 5])
+    out = brute_topk(ds, qids, mat[qids], k=3).to_pandas()
+    matn = mat.astype(np.float64)
+    matn /= np.linalg.norm(matn, axis=1, keepdims=True)
+    for q in qids:
+        sims = matn[q] @ matn.T
+        want = set(np.argsort(-sims)[:3].tolist())
+        got = set(out[out.query_id == q].neighbor_id.tolist())
+        assert got == want
+
+
+def test_lsh_bucket_neighbors_high_recall_on_clusters(ray_session):
+    import ray.data
+    from takco_ray.stages.ann import lsh_bucket_neighbors
+
+    rs = np.random.RandomState(4)
+    centers = rs.normal(size=(5, 16))
+    vecs = np.concatenate([c + 0.01 * rs.normal(size=(4, 16)) for c in centers])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(20), type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1).astype(np.float32), type=pa.float32()), 16
+                ),
+            }
+        )
+    )
+    pairs = lsh_bucket_neighbors(ds, dim=16, bits=4, threshold=0.99).to_pandas()
+    # same-cluster pairs land in the same hyperplane bucket most of the time
+    same = sum(1 for _, r in pairs.iterrows() if r.id1 // 4 == r.id2 // 4)
+    assert same >= 20  # 5 clusters × C(4,2)=6 → 30 possible; ≥2/3 recall
+    assert (pairs.cosine >= 0.99).all()
+
+
+def test_media_features_deterministic_schema(ray_session):
+    import ray.data
+    from takco_ray.stages.multimodal import synthesize_media, extract_media_features
+
+    media = ray.data.from_arrow(synthesize_media(n=32))
+    out = extract_media_features(media, batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert out.decoded.all()
+    assert all(len(f) == 16 for f in out.feature)
+    out2 = extract_media_features(
+        ray.data.from_arrow(synthesize_media(n=32)), batch_size=8
+    ).to_pandas()
+    a = np.stack(out.sort_values("media_id").feature.to_numpy())
+    b = np.stack(out2.sort_values("media_id").feature.to_numpy())
+    assert np.array_equal(a, b)
