@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) at ``num_cpus=$RAY_GRAFT_CPUS`` (default 32) and
+print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N}
+
+``--scaling``: run the flagship ER pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox surrogate for the
+north rule's N vs 4N cluster sizes) and report both throughputs plus
+``efficiency = (T_8 × 8) / (T_32 × 32)``.
+
+Owns its Ray session (init/shutdown); nothing in takco_ray ever calls
+ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DEFAULT = "/root/testdata/sf0.1"
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "nation_revenue",
+    "segment_orders",
+    "top_parts",
+    "filter_orders",
+    "events_hourly",
+    "exact_dedup_docs",
+    "token_counts_docs",
+    "minhash_dedup_docs",
+    "embedding_topk",
+]
+
+
+def _corpus_for(sf_dir: str) -> tuple:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    scale = {"sf0.001": "test", "sf0.01": "small", "sf0.1": "bench"}.get(name, "test")
+    return scale, f"/tmp/takco_fixtures/{scale}"
+
+
+def _ensure_corpus(sf_dir: str) -> tuple:
+    """Generate (or reuse) the synthetic code corpus BEFORE any timing."""
+    from takco_ray.corpus import CorpusConfig, generate_corpus, SCALES
+
+    scale, out_dir = _corpus_for(sf_dir)
+    emit_pairs = scale != "bench"  # gold pairs not needed for throughput runs
+    manifest = generate_corpus(
+        out_dir, CorpusConfig(n_files=SCALES[scale], emit_pairs=emit_pairs)
+    )
+    return out_dir, manifest
+
+
+def run_bench(sf_dir: str, num_cpus: int, er_only: bool = False) -> dict:
+    import ray
+
+    corpus_dir, manifest = _ensure_corpus(sf_dir)
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        log_to_driver=False,
+    )
+    try:
+        from takco_ray.pipelines.er import er_pipeline
+        from takco_ray.pipelines.queries import build_queries
+
+        timings: dict = {}
+
+        t0 = time.monotonic()
+        result = er_pipeline(os.path.join(corpus_dir, "files"))
+        n_labels = result["labels"].count()
+        er_sec = time.monotonic() - t0
+        timings["er_pipeline"] = round(er_sec, 3)
+
+        if not er_only:
+            queries = build_queries()
+            for name in BENCH_QUERIES:
+                t0 = time.monotonic()
+                out = queries[name](sf_dir)
+                # consume the stream without pulling data to the driver
+                if hasattr(out, "count"):
+                    out.count()
+                timings[name] = round(time.monotonic() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "bench_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "num_cpus": num_cpus,
+            "er_files": manifest["n_files"],
+            "er_files_per_s": round(manifest["n_files"] / er_sec, 1),
+            "er_labels": int(n_labels),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    _ensure_corpus(sf_dir)  # generate once, outside both timed subprocesses
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--er-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t_low = results[low]["queries"]["er_pipeline"]
+    t_high = results[high]["queries"]["er_pipeline"]
+    n = results[low]["er_files"]
+    eff = (t_high * high) and round((t_low * low) / (t_high * high), 3)
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "queries": {
+            f"er_pipeline_cpus{low}": t_low,
+            f"er_pipeline_cpus{high}": t_high,
+        },
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": high,
+        "throughput_low_files_per_s": round(n / t_low, 1),
+        "throughput_high_files_per_s": round(n / t_high, 1),
+        "low_cpus": low,
+        "high_cpus": high,
+        "er_files": n,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--er-only", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DEFAULT)
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        out = run_scaling(sf_dir)
+    else:
+        out = run_bench(sf_dir, num_cpus, er_only=args.er_only)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

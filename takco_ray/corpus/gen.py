@@ -78,6 +78,7 @@ class CorpusConfig:
     shingle_k: int = 5
     minhash_seed: int = 41
     max_block_pairs: int = 256  # cap on labeled pairs emitted per block
+    emit_pairs: bool = True  # False skips gold band membership (bench scales)
 
 
 def _vocab(rs: np.random.RandomState, n: int) -> list:
@@ -292,6 +293,41 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig) -> dict:
     pq.write_table(labels, os.path.join(out_dir, "labels.parquet"))
 
     # ---- labeled same-block pairs (pre-salting band membership) ----------
+    pairs: list = []
+    hot_sizes: list = []
+    ent = np.asarray(entity_ids)
+    if cfg.emit_pairs:
+        pairs, hot_sizes = _gold_pairs(contents, file_ids, cfg)
+    lp = pa.table(
+        {
+            "id1": pa.array([int(file_ids[a]) for a, _ in pairs], type=pa.int64()),
+            "id2": pa.array([int(file_ids[b]) for _, b in pairs], type=pa.int64()),
+            "same_block": pa.array([True] * len(pairs)),
+            "is_match": pa.array([bool(ent[a] == ent[b]) for a, b in pairs]),
+        }
+    )
+    pq.write_table(lp, os.path.join(out_dir, "labeled_pairs.parquet"))
+
+    ent_sizes = np.bincount(np.asarray(entity_ids))
+    manifest = {
+        "config": asdict(cfg),
+        "n_files": len(repos),
+        "n_entities": int(entity),
+        "bytes": int(total_bytes),
+        "n_labeled_pairs": len(pairs),
+        "n_match_pairs": int(sum(1 for a, b in pairs if ent[a] == ent[b])),
+        "hot_block_sizes": sorted(hot_sizes, reverse=True)[:5],
+        "entity_size_histogram": {
+            str(k): int(v) for k, v in zip(*np.unique(ent_sizes[ent_sizes > 0], return_counts=True))
+        },
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def _gold_pairs(contents, file_ids, cfg: CorpusConfig):
+    """Same-block pair enumeration with the engine's own band parameters."""
     mh = MinHasher(num_perm=cfg.num_perm, shingle_k=cfg.shingle_k, seed=cfg.minhash_seed)
     sigs = np.empty((len(contents), cfg.num_perm), dtype=np.uint64)
     for s0 in range(0, len(contents), 4096):
@@ -325,33 +361,7 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig) -> dict:
                 a, b = members[a_i], members[b_i]
                 pair_set.add((a, b) if file_ids[a] < file_ids[b] else (b, a))
     pairs = sorted(pair_set, key=lambda p: (int(file_ids[p[0]]), int(file_ids[p[1]])))
-    ent = np.asarray(entity_ids)
-    lp = pa.table(
-        {
-            "id1": pa.array([int(file_ids[a]) for a, _ in pairs], type=pa.int64()),
-            "id2": pa.array([int(file_ids[b]) for _, b in pairs], type=pa.int64()),
-            "same_block": pa.array([True] * len(pairs)),
-            "is_match": pa.array([bool(ent[a] == ent[b]) for a, b in pairs]),
-        }
-    )
-    pq.write_table(lp, os.path.join(out_dir, "labeled_pairs.parquet"))
-
-    ent_sizes = np.bincount(np.asarray(entity_ids))
-    manifest = {
-        "config": asdict(cfg),
-        "n_files": len(repos),
-        "n_entities": int(entity),
-        "bytes": int(total_bytes),
-        "n_labeled_pairs": len(pairs),
-        "n_match_pairs": int(sum(1 for a, b in pairs if ent[a] == ent[b])),
-        "hot_block_sizes": sorted(hot_sizes, reverse=True)[:5],
-        "entity_size_histogram": {
-            str(k): int(v) for k, v in zip(*np.unique(ent_sizes[ent_sizes > 0], return_counts=True))
-        },
-    }
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-    return manifest
+    return pairs, hot_sizes
 
 
 def main():

@@ -29,7 +29,7 @@ from ..stages.normalize import fingerprint as fingerprint_stage
 from ..stages.minhash import SignatureStage
 from ..stages.blocking import candidate_pairs
 from ..stages.scoring import score_pairs, DEFAULT_AGG_EXPR, DEFAULT_THRESHOLD
-from ..stages.components import connected_components, attach_singletons
+from ..stages.components import star_edges, label_rows
 from ..state import StageRunner, stage_fingerprint
 
 
@@ -43,7 +43,7 @@ class ERConfig:
     threshold: float = DEFAULT_THRESHOLD
     hot_threshold: int = 512
     salt_target: int = 512
-    max_block_size: int = 512
+    max_block_size: int = 64
     min_size_ratio: float = 0.4
     scorer_batch_size: int = 4096
     scorer_concurrency: int | tuple | None = None
@@ -112,18 +112,74 @@ def er_pipeline(
     labels_fp = stage_fingerprint("clusters", params, upstream=[edges_fp])
 
     def build_labels():
-        cc = connected_components(edges)
-        all_ids = sigs.select_columns(["file_id"])
-        labels = attach_singletons(cc, all_ids)
-        # re-attach the per-row invariant + provenance via a hash join on the
-        # compact id (content itself stays out of the shuffle)
+        star = star_edges(edges)
+        raw = label_rows(star)  # (file_id, cluster_id), dup roots possible
         side = sigs.select_columns(["file_id", "sha256", "repo", "path"])
-        return labels.join(
-            side,
-            join_type="inner",
-            num_partitions=cfg.join_partitions,
-            on=("file_id",),
-        )
+        return _merge_labels(raw, side, cfg.join_partitions)
 
     labels = runner.run("clusters", labels_fp, build_labels)
     return {"labels": labels, "edges": edges, "metrics": runner.metrics}
+
+
+def _merge_labels(raw_labels, side, num_partitions: int):
+    """ONE grouped pass replacing groupby-min + singleton union + hash join.
+
+    Union the CC label rows with the per-file side rows (sha256/provenance,
+    defaulting cluster_id to the file's own id) and combine per file_id:
+    cluster = min over rows, side fields from the unique side row. Every
+    input file gets exactly one output row — singletons included — without
+    a separate join shuffle.
+    """
+    import numpy as np
+
+    from ..stages.groupmap import partitioned_group_map, segment_boundaries
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "file_id": t.column("file_id").cast(pa.int64()),
+                "cluster_id": t.column("cluster_id").cast(pa.int64()),
+                "sha256": pa.nulls(n, pa.string()),
+                "repo": pa.nulls(n, pa.string()),
+                "path": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "file_id": t.column("file_id").cast(pa.int64()),
+                "cluster_id": t.column("file_id").cast(pa.int64()),  # self default
+                "sha256": t.column("sha256"),
+                "repo": t.column("repo"),
+                "path": t.column("path"),
+            }
+        )
+
+    unioned = raw_labels.map_batches(lab_rows, batch_format="pyarrow").union(
+        side.map_batches(side_rows, batch_format="pyarrow")
+    )
+
+    def combine(part: pa.Table) -> pa.Table:
+        fid = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
+        cid = np.asarray(part.column("cluster_id").combine_chunks(), dtype=np.int64)
+        n = len(fid)
+        starts = segment_boundaries(fid)
+        cluster_min = np.minimum.reduceat(cid, starts)
+        sha = part.column("sha256").combine_chunks()
+        valid = np.asarray(sha.is_valid())
+        side_idx = np.flatnonzero(valid)  # exactly one side row per file_id
+        assert len(side_idx) == len(starts), "label rows without a side row"
+        picked = part.take(pa.array(side_idx, type=pa.int64()))
+        return pa.table(
+            {
+                "file_id": picked.column("file_id"),
+                "cluster_id": pa.array(cluster_min, type=pa.int64()),
+                "sha256": picked.column("sha256"),
+                "repo": picked.column("repo"),
+                "path": picked.column("path"),
+            }
+        )
+
+    return partitioned_group_map(unioned, "file_id", combine, num_partitions)

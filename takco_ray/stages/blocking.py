@@ -13,16 +13,18 @@ giant buckets unhandled (its corpus has 492k-row boilerplate unions —
    (``salt = id % ns`` and ``(id+1) % ns``), so sub-blocks chain-connect
    through shared members and transitive clustering still unifies the block
    without any O(m²) pair explosion;
-4. ``groupby(block_key)`` shuffles once; per-group pair generation caps
-   emitted pairs (ring + strided spokes on oversized groups) and applies the
-   reference's filter-matcher prefilter idea (J2, ``cluster.py:399-422``) as
-   a size-ratio gate before any expensive kernel runs;
-5. cross-band duplicate pairs collapse via ``groupby(pair_key).first`` so the
-   expensive scoring actors see each candidate once (the reference dedups
-   its similarity index the same way, ``cluster.py:671``).
+4. ONE ``groupby`` shuffle generates pairs — via
+   :func:`groupmap.partitioned_group_map`, so millions of tiny blocks cost
+   numpy segment ops, not per-group Python calls. Oversized blocks emit
+   O(m) ring+spoke connectivity pairs; a size-ratio prefilter (the
+   reference's filter-matcher semi-join J2, ``cluster.py:399-422``) runs
+   before any expensive kernel;
+5. cross-band duplicate pairs collapse via a second grouped pass on
+   ``pair_key`` (the reference dedups its similarity index the same way,
+   ``cluster.py:671``) so the scoring actors see each candidate once.
 
-Partitioning assumption: a (possibly salted) block fits one task comfortably
-(≤ ``2 × salt_target`` rows ≈ a few MB of signatures).
+Partitioning assumption: one hash partition of blocks (~1/num_partitions of
+all band rows) fits a task's heap — signatures are ~1 KB/row.
 """
 
 from __future__ import annotations
@@ -30,26 +32,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.minhash import band_keys
+from .groupmap import partitioned_group_map, segment_boundaries
 from .minhash import DEFAULT_NUM_BANDS, DEFAULT_SEED, signatures_to_numpy
 
 # Columns carried through blocking into scoring (content stays behind).
 FEATURE_COLUMNS = ["file_id", "path", "size", "lang", "sig"]
 
 _SALT_MIX = np.uint64(0xBF58476D1CE4E5B9)
-
-
-def _block_schema(sig_type: pa.DataType) -> pa.Schema:
-    return pa.schema(
-        [
-            ("block_key", pa.int64()),
-            ("file_id", pa.int64()),
-            ("path", pa.string()),
-            ("size", pa.int64()),
-            ("lang", pa.string()),
-            ("sig", sig_type),
-        ]
-    )
 
 
 class _BandExploder:
@@ -68,11 +57,9 @@ class _BandExploder:
         self.salt_target = salt_target
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = signatures_to_numpy(batch.column("sig"))
         n = len(batch)
-        bands = band_keys(sigs, self.num_bands, seed=self.seed)  # (n, B)
-        # int64 bit-reinterpretation: Ray's sort shuffle wants signed keys
-        flat_keys = bands.T.reshape(-1).view(np.int64)  # band-major
+        bands = signatures_to_numpy(batch.column("bands"))  # (n, B) int64
+        flat_keys = bands.T.reshape(-1).copy()  # band-major
         flat_rows = np.tile(np.arange(n, dtype=np.int64), self.num_bands)
 
         if self.hot_sizes:
@@ -116,20 +103,20 @@ def hot_band_keys(
 ) -> dict:
     """Count-only pre-pass → ``{band_key: count}`` for blocks above threshold.
 
-    Shuffles only a uint64 key column (8 B × num_bands per file), then the
-    result — a handful of boilerplate keys — is collected and broadcast to
-    the exploder (SURVEY.md §4 skew row / A9 block-size stats).
+    Shuffles only an 8-byte key column (num_bands per file), then the result
+    — a handful of boilerplate keys — is collected and broadcast to the
+    exploder (SURVEY.md §4 skew row / A9 block-size stats).
     """
 
     def keys_only(batch: pa.Table) -> pa.Table:
-        sigs = signatures_to_numpy(batch.column("sig"))
-        bands = band_keys(sigs, num_bands, seed=seed)
+        bands = signatures_to_numpy(batch.column("bands"))
         return pa.table(
-            {"band_key": pa.array(bands.reshape(-1).view(np.int64), type=pa.int64())}
+            {"band_key": pa.array(bands.reshape(-1), type=pa.int64())}
         )
 
     counts = (
-        ds.map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True)
+        ds.select_columns(["bands"])  # project before the scan leaves storage
+        .map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("band_key")
         .count()
     )
@@ -147,49 +134,64 @@ def hot_band_keys(
     return out
 
 
-class _PairEmitter:
-    """map_groups fn: one (salted) block → canonical candidate pairs.
+class _PartitionPairEmitter:
+    """Partition fn: all blocks hashed to one partition → candidate pairs.
 
-    - all i<j pairs when the group is small;
-    - ring + strided spokes when the group exceeds ``max_block_size``
-      (near-identical boilerplate: chain pairs keep the block connected
-      while bounding work at O(m));
-    - size-ratio prefilter (cheap semi-join, reference J2) before emission.
+    Receives rows sorted by block_key; resorts by (block_key, file_id) and
+    walks equal-key segments with numpy. Small blocks emit all i<j pairs;
+    blocks over ``max_block_size`` emit O(m) ring+spoke connectivity pairs
+    (sufficient for transitive clustering of a coherent LSH block).
     """
 
-    def __init__(self, max_block_size: int = 512, min_size_ratio: float = 0.4):
+    def __init__(self, max_block_size: int = 64, min_size_ratio: float = 0.4):
         self.max_block_size = max_block_size
         self.min_size_ratio = min_size_ratio
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        m = len(group)
-        sig_type = group.column("sig").type
-        if m < 2:
+    def __call__(self, part: pa.Table) -> pa.Table:
+        keys = np.asarray(part.column("block_key").combine_chunks(), dtype=np.int64)
+        ids = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
+        sig_type = part.column("sig").type
+        n = len(keys)
+        if n == 0:
             return _empty_pairs(sig_type)
-        order = pa.compute.sort_indices(group.column("file_id"))
-        group = group.take(order)
-        if m <= self.max_block_size:
-            ii, jj = np.triu_indices(m, k=1)
-        else:
-            ring_i = np.arange(m - 1)
-            spokes = np.arange(0, m, 16)[1:]
-            ii = np.concatenate([ring_i, np.zeros(len(spokes), dtype=np.int64)])
-            jj = np.concatenate([ring_i + 1, spokes])
-        sizes = np.asarray(group.column("size").combine_chunks(), dtype=np.float64)
+        order = np.lexsort((ids, keys))
+        keys = keys[order]
+        starts = segment_boundaries(keys)
+        counts = np.diff(np.append(starts, n))
+
+        ii_parts: list = []
+        jj_parts: list = []
+        for s, m in zip(starts[counts >= 2], counts[counts >= 2]):
+            if m <= self.max_block_size:
+                li, lj = np.triu_indices(m, k=1)
+            else:
+                ring = np.arange(m - 1)
+                spokes = np.arange(0, m, 8)[1:]
+                li = np.concatenate([ring, np.zeros(len(spokes), dtype=np.int64)])
+                lj = np.concatenate([ring + 1, spokes])
+            ii_parts.append(li + s)
+            jj_parts.append(lj + s)
+        if not ii_parts:
+            return _empty_pairs(sig_type)
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
+
+        part = part.take(pa.array(order, type=pa.int64()))
+        sizes = np.asarray(part.column("size").combine_chunks(), dtype=np.float64)
         s1, s2 = sizes[ii], sizes[jj]
         ratio = np.minimum(s1, s2) / np.maximum(np.maximum(s1, s2), 1.0)
         keep = ratio >= self.min_size_ratio
         ii, jj = ii[keep], jj[keep]
         if len(ii) == 0:
             return _empty_pairs(sig_type)
-        left = group.take(pa.array(ii, type=pa.int64()))
-        right = group.take(pa.array(jj, type=pa.int64()))
+        left = part.take(pa.array(ii, type=pa.int64()))
+        right = part.take(pa.array(jj, type=pa.int64()))
         id1 = np.asarray(left.column("file_id").combine_chunks(), dtype=np.int64)
         id2 = np.asarray(right.column("file_id").combine_chunks(), dtype=np.int64)
-        # canonical order guaranteed by the sort above (id1 < id2)
+        # canonical id1 < id2 guaranteed by the per-block sort
         pair_key = (
             id1.view(np.uint64) * _SALT_MIX + id2.view(np.uint64)
-        ).view(np.int64)  # 64-bit mix; collisions ~n²/2⁶⁴ only drop a candidate
+        ).view(np.int64)  # 64-bit mix; a collision only drops one candidate
         cols = {
             "pair_key": pa.array(pair_key, type=pa.int64()),
             "id1": pa.array(id1, type=pa.int64()),
@@ -219,6 +221,13 @@ def _empty_pairs(sig_type: pa.DataType) -> pa.Table:
     )
 
 
+def _dedup_pairs_partition(part: pa.Table) -> pa.Table:
+    """First occurrence per pair_key (rows arrive sorted by pair_key)."""
+    keys = np.asarray(part.column("pair_key").combine_chunks(), dtype=np.int64)
+    firsts = segment_boundaries(keys)
+    return part.take(pa.array(firsts, type=pa.int64()))
+
+
 def emit_band_rows(
     ds,
     hot_sizes: dict | None = None,
@@ -240,11 +249,12 @@ def candidate_pairs(
     seed: int = DEFAULT_SEED,
     hot_threshold: int = 512,
     salt_target: int = 512,
-    max_block_size: int = 512,
+    max_block_size: int = 64,
     min_size_ratio: float = 0.4,
     skip_hot_detection: bool = False,
+    num_partitions: int = 64,
 ):
-    """Full blocking: hot-key pre-pass → explode → groupby → pairs → dedup.
+    """Full blocking: hot-key pre-pass → explode → grouped pair-gen → dedup.
 
     Returns a Dataset of unique canonical candidate pairs with both sides'
     features attached, ready for the scoring actor pool.
@@ -255,14 +265,12 @@ def candidate_pairs(
     bands = emit_band_rows(
         ds, hot, num_bands=num_bands, seed=seed, salt_target=salt_target
     )
-    emitter = _PairEmitter(max_block_size=max_block_size, min_size_ratio=min_size_ratio)
-
-    def emit_pairs(group):
-        return emitter(group)
-
-    pairs = bands.groupby("block_key").map_groups(emit_pairs, batch_format="pyarrow")
-    # cross-band dedup: same pair surfaces in up to num_bands blocks
-    def first_row(g):
-        return g.slice(0, 1)
-
-    return pairs.groupby("pair_key").map_groups(first_row, batch_format="pyarrow")
+    pairs = partitioned_group_map(
+        bands,
+        "block_key",
+        _PartitionPairEmitter(max_block_size=max_block_size, min_size_ratio=min_size_ratio),
+        num_partitions=num_partitions,
+    )
+    return partitioned_group_map(
+        pairs, "pair_key", _dedup_pairs_partition, num_partitions=num_partitions
+    )

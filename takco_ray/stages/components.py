@@ -6,15 +6,18 @@ driver-side (``takco/__init__.py:367-374``) — its scaling wall. The north
 rule asks for *transitive* clustering, which is exactly connected
 components, so this stage implements the alternating large-star / small-star
 algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14) as iterated hash-partitioned ``groupby(node).map_groups`` passes
-over the edge Dataset — edges never touch the driver.
+SoCC'14) as iterated hash-partitioned grouped passes over the edge Dataset
+— edges never touch the driver.
 
 - **large-star**: for each node u, link every neighbor v > u to the minimum
   of Γ(u) ∪ {u};
 - **small-star**: orient edges to (hi → lo), link every neighbor (and u) to
   the minimum;
-- converge when the edge multiset is stable (checked by a count + uint64
-  checksum aggregate — O(1) driver data per round);
+- each pass runs through :func:`groupmap.partitioned_group_map`, so the
+  per-node adjacency segments are processed with ``np.minimum.reduceat`` —
+  no per-group Python calls;
+- converge when the edge multiset is stable (count + uint64 checksum
+  aggregate — O(1) driver data per round);
 - each round materializes (bounded lineage ≈ a per-round checkpoint);
   O(log n) rounds for worst-case chains, 2-3 in practice for clone clusters.
 
@@ -27,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ray.data.aggregate import AggregateFn
+from .groupmap import partitioned_group_map, segment_boundaries
 
 _CHECK_MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -38,9 +41,15 @@ def _edge_table(u: np.ndarray, v: np.ndarray) -> pa.Table:
     )
 
 
+def _uv(batch: pa.Table) -> tuple:
+    return (
+        np.asarray(batch.column("u").combine_chunks(), dtype=np.int64),
+        np.asarray(batch.column("v").combine_chunks(), dtype=np.int64),
+    )
+
+
 def _symmetrize(batch: pa.Table) -> pa.Table:
-    u = np.asarray(batch.column("u").combine_chunks(), dtype=np.int64)
-    v = np.asarray(batch.column("v").combine_chunks(), dtype=np.int64)
+    u, v = _uv(batch)
     keep = u != v
     u, v = u[keep], v[keep]
     return _edge_table(np.concatenate([u, v]), np.concatenate([v, u]))
@@ -48,44 +57,69 @@ def _symmetrize(batch: pa.Table) -> pa.Table:
 
 def _orient_down(batch: pa.Table) -> pa.Table:
     """(hi → lo) orientation for small-star; drops self-loops."""
-    u = np.asarray(batch.column("u").combine_chunks(), dtype=np.int64)
-    v = np.asarray(batch.column("v").combine_chunks(), dtype=np.int64)
+    u, v = _uv(batch)
     keep = u != v
     u, v = u[keep], v[keep]
-    hi = np.maximum(u, v)
-    lo = np.minimum(u, v)
-    return _edge_table(hi, lo)
+    return _edge_table(np.maximum(u, v), np.minimum(u, v))
 
 
-def _large_star_group(group: pa.Table) -> pa.Table:
-    u = int(group.column("u")[0].as_py())
-    nbrs = np.asarray(group.column("v").combine_chunks(), dtype=np.int64)
-    m = min(int(nbrs.min()), u)
-    out_v = nbrs[nbrs > u]
-    return _edge_table(out_v, np.full(len(out_v), m, dtype=np.int64))
+def _large_star_partition(part: pa.Table) -> pa.Table:
+    """All u-segments of one partition, vectorized: emit (v, m) for v > u."""
+    u, v = _uv(part)
+    n = len(u)
+    if n == 0:
+        return _edge_table(u, v)
+    starts = segment_boundaries(u)  # u arrives sorted
+    counts = np.diff(np.append(starts, n))
+    min_v = np.minimum.reduceat(v, starts)
+    m_seg = np.minimum(min_v, u[starts])
+    m_row = np.repeat(m_seg, counts)
+    mask = v > u
+    return _edge_table(v[mask], m_row[mask])
 
 
-def _small_star_group(group: pa.Table) -> pa.Table:
-    u = int(group.column("u")[0].as_py())
-    nbrs = np.asarray(group.column("v").combine_chunks(), dtype=np.int64)
-    m = min(int(nbrs.min()), u)
-    targets = np.unique(np.concatenate([nbrs, np.array([u], dtype=np.int64)]))
-    targets = targets[targets != m]
-    return _edge_table(targets, np.full(len(targets), m, dtype=np.int64))
+def _small_star_partition(part: pa.Table) -> pa.Table:
+    """u-segments of (hi → lo) edges: link neighbors ∪ {u} to the minimum.
+
+    Emits (v, m) for every neighbor v ≠ m plus (u, m) per segment; local
+    duplicate edges are collapsed (the multiset stabilizes at the star
+    fixpoint, which the checksum detector relies on).
+    """
+    u, v = _uv(part)
+    n = len(u)
+    if n == 0:
+        return _edge_table(u, v)
+    starts = segment_boundaries(u)
+    counts = np.diff(np.append(starts, n))
+    min_v = np.minimum.reduceat(v, starts)  # v ≤ u ⇒ m = min(Γ ∪ {u}) = min_v
+    m_seg = min_v
+    m_row = np.repeat(m_seg, counts)
+    mask = v != m_row
+    out_u = np.concatenate([v[mask], u[starts]])
+    out_v = np.concatenate([m_row[mask], m_seg])
+    keep = out_u != out_v
+    out_u, out_v = out_u[keep], out_v[keep]
+    # local dedup: duplicates arise when two (u,v) rows repeat in a segment
+    if len(out_u):
+        order = np.lexsort((out_v, out_u))
+        out_u, out_v = out_u[order], out_v[order]
+        first = np.concatenate(
+            [[True], (out_u[1:] != out_u[:-1]) | (out_v[1:] != out_v[:-1])]
+        )
+        out_u, out_v = out_u[first], out_v[first]
+    return _edge_table(out_u, out_v)
 
 
 def _checksum(ds) -> tuple:
     """(n_edges, uint64 checksum) — order-insensitive fixpoint detector."""
 
     def add_check(batch: pa.Table) -> pa.Table:
-        u = np.asarray(batch.column("u").combine_chunks(), dtype=np.int64)
-        v = np.asarray(batch.column("v").combine_chunks(), dtype=np.int64)
+        u, v = _uv(batch)
         c = (
             u.view(np.uint64) * _CHECK_MIX + v.view(np.uint64)
             if len(u)
             else np.zeros(0, dtype=np.uint64)
         )
-        # fold to one scalar per batch, summed mod 2^64 across batches
         return pa.table(
             {
                 "n": pa.array([len(u)], type=pa.int64()),
@@ -101,55 +135,57 @@ def _checksum(ds) -> tuple:
     return n, c
 
 
-def connected_components(edges, max_rounds: int = 50):
-    """Edge Dataset (u, v[, score]) → labels Dataset (file_id, cluster_id).
+def star_edges(edges, max_rounds: int = 50, num_partitions: int = 64):
+    """Iterate large-star/small-star to the fixpoint star forest.
 
-    Nodes appearing only in self-edges (or not at all) keep their own id;
-    callers union singleton self-edges first if every input row must be
-    labeled (reference's identity edges, ``takco/__init__.py:367-370``).
+    Returns the (child → root) edge Dataset; every non-root node appears
+    exactly once as a child, roots only on the right side.
     """
     cur = edges.map_batches(_orient_down, batch_format="pyarrow", zero_copy_batch=True)
-    cur = cur.groupby("u").map_groups(_small_star_group, batch_format="pyarrow")
+    cur = partitioned_group_map(cur, "u", _small_star_partition, num_partitions)
     prev_sig = None
     for _round in range(max_rounds):
-        large = (
-            cur.map_batches(_symmetrize, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("u")
-            .map_groups(_large_star_group, batch_format="pyarrow")
+        sym = cur.map_batches(_symmetrize, batch_format="pyarrow", zero_copy_batch=True)
+        large = partitioned_group_map(sym, "u", _large_star_partition, num_partitions)
+        down = large.map_batches(
+            _orient_down, batch_format="pyarrow", zero_copy_batch=True
         )
-        small = (
-            large.map_batches(_orient_down, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("u")
-            .map_groups(_small_star_group, batch_format="pyarrow")
-        )
+        small = partitioned_group_map(down, "u", _small_star_partition, num_partitions)
         cur = small.materialize()  # bounded lineage: per-round barrier
         sig = _checksum(cur)
         if sig == prev_sig:
             break
         prev_sig = sig
-    # fixpoint: (child → root) star edges. Roots have no outgoing edge, so
-    # union in (root, root) self-labels before the per-node min.
-    def as_labels(t: pa.Table) -> pa.Table:
+    return cur
+
+
+def label_rows(star):
+    """Star forest → raw (file_id, cluster_id) rows — children plus
+    batch-locally-deduped root self-labels. May contain cross-batch
+    duplicate root rows; feed into a grouped min (or merge pass)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        u, v = _uv(t)
+        roots = np.unique(v)
         return pa.table(
             {
-                "file_id": t.column("u").cast(pa.int64()),
-                "cluster_id": t.column("v").cast(pa.int64()),
+                "file_id": pa.array(np.concatenate([u, roots]), type=pa.int64()),
+                "cluster_id": pa.array(np.concatenate([v, roots]), type=pa.int64()),
             }
         )
 
-    def root_labels(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "file_id": t.column("v").cast(pa.int64()),
-                "cluster_id": t.column("v").cast(pa.int64()),
-            }
-        )
+    return star.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
-    children = cur.map_batches(as_labels, batch_format="pyarrow")
-    roots = cur.map_batches(root_labels, batch_format="pyarrow")
+
+def connected_components(edges, max_rounds: int = 50, num_partitions: int = 64):
+    """Edge Dataset (u, v[, score]) → labels Dataset (file_id, cluster_id).
+
+    Nodes appearing only in self-loops (or not at all) are absent from the
+    output; use :func:`attach_singletons` for a total labeling.
+    """
+    raw = label_rows(star_edges(edges, max_rounds, num_partitions))
     return (
-        children.union(roots)
-        .groupby("file_id")
+        raw.groupby("file_id")
         .min("cluster_id")
         .map_batches(
             lambda t: pa.table(

@@ -26,35 +26,49 @@ DEFAULT_SEED = 41
 
 
 class SignatureStage:
-    """Append ``sig: fixed_size_list<uint64>[num_perm]`` computed from ``content``.
+    """Append ``bands: list<int64>[num_bands]`` + ``sig: list<uint16>[num_perm]``.
 
-    Deterministic for a fixed (seed, num_perm, shingle_k) — the same
-    parameters the fixture generator uses to compute gold band membership,
-    so engine blocks and gold blocks agree by construction.
+    Band keys are computed HERE from the full 64-bit signature (identical to
+    the fixture generator's gold band membership — same seed, same
+    ``band_keys``), then the signature is truncated to its low 16 bits for
+    transport: the Jaccard estimator only tests positional equality, so
+    truncation adds a ``(1-J)·2⁻¹⁶ ≈ 1.5e-5`` upward bias — noise next to
+    the estimator's own σ≈0.04 — while cutting the blocking-shuffle payload
+    4× (SURVEY.md §7.5 item 5: keep wide ops lean).
     """
 
     def __init__(
         self,
         num_perm: int = DEFAULT_NUM_PERM,
+        num_bands: int = DEFAULT_NUM_BANDS,
         shingle_k: int = DEFAULT_SHINGLE_K,
         seed: int = DEFAULT_SEED,
         content_column: str = "content",
         drop_content: bool = True,
     ):
         self.hasher = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+        self.num_bands = num_bands
+        self.seed = seed
         self.content_column = content_column
         # content is multi-KB per row; everything downstream of the signature
-        # needs only (file_id, sig, path, size, lang) — dropping it here keeps
-        # the blocking shuffle payload ~10× smaller (SURVEY.md §7.5 item 5)
+        # needs only (file_id, bands, sig, path, size, lang) — dropping it
+        # here keeps every wide op content-free
         self.drop_content = drop_content
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.minhash import band_keys
+
         texts = batch.column(self.content_column).to_pylist()
         sigs = self.hasher.signatures(texts)  # (n, num_perm) uint64
-        sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.reshape(-1), type=pa.uint64()), sigs.shape[1]
+        bands = band_keys(sigs, self.num_bands, seed=self.seed).view(np.int64)
+        band_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(bands.reshape(-1), type=pa.int64()), bands.shape[1]
         )
-        out = batch.append_column("sig", sig_col)
+        sig16 = sigs.astype(np.uint16)  # low 16 bits
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig16.reshape(-1), type=pa.uint16()), sigs.shape[1]
+        )
+        out = batch.append_column("bands", band_col).append_column("sig", sig_col)
         if self.drop_content:
             out = out.drop_columns([self.content_column])
         return out
