@@ -50,14 +50,25 @@ def _corpus_for(sf_dir: str) -> tuple:
 
 
 def _ensure_corpus(sf_dir: str) -> tuple:
-    """Generate (or reuse) the synthetic code corpus BEFORE any timing."""
+    """Generate (or reuse) the synthetic code corpus BEFORE any timing.
+
+    Bench scale uses ~3 KB files (1000 template tokens, realistic source-file
+    weight) so the measured job is compute-bound like the real corpus, and
+    skips gold-pair emission (correctness is pytest's job, at test scale).
+    """
     from takco_ray.corpus import CorpusConfig, generate_corpus, SCALES
 
     scale, out_dir = _corpus_for(sf_dir)
-    emit_pairs = scale != "bench"  # gold pairs not needed for throughput runs
-    manifest = generate_corpus(
-        out_dir, CorpusConfig(n_files=SCALES[scale], emit_pairs=emit_pairs)
-    )
+    if scale == "bench":
+        cfg = CorpusConfig(
+            n_files=SCALES[scale],
+            emit_pairs=False,
+            template_tokens=1000,
+            mutate_tokens=8,
+        )
+    else:
+        cfg = CorpusConfig(n_files=SCALES[scale])
+    manifest = generate_corpus(out_dir, cfg)
     return out_dir, manifest
 
 

@@ -72,7 +72,7 @@ class CorpusConfig:
     template_tokens: int = 300  # tokens per template (≈296 5-shingles)
     mutate_tokens: int = 4  # token substitutions per near-dup file
     exact_dup_prob: float = 0.25  # a cluster member is an exact copy
-    rows_per_shard: int = 50_000
+    rows_per_shard: int = 10_000
     num_perm: int = 128
     num_bands: int = 16
     shingle_k: int = 5
@@ -87,12 +87,17 @@ def _vocab(rs: np.random.RandomState, n: int) -> list:
 
 
 def _render(tokens: list, rs: np.random.RandomState) -> str:
-    """Render a token sequence as code-looking lines (4 tokens per line)."""
+    """Render a token sequence as code-looking lines (2-4 tokens per line)."""
+    n = len(tokens)
+    # one RNG call for all line-form choices (per-line randint dominates
+    # generation time at bench scales)
+    form_idx = rs.randint(0, len(_LINE_FORMS), size=n)
     lines = []
     i = 0
-    n = len(tokens)
+    li = 0
     while i < n:
-        form = _LINE_FORMS[rs.randint(0, len(_LINE_FORMS))]
+        form = _LINE_FORMS[form_idx[li]]
+        li += 1
         need = form.count("{")
         args = [tokens[(i + j) % n] for j in range(need)]
         lines.append(form.format(*args))
@@ -172,13 +177,15 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig) -> dict:
 
     fresh_vocab = _vocab(rs, 4096)
 
+    lang_pick = rs.choice(5, size=n + 8, p=_LANG_P)  # one vectorized draw
+
     def add_file(entity: int, tokens: list, exact_of: str | None, render_seed: int):
         # a fresh RandomState per render with an entity-stable seed makes every
         # member of an entity use the SAME line-form interleaving — the token
         # stream differs only at mutated positions, keeping Jaccard calibrated
         i = len(repos)
         repos.append(f"org{i % 97}/repo{i % 9973}")
-        paths.append(f"src/mod_{i % 51}/file_{i}.{_LANGS[int(rs.choice(5, p=_LANG_P))]}")
+        paths.append(f"src/mod_{i % 51}/file_{i}.{_LANGS[int(lang_pick[i % len(lang_pick)])]}")
         commits.append(hashlib.sha1(f"c{entity}:{i}:{cfg.seed}".encode()).hexdigest()[:12])
         langs.append(paths[-1].rsplit(".", 1)[1])
         contents.append(
@@ -218,6 +225,12 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig) -> dict:
                 add_file(entity, mt, text, render_seed)
         placed += size
         cluster_templates.append((template, render_seed))
+        entity += 1
+
+    # pad any cluster-size remainder with singletons so n_files is exact
+    for _ in range(n_cluster_files - placed):
+        toks = [fresh_vocab[j] for j in rs.randint(0, len(fresh_vocab), cfg.template_tokens)]
+        add_file(entity, toks, None, cfg.seed + 7 * entity + 1)
         entity += 1
 
     # confusers: singleton entities at shingle-Jaccard ≈ 0.5 to a cluster
@@ -276,7 +289,13 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig) -> dict:
             },
             schema=schema,
         )
-        pq.write_table(t, os.path.join(files_dir, f"shard_{s0 // cfg.rows_per_shard:05d}.parquet"))
+        # small row groups let Ray split a shard into multiple read blocks,
+        # so read/signature parallelism scales with CPUs, not shard count
+        pq.write_table(
+            t,
+            os.path.join(files_dir, f"shard_{s0 // cfg.rows_per_shard:05d}.parquet"),
+            row_group_size=2048,
+        )
         total_bytes += t.nbytes
 
     # ---- labels sidecar ---------------------------------------------------

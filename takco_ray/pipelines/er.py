@@ -26,7 +26,7 @@ import ray.data
 
 from ..sources import read_files_corpus
 from ..stages.normalize import fingerprint as fingerprint_stage
-from ..stages.minhash import SignatureStage
+from ..stages.minhash import make_signature_fn
 from ..stages.blocking import candidate_pairs
 from ..stages.scoring import score_pairs, DEFAULT_AGG_EXPR, DEFAULT_THRESHOLD
 from ..stages.components import star_edges, label_rows
@@ -49,6 +49,7 @@ class ERConfig:
     scorer_concurrency: int | tuple | None = None
     sig_concurrency: int | tuple | None = None
     join_partitions: int = 16
+    read_num_blocks: int | None = None  # default: 4 blocks per cluster CPU
 
 
 def er_pipeline(
@@ -69,18 +70,24 @@ def er_pipeline(
     fp_fp = stage_fingerprint("signatures", params)
 
     def build_signatures():
-        from ..util import default_concurrency
+        import ray as _ray
 
-        files = read_files_corpus(corpus_dir)
+        n_blocks = cfg.read_num_blocks or 4 * int(
+            _ray.cluster_resources().get("CPU", 8)
+        )
+        files = read_files_corpus(corpus_dir, override_num_blocks=n_blocks)
         fp = fingerprint_stage(files)
+        # task-based (not actor-pool): minhash state is ~2 KB and cached per
+        # worker process, so the elastic task pool saturates all CPUs
         return fp.map_batches(
-            SignatureStage,
-            fn_constructor_kwargs=dict(
-                num_perm=cfg.num_perm, shingle_k=cfg.shingle_k, seed=cfg.seed
+            make_signature_fn(
+                num_perm=cfg.num_perm,
+                num_bands=cfg.num_bands,
+                shingle_k=cfg.shingle_k,
+                seed=cfg.seed,
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=cfg.sig_concurrency or default_concurrency(),
         )
 
     sigs = runner.run("signatures", fp_fp, build_signatures)

@@ -6,6 +6,20 @@ a pruned ``ray.data.read_parquet`` — only the columns a pipeline declares ever
 leave storage, which at 100 TB is the single biggest read-side win.
 """
 
-from .readers import read_table, read_files_corpus, TESTDATA_TABLES
+from .readers import (
+    read_table,
+    read_files_corpus,
+    read_csv_table,
+    read_jsonl,
+    write_dataset,
+    TESTDATA_TABLES,
+)
 
-__all__ = ["read_table", "read_files_corpus", "TESTDATA_TABLES"]
+__all__ = [
+    "read_table",
+    "read_files_corpus",
+    "read_csv_table",
+    "read_jsonl",
+    "write_dataset",
+    "TESTDATA_TABLES",
+]

@@ -52,3 +52,31 @@ def read_files_corpus(
     resumable run can skip finished partitions).
     """
     return ray.data.read_parquet(corpus_dir, columns=columns, **kwargs)
+
+
+def read_csv_table(paths, **kwargs) -> ray.data.Dataset:
+    """CSV source (reference ``TableSet.csvs``, ``takco/__init__.py:44-62``)."""
+    return ray.data.read_csv(paths, **kwargs)
+
+
+def read_jsonl(paths, **kwargs) -> ray.data.Dataset:
+    """jsonl source (reference ``HashBag.load``, ``takco/util.py:125-156``).
+
+    Ray's JSON reader drops nothing silently; malformed-line tolerance (the
+    reference's ``robust_json_loads_lines``) belongs in an explicit
+    validator ``map_batches`` if the corpus needs it.
+    """
+    return ray.data.read_json(paths, **kwargs)
+
+
+def write_dataset(ds, path: str, fmt: str = "parquet"):
+    """Sink (reference ``HashBag.dump``, ``takco/util.py:98-123``): one file
+    per block — the shard layout resumable runs rely on."""
+    if fmt == "parquet":
+        ds.write_parquet(path)
+    elif fmt == "json":
+        ds.write_json(path)
+    elif fmt == "csv":
+        ds.write_csv(path)
+    else:
+        raise ValueError(f"unknown sink format {fmt!r}")

@@ -65,15 +65,21 @@ class _BandExploder:
         if self.hot_sizes:
             ids = np.asarray(batch.column("file_id").combine_chunks(), dtype=np.int64)
             hot_arr = np.fromiter(self.hot_sizes.keys(), dtype=np.int64)
-            is_hot = np.isin(flat_keys, hot_arr)
-            # vectorized cold path; Python loop only over hot-key hits
-            keys_parts = [flat_keys[~is_hot]]
-            rows_parts = [flat_rows[~is_hot]]
+            is_hot = np.isin(flat_keys, hot_arr).reshape(self.num_bands, n)
+            # cold emissions stay vectorized
+            cold = ~is_hot.reshape(-1)
+            keys_parts = [flat_keys[cold]]
+            rows_parts = [flat_rows[cold]]
+            # a hot-block member is hot in ~all bands with the SAME sub-block
+            # split (salt = fid % ns); one hot band per row carries the full
+            # connectivity, so emit only the FIRST hot band → ~num_bands×
+            # fewer duplicate hot rows/pairs
+            any_hot = is_hot.any(axis=0)
+            first_band = np.argmax(is_hot, axis=0)
             h_keys: list = []
             h_rows: list = []
-            for idx in np.nonzero(is_hot)[0]:
-                k = int(flat_keys[idx])
-                i = int(flat_rows[idx])
+            for i in np.nonzero(any_hot)[0]:
+                k = int(flat_keys[first_band[i] * n + i])
                 ns = max(2, -(-2 * self.hot_sizes[k] // self.salt_target))
                 fid = int(ids[i])
                 for salt in (fid % ns, (fid + 1) % ns):
@@ -108,30 +114,89 @@ def hot_band_keys(
     exploder (SURVEY.md §4 skew row / A9 block-size stats).
     """
 
-    def keys_only(batch: pa.Table) -> pa.Table:
+    def local_counts(batch: pa.Table) -> pa.Table:
+        # map-side partial count, keeping only keys repeated WITHIN the batch:
+        # a globally hot key (count ≫ threshold over ~hundreds of blocks)
+        # repeats in nearly every batch, so dropping batch-singletons
+        # underestimates its count by at most one per batch — irrelevant at
+        # the threshold — while shrinking the count shuffle ~10×
         bands = signatures_to_numpy(batch.column("bands"))
+        keys, cnts = np.unique(bands.reshape(-1), return_counts=True)
+        rep = cnts >= 2
         return pa.table(
-            {"band_key": pa.array(bands.reshape(-1), type=pa.int64())}
+            {
+                "band_key": pa.array(keys[rep], type=pa.int64()),
+                "n": pa.array(cnts[rep], type=pa.int64()),
+            }
         )
 
     counts = (
         ds.select_columns(["bands"])  # project before the scan leaves storage
-        .map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(local_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("band_key")
-        .count()
+        .sum("n")
     )
     import pyarrow.compute as pc
 
     hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t.column("count()"), threshold)),
+        lambda t: t.filter(pc.greater(t.column("sum(n)"), threshold)),
         batch_format="pyarrow",
     )
     # only boilerplate keys survive the filter — a tiny driver-side dict that
     # the caller broadcasts into the exploder (never re-shipped per batch)
     out: dict = {}
     for row in hot.take_all():
-        out[int(row["band_key"])] = int(row["count()"])
+        out[int(row["band_key"])] = int(row["sum(n)"])
     return out
+
+
+def block_size_stats(ds) -> dict:
+    """Block-size distribution over all band keys (SURVEY §2.5 A9).
+
+    Count/mean/max plus a log2 histogram — the skew detector feeding the
+    salting threshold choice; the reference only logs a reduction factor
+    (``takco/cluster/cluster.py:385-390, 411-418``).
+    """
+    import pyarrow.compute as pc
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        bands = signatures_to_numpy(batch.column("bands"))
+        return pa.table({"band_key": pa.array(bands.reshape(-1), type=pa.int64())})
+
+    counts = (
+        ds.select_columns(["bands"])
+        .map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band_key")
+        .count()
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch.column("count()").combine_chunks(), dtype=np.int64)
+        hist = np.bincount(np.log2(np.maximum(c, 1)).astype(np.int64), minlength=24)[:24]
+        return pa.table(
+            {
+                "n_blocks": pa.array([len(c)], type=pa.int64()),
+                "n_rows": pa.array([int(c.sum())], type=pa.int64()),
+                "max": pa.array([int(c.max()) if len(c) else 0], type=pa.int64()),
+                "hist": pa.array([hist.tolist()]),
+            }
+        )
+
+    parts = counts.map_batches(summarize, batch_format="pyarrow").take_all()
+    hist = np.zeros(24, dtype=np.int64)
+    n_blocks = n_rows = mx = 0
+    for p in parts:
+        n_blocks += p["n_blocks"]
+        n_rows += p["n_rows"]
+        mx = max(mx, p["max"])
+        hist += np.asarray(p["hist"], dtype=np.int64)
+    return {
+        "n_blocks": int(n_blocks),
+        "n_rows": int(n_rows),
+        "mean": round(n_rows / max(n_blocks, 1), 2),
+        "max": int(mx),
+        "log2_histogram": hist.tolist(),
+    }
 
 
 class _PartitionPairEmitter:

@@ -24,6 +24,56 @@ DEFAULT_NUM_BANDS = 16
 DEFAULT_SHINGLE_K = 5
 DEFAULT_SEED = 41
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _cached_hasher(num_perm: int, shingle_k: int, seed: int) -> MinHasher:
+    """One MinHasher per (params) per worker PROCESS.
+
+    Coefficients are ~2 KB, so signature computation doesn't need an actor
+    pool to amortize state — plain tasks + this cache scale elastically with
+    read blocks (an autoscaling actor pool ramps slower than the task pool
+    on a big cluster). The class-based :class:`SignatureStage` remains for
+    pipelines that prefer the actor shape.
+    """
+    return MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+
+
+def make_signature_fn(
+    num_perm: int = DEFAULT_NUM_PERM,
+    num_bands: int = DEFAULT_NUM_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    seed: int = DEFAULT_SEED,
+    content_column: str = "content",
+    drop_content: bool = True,
+):
+    """Task-based batch fn computing bands + truncated signature.
+
+    Same output as :class:`SignatureStage`; see its docstring for the
+    16-bit truncation rationale.
+    """
+    from ..functions.minhash import band_keys
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hasher = _cached_hasher(num_perm, shingle_k, seed)
+        texts = batch.column(content_column).to_pylist()
+        sigs = hasher.signatures(texts)
+        bands = band_keys(sigs, num_bands, seed=seed).view(np.int64)
+        band_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(bands.reshape(-1), type=pa.int64()), bands.shape[1]
+        )
+        sig16 = sigs.astype(np.uint16)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig16.reshape(-1), type=pa.uint16()), sigs.shape[1]
+        )
+        out = batch.append_column("bands", band_col).append_column("sig", sig_col)
+        if drop_content:
+            out = out.drop_columns([content_column])
+        return out
+
+    return fn
+
 
 class SignatureStage:
     """Append ``bands: list<int64>[num_bands]`` + ``sig: list<uint16>[num_perm]``.

@@ -50,3 +50,48 @@ def fingerprint(ds, **map_kwargs):
     return ds.map_batches(
         add_fingerprint_columns, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
     )
+
+
+_COMMENT_RES = {
+    # line comments per language family; conservative (no string-literal
+    # awareness — normalization feeds similarity, not compilation)
+    "hash": __import__("re").compile(r"(?m)#[^\n]*$"),
+    "slash": __import__("re").compile(r"(?m)//[^\n]*$"),
+    "block": __import__("re").compile(r"/\*.*?\*/", __import__("re").DOTALL),
+}
+_WS_RE = __import__("re").compile(r"[ \t]+")
+_BLANK_RE = __import__("re").compile(r"\n{2,}")
+
+
+def normalize_content(
+    ds,
+    content_column: str = "content",
+    out_column: str = "content_norm",
+    strip_comments: bool = True,
+    collapse_whitespace: bool = True,
+):
+    """Append a normalized-content column (comment + whitespace churn removal).
+
+    The code-corpus analog of the reference's ``reshape.restructure``
+    cleaning chain (``takco/reshape/clean.py:18-70``): deterministic textual
+    canonicalization before shingling, so cosmetic edits don't perturb
+    similarity. Compiled patterns are module-level (compiled once per worker
+    process at import).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(content_column).to_pylist()
+        out = []
+        for t in texts:
+            t = t or ""
+            if strip_comments:
+                t = _COMMENT_RES["block"].sub("", t)
+                t = _COMMENT_RES["slash"].sub("", t)
+                t = _COMMENT_RES["hash"].sub("", t)
+            if collapse_whitespace:
+                t = _WS_RE.sub(" ", t)
+                t = _BLANK_RE.sub("\n", t)
+            out.append(t.strip())
+        return batch.append_column(out_column, pa.array(out, type=pa.large_string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -116,14 +116,21 @@ def score_pairs(
     batch_size: int = 4096,
     **kwargs,
 ):
-    """Run the scoring actor pool over a candidate-pair Dataset → edges."""
+    """Run the scoring actor pool over a candidate-pair Dataset → edges.
+
+    Default concurrency is a FIXED pool sized to the cluster: scoring is the
+    dominant compute stage of the flagship pipeline, and an autoscaling pool
+    ramping from 1 actor leaves most CPUs idle for the stage's whole life.
+    """
     from ..util import default_concurrency
 
+    if concurrency is None:
+        concurrency = default_concurrency()[1]
     return pairs.map_batches(
         PairScorer,
         fn_constructor_kwargs={"agg_expr": agg_expr, "threshold": threshold, **kwargs},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency or default_concurrency(),
+        concurrency=concurrency,
     )
