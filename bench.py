@@ -49,6 +49,13 @@ def _corpus_for(sf_dir: str) -> tuple:
     return scale, f"/tmp/takco_fixtures/{scale}"
 
 
+def _corpus_override() -> str | None:
+    """``GRAFT_BENCH_CORPUS=/path/to/corpus_dir`` points both bench modes at a
+    pre-generated files corpus (e.g. the 800k-file bench4 used for scaling
+    evidence) instead of the sf-derived default."""
+    return os.environ.get("GRAFT_BENCH_CORPUS")
+
+
 def _ensure_corpus(sf_dir: str) -> tuple:
     """Generate (or reuse) the synthetic code corpus BEFORE any timing.
 
@@ -58,6 +65,11 @@ def _ensure_corpus(sf_dir: str) -> tuple:
     """
     from takco_ray.corpus import CorpusConfig, generate_corpus, SCALES
 
+    override = _corpus_override()
+    if override:
+        # override is the generator output ROOT (contains files/ + MANIFEST)
+        with open(os.path.join(override, "MANIFEST.json")) as f:
+            return override, json.load(f)
     scale, out_dir = _corpus_for(sf_dir)
     if scale == "bench":
         cfg = CorpusConfig(
@@ -90,6 +102,7 @@ def run_bench(sf_dir: str, num_cpus: int, er_only: bool = False) -> dict:
 
         t0 = time.monotonic()
         result = er_pipeline(os.path.join(corpus_dir, "files"))
+        # (corpus_dir is the generator output root; files/ holds the shards)
         n_labels = result["labels"].count()
         er_sec = time.monotonic() - t0
         timings["er_pipeline"] = round(er_sec, 3)

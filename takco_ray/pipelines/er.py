@@ -50,6 +50,7 @@ class ERConfig:
     sig_concurrency: int | tuple | None = None
     join_partitions: int = 16
     read_num_blocks: int | None = None  # default: 4 blocks per cluster CPU
+    num_partitions: int | None = None  # grouped-shuffle partitions (default ≈ CPUs)
 
 
 def er_pipeline(
@@ -65,6 +66,9 @@ def er_pipeline(
     cfg = cfg or ERConfig()
     runner = StageRunner(checkpoint_root)
     params = asdict(cfg)
+    import ray as _ray
+
+    num_parts = cfg.num_partitions or max(16, int(_ray.cluster_resources().get("CPU", 16)))
 
     # ---- stage 1: fingerprint + signatures (content dropped afterwards) --
     fp_fp = stage_fingerprint("signatures", params)
@@ -104,6 +108,7 @@ def er_pipeline(
             salt_target=cfg.salt_target,
             max_block_size=cfg.max_block_size,
             min_size_ratio=cfg.min_size_ratio,
+            num_partitions=num_parts,
         )
         return score_pairs(
             pairs,
@@ -119,10 +124,10 @@ def er_pipeline(
     labels_fp = stage_fingerprint("clusters", params, upstream=[edges_fp])
 
     def build_labels():
-        star = star_edges(edges)
+        star = star_edges(edges, num_partitions=num_parts)
         raw = label_rows(star)  # (file_id, cluster_id), dup roots possible
         side = sigs.select_columns(["file_id", "sha256", "repo", "path"])
-        return _merge_labels(raw, side, cfg.join_partitions)
+        return _merge_labels(raw, side, num_parts)
 
     labels = runner.run("clusters", labels_fp, build_labels)
     return {"labels": labels, "edges": edges, "metrics": runner.metrics}

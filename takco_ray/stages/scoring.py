@@ -118,14 +118,15 @@ def score_pairs(
 ):
     """Run the scoring actor pool over a candidate-pair Dataset → edges.
 
-    Default concurrency is a FIXED pool sized to the cluster: scoring is the
-    dominant compute stage of the flagship pipeline, and an autoscaling pool
-    ramping from 1 actor leaves most CPUs idle for the stage's whole life.
+    Default concurrency autoscales from a small floor: a FIXED pool sized to
+    the cluster reserves every CPU at DAG launch and starves the upstream
+    blocking shuffle it is fused with, while a floor of 1 ramps too slowly —
+    (2, cap) lets Ray grow the pool as scored batches queue up.
     """
     from ..util import default_concurrency
 
     if concurrency is None:
-        concurrency = default_concurrency()[1]
+        concurrency = (2, default_concurrency()[1])
     return pairs.map_batches(
         PairScorer,
         fn_constructor_kwargs={"agg_expr": agg_expr, "threshold": threshold, **kwargs},
