@@ -51,6 +51,11 @@ class ERConfig:
     join_partitions: int = 16
     read_num_blocks: int | None = None  # default: 4 blocks per cluster CPU
     num_partitions: int | None = None  # grouped-shuffle partitions (default ≈ CPUs)
+    # "fused": score inside the band partition, shuffle only 32 B edges
+    # (a real match surfaces in ~num_bands bands — recomputing the vectorized
+    # kernels per copy is far cheaper than shipping ~1 KB feature rows).
+    # "actor_pool": dedup feature pairs, then the standalone PairScorer pool.
+    scoring_mode: str = "fused"
 
 
 def er_pipeline(
@@ -100,6 +105,19 @@ def er_pipeline(
     edges_fp = stage_fingerprint("edges", params, upstream=[fp_fp])
 
     def build_edges():
+        scorer_kwargs = dict(agg_expr=cfg.agg_expr, threshold=cfg.threshold)
+        if cfg.scoring_mode == "fused":
+            return candidate_pairs(
+                sigs,
+                num_bands=cfg.num_bands,
+                seed=cfg.seed,
+                hot_threshold=cfg.hot_threshold,
+                salt_target=cfg.salt_target,
+                max_block_size=cfg.max_block_size,
+                min_size_ratio=cfg.min_size_ratio,
+                num_partitions=num_parts,
+                scorer_kwargs=scorer_kwargs,
+            )
         pairs = candidate_pairs(
             sigs,
             num_bands=cfg.num_bands,

@@ -100,3 +100,13 @@ def test_checkpoint_resume_skips_stages_and_reproduces(ray_session, test_corpus)
     out3 = er_pipeline(test_corpus["files"], cfg2, checkpoint_root=root)
     assert not out3["metrics"]["signatures"]["skipped"]
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_scoring_modes_agree(ray_session, test_corpus):
+    """Fused in-partition scoring and the actor-pool path produce identical
+    cluster labelings (same kernels, same threshold, different shuffles)."""
+    fused = er_pipeline(test_corpus["files"], ERConfig(scoring_mode="fused"))
+    pool = er_pipeline(test_corpus["files"], ERConfig(scoring_mode="actor_pool"))
+    a = fused["labels"].to_pandas().sort_values("file_id").reset_index(drop=True)
+    b = pool["labels"].to_pandas().sort_values("file_id").reset_index(drop=True)
+    assert a[["file_id", "cluster_id"]].equals(b[["file_id", "cluster_id"]])
