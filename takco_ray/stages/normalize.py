@@ -60,6 +60,7 @@ _COMMENT_RES = {
     "block": __import__("re").compile(r"/\*.*?\*/", __import__("re").DOTALL),
 }
 _WS_RE = __import__("re").compile(r"[ \t]+")
+_EOL_WS_RE = __import__("re").compile(r"(?m)[ \t]+$")
 _BLANK_RE = __import__("re").compile(r"\n{2,}")
 
 
@@ -90,6 +91,7 @@ def normalize_content(
                 t = _COMMENT_RES["hash"].sub("", t)
             if collapse_whitespace:
                 t = _WS_RE.sub(" ", t)
+                t = _EOL_WS_RE.sub("", t)
                 t = _BLANK_RE.sub("\n", t)
             out.append(t.strip())
         return batch.append_column(out_column, pa.array(out, type=pa.large_string()))
