@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from ..functions.aggdsl import compile_agg_expr
 from ..functions.minhash import jaccard_from_signatures
-from ..functions.strings import jaro_winkler, levenshtein_ratio
+from ..functions.strings import jaro_winkler, levenshtein_ratio_batch
 from .minhash import signatures_to_numpy
 
 DEFAULT_AGG_EXPR = "@max(content_minhash, @mean(content_minhash, @pow(path_jw, 4)))"
@@ -73,19 +73,46 @@ class PairScorer:
             np.asarray(batch.column("lang1")) == np.asarray(batch.column("lang2"))
         ).astype(np.float64)
         if self.compute_path_channels:
-            p1 = batch.column("path1").to_pylist()
-            p2 = batch.column("path2").to_pylist()
-            channels["path_jw"] = np.fromiter(
-                (jaro_winkler(a or "", b or "") for a, b in zip(p1, p2)),
+            # Bound-gating: every DSL op (max/min/mean/sum/prod/pow with
+            # constant exponents) is monotone nondecreasing in its channel
+            # values on [0,1], so evaluating with the path channels pinned to
+            # 0 and to 1 brackets the true score. Only pairs whose verdict
+            # the bracket leaves open pay the string kernels — typically a
+            # few % (real dups already clear θ on content similarity alone).
+            zeros, ones = np.zeros(n), np.ones(n)
+            lo = np.asarray(
+                self.agg({**channels, "path_jw": zeros, "path_lev": zeros}),
                 dtype=np.float64,
-                count=n,
             )
-            channels["path_lev"] = np.fromiter(
-                (levenshtein_ratio(a or "", b or "") for a, b in zip(p1, p2)),
+            hi = np.asarray(
+                self.agg({**channels, "path_jw": ones, "path_lev": ones}),
                 dtype=np.float64,
-                count=n,
             )
-        score = np.asarray(self.agg(channels), dtype=np.float64)
+            if self.keep_all:
+                uncertain = np.ones(n, dtype=bool)  # exact scores wanted
+            else:
+                uncertain = (hi >= self.threshold) & (lo < self.threshold)
+            score = lo  # decided pairs report the paths-floored score
+            u_idx = np.nonzero(uncertain)[0]
+            if len(u_idx):
+                sub = batch.select(["path1", "path2"]).take(
+                    pa.array(u_idx, type=pa.int64())
+                )
+                p1 = sub.column("path1").to_pylist()
+                p2 = sub.column("path2").to_pylist()
+                sub_ch = {k: np.asarray(v)[u_idx] for k, v in channels.items()}
+                sub_ch["path_jw"] = np.fromiter(
+                    (jaro_winkler(a or "", b or "") for a, b in zip(p1, p2)),
+                    dtype=np.float64,
+                    count=len(u_idx),
+                )
+                sub_ch["path_lev"] = levenshtein_ratio_batch(
+                    [x or "" for x in p1], [x or "" for x in p2]
+                )
+                score = score.copy()
+                score[u_idx] = np.asarray(self.agg(sub_ch), dtype=np.float64)
+        else:
+            score = np.asarray(self.agg(channels), dtype=np.float64)
         keep = np.ones(n, dtype=bool) if self.keep_all else score >= self.threshold
         idx = np.nonzero(keep)[0]
         taken = batch.select(["id1", "id2"]).take(pa.array(idx, type=pa.int64()))
