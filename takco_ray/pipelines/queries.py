@@ -40,13 +40,6 @@ def _int_units(col: pa.ChunkedArray, factor: int) -> pa.Array:
     return pc.cast(pc.round(scaled), pa.int64())
 
 
-def _rename(ds, mapping: dict):
-    def fn(t: pa.Table) -> pa.Table:
-        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
-
-    return ds.map_batches(fn, batch_format="pyarrow")
-
-
 # --------------------------------------------------------------------------
 # SQL-oracled queries (groupby / join / sort / filter / dedup / set ops)
 # --------------------------------------------------------------------------
@@ -91,22 +84,24 @@ def q_pricing_summary(sf_dir: str):
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("qty"), Sum("price_c"), Sum("disc_price_u"), Count())
     )
-    return _rename(
-        agg,
+    return agg.rename_columns(
         {
             "sum(qty)": "sum_qty",
             "sum(price_c)": "sum_price_c",
             "sum(disc_price_u)": "sum_disc_price_u",
             "count()": "count_order",
-        },
+        }
     )
 
 
+# Outer CAST(sum(...) AS BIGINT): DuckDB's sum(BIGINT) yields HUGEINT, which
+# lands in pandas as float64 and fails the driver's typed value-hash even
+# when every value matches the Ray-side int64.
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_u,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_u,
        count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -114,43 +109,58 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_nation_revenue(sf_dir: str):
-    """orders ⋈ customer ⋈ nation via BROADCAST map-side join (SURVEY §2.4 J3).
+    """orders ⋈ customer (hash-shuffle join) ⋈ nation (broadcast) — J3/J4.
 
-    Dimension tables (customer, nation) are collected once, shipped via
-    ``ray.put`` and looked up inside ``map_batches`` — no shuffle of the fact
-    table; the only wide op is the tiny per-nation aggregate.
+    Customer is fact-sized, so it joins via ``Dataset.join`` like any big
+    side; only the 25-row nation map is collected and broadcast (the
+    reference's broadcast lookup is for the *small* side only,
+    ``takco/link/base.py:122-136``). The nationkey→name mapping is applied
+    vectorized with ``pc.index_in`` — no per-row Python.
     """
     import ray as _ray
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    nk = dict(zip(cust.c_custkey, cust.c_nationkey))
-    nn = dict(zip(nation.n_nationkey, nation.n_name))
-    lookup_ref = _ray.put({int(k): nn.get(int(v), None) for k, v in nk.items()})
+    nation_ref = _ray.put(
+        (
+            nation.n_nationkey.to_numpy(np.int64),
+            nation.n_name.to_numpy(dtype=object),
+        )
+    )
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
 
     def attach(t: pa.Table) -> pa.Table:
-        lookup = _ray.get(lookup_ref)
-        names = [lookup.get(int(k)) for k in t.column("o_custkey").to_pylist()]
+        keys, names = _ray.get(nation_ref)
+        pos = pc.index_in(
+            t.column("c_nationkey").cast(pa.int64()),
+            pa.array(keys, type=pa.int64()),
+        )
         return pa.table(
             {
-                "n_name": pa.array(names, type=pa.string()),
+                "n_name": pc.take(pa.array(names, type=pa.string()), pos),
                 "price_c": _int_units(t.column("o_totalprice"), 100),
             }
         )
 
     agg = (
-        orders.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+        joined.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("n_name")
         .aggregate(Sum("price_c"), Count())
     )
-    return _rename(agg, {"sum(price_c)": "revenue_c", "count()": "n_orders"})
+    return agg.rename_columns({"sum(price_c)": "revenue_c", "count()": "n_orders"})
 
 
 SQL_NATION_REVENUE = """
 SELECT n.n_name,
-       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_c,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
        count(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -184,12 +194,12 @@ def q_segment_orders(sf_dir: str):
         .groupby("c_mktsegment")
         .aggregate(Sum("price_c"), Count())
     )
-    return _rename(agg, {"sum(price_c)": "revenue_c", "count()": "n_orders"})
+    return agg.rename_columns({"sum(price_c)": "revenue_c", "count()": "n_orders"})
 
 
 SQL_SEGMENT_ORDERS = """
 SELECT c.c_mktsegment,
-       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_c,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
        count(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -249,12 +259,24 @@ def q_events_hourly(sf_dir: str):
         .groupby(["hour", "event_type"])
         .aggregate(Sum("value_u"), Count())
     )
-    return _rename(agg, {"sum(value_u)": "sum_value_u", "count()": "n_events"})
+
+    def fix_unit(t: pa.Table) -> pa.Table:
+        # Ray's sort-based groupby coerces timestamp keys to [s]; DuckDB
+        # date_trunc yields [us] and the driver's value hash is typed
+        return t.set_column(
+            t.schema.get_field_index("hour"),
+            "hour",
+            t.column("hour").cast(pa.timestamp("us")),
+        )
+
+    return agg.map_batches(fix_unit, batch_format="pyarrow").rename_columns(
+        {"sum(value_u)": "sum_value_u", "count()": "n_events"}
+    )
 
 
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       sum(CAST(round(value * 10000) AS BIGINT)) AS sum_value_u,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_u,
        count(*) AS n_events
 FROM events GROUP BY 1, 2
 """

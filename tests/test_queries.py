@@ -49,6 +49,15 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     want = _canon(oracle_con.sql(E.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
+    # the driver's value hash is TYPED: an int64 column vs DuckDB HUGEINT→
+    # float64 fails it even with equal values, so dtypes must match too
+    mismatched = [
+        c
+        for c in got.columns
+        if got[c].dtype != want[c].dtype
+        and not (got[c].dtype == object and want[c].dtype == object)
+    ]
+    assert not mismatched, f"dtype mismatch vs oracle: {mismatched}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
