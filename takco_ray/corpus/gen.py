@@ -79,6 +79,10 @@ class CorpusConfig:
     minhash_seed: int = 41
     max_block_pairs: int = 256  # cap on labeled pairs emitted per block
     emit_pairs: bool = True  # False skips gold band membership (bench scales)
+    # version of the engine's token-hash/minhash family; bumped when the
+    # signature semantics change so cached fixtures (whose gold band
+    # membership was computed with the old family) regenerate
+    minhash_family: str = "fnv-splitmix-v2"
 
 
 def _vocab(rs: np.random.RandomState, n: int) -> list:

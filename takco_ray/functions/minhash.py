@@ -76,28 +76,152 @@ class MinHasher:
         return self._shingles_from_tokens(token_lists)
 
     def _shingles_from_tokens(self, token_lists) -> list:
-        # hash unique tokens once per batch, then map
-        vocab = {}
-        for toks in token_lists:
-            for t in toks:
-                if t not in vocab:
-                    vocab[t] = len(vocab)
-        if vocab:
-            vocab_hashes = hash64_strings(list(vocab.keys()), seed=self.seed)
-        else:
-            vocab_hashes = np.empty(0, dtype=np.uint64)
+        # same FNV/splitmix token-hash family as the vectorized Arrow path,
+        # so both paths produce identical signatures for identical tokens
+        from .tokenize import python_token_hashes
+
         out = []
         for toks in token_lists:
-            idx = np.fromiter((vocab[t] for t in toks), dtype=np.int64, count=len(toks))
-            out.append(self._shingle_hashes(vocab_hashes[idx]))
+            if toks:
+                enc = [t.encode("utf-8", "surrogatepass") for t in toks]
+                lens = np.asarray([len(b) for b in enc], dtype=np.int64)
+                flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+                from .tokenize import hash_token_runs
+
+                th = hash_token_runs(flat, starts, lens, self.seed)
+            else:
+                th = np.zeros(0, dtype=np.uint64)
+            out.append(self._shingle_hashes(th))
         return out
 
     # ---- signatures ------------------------------------------------------
 
     def signatures(self, texts) -> np.ndarray:
         """(n_docs, num_perm) uint64 signature matrix for a batch of texts."""
-        shingle_lists = self._shingles_from_tokens(tokenize_many(texts))
-        return self.signatures_from_shingles(shingle_lists)
+        import pyarrow as pa
+
+        return self.signatures_arrow(pa.array([t or "" for t in texts], type=pa.large_string()))
+
+    def signatures_arrow(self, col) -> np.ndarray:
+        """Vectorized signature path for an Arrow string column.
+
+        ASCII docs (the overwhelming case for code) go through the numpy
+        token-run scanner — no per-token Python anywhere; non-ASCII docs fall
+        back to regex tokenization per doc with the SAME token-hash family,
+        so the two paths agree wherever their tokenizations agree (always,
+        for ASCII).
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .tokenize import ascii_token_runs, python_token_hashes
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_docs = len(col)
+        if n_docs == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        is_ascii = np.asarray(pc.string_is_ascii(pc.fill_null(col, "")))
+        if is_ascii.all():
+            buf, starts, lengths, parents, _ = ascii_token_runs(col)
+            from .tokenize import hash_token_runs
+
+            stream = hash_token_runs(buf, starts, lengths, self.seed)
+            counts = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        else:
+            # split: vectorized path for the ASCII subset, per-doc regex
+            # fallback for the rest; reassemble in doc order
+            idx_ascii = np.flatnonzero(is_ascii)
+            per_doc: list = [None] * n_docs
+            if len(idx_ascii):
+                sub = col.take(pa.array(idx_ascii, type=pa.int64()))
+                buf, starts, lengths, parents, _ = ascii_token_runs(sub)
+                from .tokenize import hash_token_runs
+
+                sub_stream = hash_token_runs(buf, starts, lengths, self.seed)
+                sub_counts = np.bincount(parents, minlength=len(idx_ascii))
+                ends = np.cumsum(sub_counts)
+                begins = ends - sub_counts
+                for j, d in enumerate(idx_ascii):
+                    per_doc[d] = sub_stream[begins[j] : ends[j]]
+            for d in np.flatnonzero(~is_ascii):
+                per_doc[d] = python_token_hashes(col[int(d)].as_py() or "", self.seed)
+            counts = np.asarray([len(x) for x in per_doc], dtype=np.int64)
+            stream = (
+                np.concatenate(per_doc) if len(per_doc) else np.zeros(0, dtype=np.uint64)
+            )
+        flat_sh, sh_counts = self._flat_shingles(stream, counts)
+        return self.signatures_from_flat(flat_sh, sh_counts)
+
+    def _flat_shingles(self, stream: np.ndarray, counts: np.ndarray) -> tuple:
+        """Token-hash stream + per-doc counts → (flat shingles, per-doc counts).
+
+        Windows are computed globally with the polynomial combine and masked
+        to stay within one doc; short docs (0 < n < k) collapse to a single
+        reduced-k shingle, empty docs to the sentinel — matching
+        ``_shingle_hashes`` exactly (dedup is skipped: duplicate shingles
+        cannot change a min).
+        """
+        k = self.shingle_k
+        n = len(stream)
+        n_docs = len(counts)
+        pos_parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        if n >= k:
+            acc = stream[: n - k + 1].copy()
+            for j in range(1, k):
+                acc *= _SHINGLE_BASE
+                acc += stream[j : n - k + 1 + j]
+            valid = pos_parent[: n - k + 1] == pos_parent[k - 1 :]
+            sh_stream = acc[valid]
+            sh_parent = pos_parent[: n - k + 1][valid]
+            sh_counts = np.bincount(sh_parent, minlength=n_docs).astype(np.int64)
+        else:
+            sh_stream = np.zeros(0, dtype=np.uint64)
+            sh_counts = np.zeros(n_docs, dtype=np.int64)
+        short = np.flatnonzero((sh_counts == 0))
+        if len(short) == 0:
+            return sh_stream, sh_counts
+        # rare path: docs with < k tokens (one reduced-k shingle or sentinel)
+        ends = np.cumsum(counts)
+        begins = ends - counts
+        inserts = {}
+        for d in short:
+            toks = stream[begins[d] : ends[d]]
+            inserts[int(d)] = self._shingle_hashes(toks)
+        out_parts: list = []
+        pos = 0
+        cum = np.cumsum(sh_counts)
+        for d in range(n_docs):
+            if d in inserts:
+                out_parts.append(inserts[d])
+                sh_counts[d] = len(inserts[d])
+            else:
+                out_parts.append(sh_stream[cum[d] - sh_counts[d] : cum[d]])
+        return np.concatenate(out_parts), sh_counts
+
+    def signatures_from_flat(self, flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Chunked per-doc min-reduce over a flat shingle stream (see
+        ``signatures_from_shingles`` for the L2-residency rationale)."""
+        n_docs = len(counts)
+        sig = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        a = self.a[None, :]
+        b = self.b[None, :]
+        chunk_n = 512
+        pos = 0
+        for d in range(n_docs):
+            c = counts[d]
+            s = flat[pos : pos + c]
+            pos += c
+            acc = None
+            for c0 in range(0, len(s), chunk_n):
+                chunk = s[c0 : c0 + chunk_n, None]
+                vals = chunk * a
+                vals += b
+                m = vals.min(axis=0)
+                acc = m if acc is None else np.minimum(acc, m, out=acc)
+            sig[d] = acc
+        return sig
 
     def signatures_from_shingles(
         self, shingle_lists, shingle_chunk: int = 512

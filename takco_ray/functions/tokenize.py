@@ -27,3 +27,117 @@ def tokenize_many(texts) -> list:
     for t in texts:
         out.append(findall(t.lower()) if t else [])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Vectorized ASCII token-run scanner (the signature stage's hot path).
+#
+# For pure-ASCII content, Python-re tokenization and the per-token dict/vocab
+# loop dominate the MinHash stage (~0.85 ms/doc measured). This path lowers
+# with Arrow (C), classifies word bytes with a 256-entry LUT, and finds token
+# runs with np.diff — no per-token Python. Token SEMANTICS are identical to
+# ``tokenize`` for ASCII input (``\w`` == ``[0-9A-Za-z_]`` there); non-ASCII
+# docs take the regex fallback in the caller.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WORD_LUT = np.zeros(256, dtype=bool)
+for _c in range(256):
+    _WORD_LUT[_c] = chr(_c).isascii() and (chr(_c).isalnum() or chr(_c) == "_")
+
+
+def ascii_token_runs(col: pa.Array) -> tuple:
+    """Lowercased token runs of an all-ASCII string array.
+
+    Returns ``(buf, starts, lengths, parents, n_docs)``: a uint8 view of the
+    lowered concatenated content with one NUL separator between docs (so no
+    run spans documents), plus per-token start offset, byte length, and
+    parent doc index — everything downstream (hashing, shingling) is numpy.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    low = pc.ascii_lower(col)
+    if low.null_count:
+        low = pc.fill_null(low, "")
+    n_docs = len(low)
+    buffers = low.buffers()
+    raw = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.zeros(0, np.uint8)
+    off_dtype = np.int64 if pa.types.is_large_string(low.type) else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[: n_docs + 1].astype(np.int64)
+    buf = raw[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    doc_bounds = offsets[1:-1]
+
+    w = _WORD_LUT[buf]
+    d = np.diff(w.view(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if len(w) and w[0]:
+        starts = np.concatenate([[0], starts])
+    if len(w) and w[-1]:
+        ends = np.concatenate([ends, [len(w)]])
+    # a run spanning a doc boundary (last byte of doc i and first byte of
+    # doc i+1 both word-class) is split AT the boundary — no buffer copy
+    if n_docs > 1 and len(doc_bounds):
+        inner = doc_bounds[(doc_bounds > 0) & (doc_bounds < len(w))]
+        crossing = inner[w[inner - 1] & w[inner]]
+        if len(crossing):
+            starts = np.sort(np.concatenate([starts, crossing]))
+            ends = np.sort(np.concatenate([ends, crossing]))
+    lengths = ends - starts
+    parents = np.searchsorted(doc_bounds, starts, side="right")
+    return buf, starts.astype(np.int64), lengths.astype(np.int64), parents.astype(np.int64), n_docs
+
+
+_FNV_PRIME = np.uint64(0x100000001B3)
+_FNV_INIT = np.uint64(0xCBF29CE484222325)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def hash_token_runs(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized FNV-1a + splitmix64-finish uint64 hash per token run.
+
+    Iterates over byte POSITIONS (≤ max token length, ~30) instead of tokens,
+    so cost is a handful of full-width numpy passes. Same role as
+    ``hash64_strings`` (uniform 64-bit token hashes for MinHash) with a
+    different — but equally seeded/deterministic — hash family.
+    """
+    n = len(starts)
+    h = np.full(n, _FNV_INIT ^ np.uint64(seed * 0x9E3779B97F4A7C15 & (1 << 64) - 1), dtype=np.uint64)
+    if n == 0:
+        return h
+    max_len = int(lengths.max())
+    # one padded gather (n_tokens × max_len) replaces per-position fancy
+    # indexing; each Horner step is then a contiguous column pass
+    idx = starts[:, None] + np.arange(max_len, dtype=np.int64)[None, :]
+    np.minimum(idx, len(buf) - 1, out=idx)
+    mat = buf[idx]  # (n, max_len) uint8
+    for j in range(max_len):
+        active = lengths > j
+        hb = (h ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+        h = np.where(active, hb, h)
+    # splitmix64-style avalanche
+    h ^= h >> np.uint64(30)
+    h *= _MIX1
+    h ^= h >> np.uint64(27)
+    h *= _MIX2
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def python_token_hashes(text: str, seed: int) -> np.ndarray:
+    """Regex-tokenize ONE (possibly non-ASCII) doc and hash each token's
+    UTF-8 bytes with the same FNV/splitmix scheme as :func:`hash_token_runs`
+    — the fallback path produces identical hashes for identical tokens."""
+    toks = tokenize(text)
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    enc = [t.encode("utf-8", "surrogatepass") for t in toks]
+    lens = np.asarray([len(b) for b in enc], dtype=np.int64)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    return hash_token_runs(flat, starts, lens, seed)

@@ -29,7 +29,7 @@ from ..stages.normalize import fingerprint as fingerprint_stage
 from ..stages.minhash import make_signature_fn
 from ..stages.blocking import candidate_pairs
 from ..stages.scoring import score_pairs, DEFAULT_AGG_EXPR, DEFAULT_THRESHOLD
-from ..stages.components import star_edges, label_rows
+from ..stages.components import cc_forest, label_rows
 from ..state import StageRunner, stage_fingerprint
 
 
@@ -56,6 +56,11 @@ class ERConfig:
     # kernels per copy is far cheaper than shipping ~1 KB feature rows).
     # "actor_pool": dedup feature pairs, then the standalone PairScorer pool.
     scoring_mode: str = "fused"
+    # CC emits one label row per file in a non-singleton component — tiny
+    # next to the corpus. Below this row count the labels are collected once,
+    # ray.put, and attached to the side rows in a single map pass (classic
+    # small-side broadcast); above it, the shuffle merge path runs.
+    broadcast_label_limit: int = 5_000_000
 
 
 def er_pipeline(
@@ -99,6 +104,8 @@ def er_pipeline(
             zero_copy_batch=True,
         )
 
+    # materialized: consumed by the count pre-pass, the blocking shuffle AND
+    # the label merge — three readers of one object-store copy
     sigs = runner.run("signatures", fp_fp, build_signatures)
 
     # ---- stage 2: blocking + scoring → edges ------------------------------
@@ -136,19 +143,83 @@ def er_pipeline(
             concurrency=cfg.scorer_concurrency,
         )
 
-    edges = runner.run("edges", edges_fp, build_edges)
+    # lazy: edges has ONE consumer (the CC first pass) — fusing it into that
+    # DAG drops a cluster-wide barrier; fused-mode edges may carry cross-band
+    # duplicates, which CC collapses in its first grouped pass
+    edges = runner.run("edges", edges_fp, build_edges, materialize=False)
 
     # ---- stage 3: connected components → total labels ---------------------
     labels_fp = stage_fingerprint("clusters", params, upstream=[edges_fp])
 
     def build_labels():
-        star = star_edges(edges, num_partitions=num_parts)
-        raw = label_rows(star)  # (file_id, cluster_id), dup roots possible
+        star = cc_forest(
+            edges,
+            num_partitions=num_parts,
+            driver_limit=cfg.broadcast_label_limit,
+        )
         side = sigs.select_columns(["file_id", "sha256", "repo", "path"])
+        # star is materialized by the CC loop, so count() is metadata-cheap
+        if star.count() <= cfg.broadcast_label_limit:
+            return _broadcast_labels(star, side)
+        raw = label_rows(star)  # (file_id, cluster_id), dup roots possible
         return _merge_labels(raw, side, num_parts)
 
-    labels = runner.run("clusters", labels_fp, build_labels)
+    labels = runner.run("clusters", labels_fp, build_labels, materialize=False)
     return {"labels": labels, "edges": edges, "metrics": runner.metrics}
+
+
+def _broadcast_labels(star, side):
+    """Attach cluster ids in ONE map pass over the side rows — no shuffle.
+
+    The star forest (child → root) has one row per file in a non-singleton
+    component; collected as Arrow blocks, min-reduced per child driver-side
+    (duplicate root rows across batches collapse here), sorted and
+    ``ray.put`` once. Every side batch then does a vectorized searchsorted
+    lookup, defaulting absent files (singletons) to their own id.
+    """
+    import numpy as np
+
+    import ray as _ray
+
+    fid_parts: list = []
+    cid_parts: list = []
+    for b in star.iter_batches(batch_format="pyarrow"):
+        fid_parts.append(np.asarray(b.column("u").combine_chunks(), dtype=np.int64))
+        cid_parts.append(np.asarray(b.column("v").combine_chunks(), dtype=np.int64))
+    if fid_parts:
+        fid = np.concatenate(fid_parts)
+        cid = np.concatenate(cid_parts)
+        order = np.lexsort((cid, fid))
+        fid, cid = fid[order], cid[order]
+        first = np.concatenate([[True], fid[1:] != fid[:-1]])
+        fid, cid = fid[first], cid[first]  # min cid per file (lexsort order)
+    else:
+        fid = np.zeros(0, dtype=np.int64)
+        cid = np.zeros(0, dtype=np.int64)
+    lookup_ref = _ray.put((fid, cid))
+
+    def attach(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        keys, vals = _ray.get(lookup_ref)  # zero-copy plasma views
+        ids = _np.asarray(t.column("file_id").combine_chunks(), dtype=_np.int64)
+        out = ids.copy()  # default: own id (singleton component)
+        if len(keys):
+            pos = _np.searchsorted(keys, ids)
+            pos = _np.minimum(pos, len(keys) - 1)
+            hit = keys[pos] == ids
+            out[hit] = vals[pos[hit]]
+        return pa.table(
+            {
+                "file_id": pa.array(ids, type=pa.int64()),
+                "cluster_id": pa.array(out, type=pa.int64()),
+                "sha256": t.column("sha256"),
+                "repo": t.column("repo"),
+                "path": t.column("path"),
+            }
+        )
+
+    return side.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _merge_labels(raw_labels, side, num_partitions: int):
@@ -200,7 +271,17 @@ def _merge_labels(raw_labels, side, num_partitions: int):
         sha = part.column("sha256").combine_chunks()
         valid = np.asarray(sha.is_valid())
         side_idx = np.flatnonzero(valid)  # exactly one side row per file_id
-        assert len(side_idx) == len(starts), "label rows without a side row"
+        if len(side_idx) != len(starts):
+            # duplicate (repo, path, commit) input rows or a stable_file_id
+            # collision produce >1 (or 0) side rows for a file_id — name the
+            # offending ids instead of crashing deep in a Ray task
+            per_seg = np.add.reduceat(valid.astype(np.int64), starts)
+            bad = fid[starts[per_seg != 1]][:10]
+            raise ValueError(
+                f"expected exactly one side row per file_id; offending "
+                f"file_ids (≤10 shown): {bad.tolist()} — duplicate "
+                f"(repo,path,commit) rows or a stable_file_id collision"
+            )
         picked = part.take(pa.array(side_idx, type=pa.int64()))
         return pa.table(
             {

@@ -11,10 +11,11 @@ index. Grouped operators with many tiny groups go through
 
 from .normalize import add_fingerprint_columns, normalize_content, FINGERPRINT_COLUMNS
 from .minhash import SignatureStage
-from .blocking import emit_band_rows, hot_band_keys, candidate_pairs, block_size_stats
+from .blocking import emit_band_rows, band_key_stats, candidate_pairs, block_size_stats
 from .scoring import PairScorer, score_pairs
 from .components import (
     connected_components,
+    cc_forest,
     attach_singletons,
     star_edges,
     label_rows,
@@ -28,12 +29,13 @@ __all__ = [
     "FINGERPRINT_COLUMNS",
     "SignatureStage",
     "emit_band_rows",
-    "hot_band_keys",
+    "band_key_stats",
     "candidate_pairs",
     "block_size_stats",
     "PairScorer",
     "score_pairs",
     "connected_components",
+    "cc_forest",
     "attach_singletons",
     "star_edges",
     "label_rows",

@@ -41,8 +41,28 @@ FEATURE_COLUMNS = ["file_id", "path", "size", "lang", "sig"]
 _SALT_MIX = np.uint64(0xBF58476D1CE4E5B9)
 
 
+def _sorted_member_mask(sorted_arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``keys`` in a SORTED int64 array."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(keys), dtype=bool)
+    pos = np.searchsorted(sorted_arr, keys)
+    pos = np.minimum(pos, len(sorted_arr) - 1)
+    return sorted_arr[pos] == keys
+
+
 class _BandExploder:
-    """map_batches fn: one input row → num_bands (or 2×) block rows."""
+    """map_batches fn: one input row → ≤num_bands (+salted) block rows.
+
+    ``active_ref``: ray.put'd SORTED int64 array of band keys with global
+    count ≥ 2 (from :func:`band_key_stats`). Keys outside it head singleton
+    blocks — they can generate no pairs, so their rows are dropped HERE,
+    before the wide shuffle (~2× volume cut on mostly-singleton corpora).
+    Broadcast once via the object store, read zero-copy per task.
+
+    Hot keys are salted fully vectorized; a row belonging to several
+    *distinct* hot keys emits a salted pair per key (dedup is by (row, key),
+    not first-band — membership in two different hot blocks is preserved).
+    """
 
     def __init__(
         self,
@@ -50,11 +70,22 @@ class _BandExploder:
         num_bands: int = DEFAULT_NUM_BANDS,
         seed: int = DEFAULT_SEED,
         salt_target: int = 512,
+        active_ref=None,
     ):
         self.hot_sizes = hot_sizes or {}
         self.num_bands = num_bands
         self.seed = seed
         self.salt_target = salt_target
+        self.active_ref = active_ref
+        if self.hot_sizes:
+            self._hot_arr = np.sort(np.fromiter(self.hot_sizes.keys(), dtype=np.int64))
+            cnts = np.asarray(
+                [self.hot_sizes[int(k)] for k in self._hot_arr], dtype=np.int64
+            )
+            self._hot_ns = np.maximum(2, -(-2 * cnts // self.salt_target))
+        else:
+            self._hot_arr = np.zeros(0, dtype=np.int64)
+            self._hot_ns = np.zeros(0, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -62,35 +93,38 @@ class _BandExploder:
         flat_keys = bands.T.reshape(-1).copy()  # band-major
         flat_rows = np.tile(np.arange(n, dtype=np.int64), self.num_bands)
 
-        if self.hot_sizes:
+        if self.active_ref is not None:
+            import ray as _ray
+
+            active = _ray.get(self.active_ref)  # zero-copy plasma view
+            keep = _sorted_member_mask(active, flat_keys)
+            flat_keys, flat_rows = flat_keys[keep], flat_rows[keep]
+
+        if len(self._hot_arr):
             ids = np.asarray(batch.column("file_id").combine_chunks(), dtype=np.int64)
-            hot_arr = np.fromiter(self.hot_sizes.keys(), dtype=np.int64)
-            is_hot = np.isin(flat_keys, hot_arr).reshape(self.num_bands, n)
-            # cold emissions stay vectorized
-            cold = ~is_hot.reshape(-1)
-            keys_parts = [flat_keys[cold]]
-            rows_parts = [flat_rows[cold]]
-            # a hot-block member is hot in ~all bands with the SAME sub-block
-            # split (salt = fid % ns); one hot band per row carries the full
-            # connectivity, so emit only the FIRST hot band → ~num_bands×
-            # fewer duplicate hot rows/pairs
-            any_hot = is_hot.any(axis=0)
-            first_band = np.argmax(is_hot, axis=0)
-            h_keys: list = []
-            h_rows: list = []
-            for i in np.nonzero(any_hot)[0]:
-                k = int(flat_keys[first_band[i] * n + i])
-                ns = max(2, -(-2 * self.hot_sizes[k] // self.salt_target))
-                fid = int(ids[i])
-                for salt in (fid % ns, (fid + 1) % ns):
-                    h_rows.append(i)
-                    mixed = (k * int(_SALT_MIX) + salt + 1) % (1 << 64)
-                    h_keys.append(mixed - (1 << 64) if mixed >= (1 << 63) else mixed)
-            if h_keys:
-                keys_parts.append(np.asarray(h_keys, dtype=np.int64))
-                rows_parts.append(np.asarray(h_rows, dtype=np.int64))
-            flat_keys = np.concatenate(keys_parts)
-            flat_rows = np.concatenate(rows_parts)
+            is_hot = _sorted_member_mask(self._hot_arr, flat_keys)
+            hk, hr = flat_keys[is_hot], flat_rows[is_hot]
+            flat_keys, flat_rows = flat_keys[~is_hot], flat_rows[~is_hot]
+            if len(hk):
+                # dedup (row, key): a hot-block member collides in ~all bands
+                # under the SAME key — one salted emission per distinct key
+                order = np.lexsort((hk, hr))
+                hk, hr = hk[order], hr[order]
+                first = np.concatenate(
+                    [[True], (hr[1:] != hr[:-1]) | (hk[1:] != hk[:-1])]
+                )
+                hk, hr = hk[first], hr[first]
+                ns = self._hot_ns[np.searchsorted(self._hot_arr, hk)]
+                fid = ids[hr]
+                # two overlapping sub-blocks per member chain-connect the
+                # whole hot block through shared members
+                salts = np.concatenate([fid % ns, (fid + 1) % ns])
+                hk2 = np.concatenate([hk, hk]).view(np.uint64)
+                mixed = (hk2 * _SALT_MIX + salts.view(np.uint64) + np.uint64(1)).view(
+                    np.int64
+                )
+                flat_keys = np.concatenate([flat_keys, mixed])
+                flat_rows = np.concatenate([flat_rows, np.concatenate([hr, hr])])
 
         take = batch.select(list(FEATURE_COLUMNS)).take(pa.array(flat_rows, type=pa.int64()))
         return pa.table(
@@ -101,32 +135,38 @@ class _BandExploder:
         )
 
 
-def hot_band_keys(
+def band_key_stats(
     ds,
     num_bands: int = DEFAULT_NUM_BANDS,
     seed: int = DEFAULT_SEED,
-    threshold: int = 512,
-) -> dict:
-    """Count-only pre-pass → ``{band_key: count}`` for blocks above threshold.
+    hot_threshold: int = 512,
+    max_active_keys: int = 50_000_000,
+) -> tuple:
+    """ONE count pre-pass → ``(active_keys, {hot_key: count})``.
 
-    Shuffles only an 8-byte key column (num_bands per file), then the result
-    — a handful of boilerplate keys — is collected and broadcast to the
-    exploder (SURVEY.md §4 skew row / A9 block-size stats).
+    - ``active_keys``: sorted int64 array of band keys with EXACT global
+      count ≥ 2. A key seen once heads a singleton block — no pairs — so the
+      exploder drops its band rows before the wide blocking shuffle. Exact
+      (per-batch partial counts summed per key), so pair output is unchanged.
+    - ``hot``: keys with count > hot_threshold (boilerplate), for salting.
+
+    The count shuffle moves 16 bytes × num_bands per file; the savings on
+    the feature-row shuffle it enables are ~300 bytes per dropped row.
+    Driver + broadcast cost is 8 B per active key; above ``max_active_keys``
+    (~400 MB) the active filter is disabled (returns ``None``) and only hot
+    detection is kept — at that corpus scale the filter belongs in a
+    distributed semi-join of band rows against active keys instead.
     """
 
     def local_counts(batch: pa.Table) -> pa.Table:
-        # map-side partial count, keeping only keys repeated WITHIN the batch:
-        # a globally hot key (count ≫ threshold over ~hundreds of blocks)
-        # repeats in nearly every batch, so dropping batch-singletons
-        # underestimates its count by at most one per batch — irrelevant at
-        # the threshold — while shrinking the count shuffle ~10×
+        # map-side partial: unique-within-batch compresses repeated keys
+        # (hot blocks) while keeping exact global counts summable
         bands = signatures_to_numpy(batch.column("bands"))
         keys, cnts = np.unique(bands.reshape(-1), return_counts=True)
-        rep = cnts >= 2
         return pa.table(
             {
-                "band_key": pa.array(keys[rep], type=pa.int64()),
-                "n": pa.array(cnts[rep], type=pa.int64()),
+                "band_key": pa.array(keys, type=pa.int64()),
+                "n": pa.array(cnts, type=pa.int64()),
             }
         )
 
@@ -134,7 +174,39 @@ def hot_band_keys(
         local_counts, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def hot_in_partition(part: pa.Table) -> pa.Table:
+    # small-corpus fast path: the per-batch partials (≤ num_bands × n_files
+    # 16 B rows) stream straight to the driver and merge with one sort —
+    # skipping a whole grouped exchange. The threshold is on the PARTIAL
+    # row bound, known up front from the materialized row count.
+    try:
+        n_rows_bound = ds.count() * num_bands
+    except Exception:
+        n_rows_bound = None
+    if n_rows_bound is not None and n_rows_bound <= 40_000_000:
+        k_parts: list = []
+        n_parts: list = []
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            k_parts.append(np.asarray(b.column("band_key").combine_chunks(), dtype=np.int64))
+            n_parts.append(np.asarray(b.column("n").combine_chunks(), dtype=np.int64))
+        if k_parts:
+            k = np.concatenate(k_parts)
+            nv = np.concatenate(n_parts)
+            order = np.argsort(k, kind="stable")
+            k, nv = k[order], nv[order]
+            starts = segment_boundaries(k)
+            sums = np.add.reduceat(nv, starts) if len(k) else np.zeros(0, dtype=np.int64)
+            act = sums >= 2
+            keys, cnts = k[starts[act]], sums[act]
+        else:
+            keys = np.zeros(0, dtype=np.int64)
+            cnts = np.zeros(0, dtype=np.int64)
+        hot_mask = cnts > hot_threshold
+        hot = {int(kk): int(c) for kk, c in zip(keys[hot_mask], cnts[hot_mask])}
+        if len(keys) > max_active_keys:
+            return None, hot
+        return keys, hot
+
+    def active_in_partition(part: pa.Table) -> pa.Table:
         # final sum per key with numpy segments — Ray's fine-grained
         # groupby.sum over millions of distinct keys is ~50× slower than
         # this partitioned reduction (measured: 167s vs 3.6s on 12M rows)
@@ -142,25 +214,39 @@ def hot_band_keys(
         nv = np.asarray(part.column("n").combine_chunks(), dtype=np.int64)
         starts = segment_boundaries(k)
         sums = np.add.reduceat(nv, starts) if len(k) else np.zeros(0, dtype=np.int64)
-        hot_mask = sums > threshold
+        act = sums >= 2
         return pa.table(
             {
-                "band_key": pa.array(k[starts[hot_mask]], type=pa.int64()),
-                "n": pa.array(sums[hot_mask], type=pa.int64()),
+                "band_key": pa.array(k[starts[act]], type=pa.int64()),
+                "n": pa.array(sums[act], type=pa.int64()),
             }
         )
 
     from ..util import default_concurrency
 
-    hot_rows = partitioned_group_map(
-        partials, "band_key", hot_in_partition, default_concurrency()[1]
+    rows = partitioned_group_map(
+        partials, "band_key", active_in_partition, default_concurrency()[1]
     )
-    # only boilerplate keys survive the filter — a tiny driver-side dict that
-    # the caller broadcasts into the exploder (never re-shipped per batch)
-    out: dict = {}
-    for row in hot_rows.take_all():
-        out[int(row["band_key"])] = int(row["n"])
-    return out
+    keys_parts: list = []
+    cnt_parts: list = []
+    # iter_batches, not take_all: millions of active keys stream to the
+    # driver as Arrow blocks, never as Python row dicts
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        keys_parts.append(np.asarray(b.column("band_key").combine_chunks(), dtype=np.int64))
+        cnt_parts.append(np.asarray(b.column("n").combine_chunks(), dtype=np.int64))
+    if keys_parts:
+        keys = np.concatenate(keys_parts)
+        cnts = np.concatenate(cnt_parts)
+        order = np.argsort(keys)
+        keys, cnts = keys[order], cnts[order]
+    else:
+        keys = np.zeros(0, dtype=np.int64)
+        cnts = np.zeros(0, dtype=np.int64)
+    hot_mask = cnts > hot_threshold
+    hot = {int(k): int(c) for k, c in zip(keys[hot_mask], cnts[hot_mask])}
+    if len(keys) > max_active_keys:
+        return None, hot
+    return keys, hot
 
 
 def block_size_stats(ds) -> dict:
@@ -354,10 +440,22 @@ def _empty_edges_keyed() -> pa.Table:
 
 
 def _dedup_pairs_partition(part: pa.Table) -> pa.Table:
-    """First occurrence per pair_key (rows arrive sorted by pair_key)."""
+    """One row per distinct (id1, id2) (rows arrive sorted by pair_key).
+
+    Dedup compares the ACTUAL id pair, not just the 64-bit pair_key mix —
+    at 10^13 candidate pairs the birthday bound makes key collisions
+    expected, and a collision must not silently drop a candidate.
+    """
+    c1, c2 = ("id1", "id2") if "id1" in part.column_names else ("u", "v")
     keys = np.asarray(part.column("pair_key").combine_chunks(), dtype=np.int64)
-    firsts = segment_boundaries(keys)
-    return part.take(pa.array(firsts, type=pa.int64()))
+    id1 = np.asarray(part.column(c1).combine_chunks(), dtype=np.int64)
+    id2 = np.asarray(part.column(c2).combine_chunks(), dtype=np.int64)
+    order = np.lexsort((id2, id1, keys))
+    k, a, b = keys[order], id1[order], id2[order]
+    first = np.concatenate(
+        [[True], (k[1:] != k[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    ) if len(k) else np.zeros(0, dtype=bool)
+    return part.take(pa.array(order[first], type=pa.int64()))
 
 
 def emit_band_rows(
@@ -366,10 +464,17 @@ def emit_band_rows(
     num_bands: int = DEFAULT_NUM_BANDS,
     seed: int = DEFAULT_SEED,
     salt_target: int = 512,
+    active_ref=None,
 ):
     """files-with-sig Dataset → (block_key, features) rows."""
     return ds.map_batches(
-        _BandExploder(hot_sizes, num_bands=num_bands, seed=seed, salt_target=salt_target),
+        _BandExploder(
+            hot_sizes,
+            num_bands=num_bands,
+            seed=seed,
+            salt_target=salt_target,
+            active_ref=active_ref,
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -386,20 +491,40 @@ def candidate_pairs(
     skip_hot_detection: bool = False,
     num_partitions: int = 64,
     scorer_kwargs: dict | None = None,
+    dedup_edges: bool = False,
 ):
-    """Full blocking: hot-key pre-pass → explode → grouped pair-gen → dedup.
+    """Full blocking: count pre-pass → explode (active only) → grouped pair-gen.
 
     Default mode returns unique canonical candidate pairs with both sides'
-    features attached, ready for the standalone scoring actor pool. With
-    ``scorer_kwargs`` (fused mode) the pairs are scored inside the band
-    partition and the return value is the deduplicated EDGE dataset
-    ``(u, v, score)`` — ~30× fewer shuffled bytes, same results.
+    features attached, ready for the standalone scoring actor pool (a
+    pair-dedup shuffle keeps each candidate's expensive scoring single).
+
+    With ``scorer_kwargs`` (fused mode) the pairs are scored inside the band
+    partition and the return value is the EDGE dataset ``(u, v, score)``.
+    Cross-band duplicate edges are NOT shuffled away by default: scoring is
+    deterministic (duplicates carry identical scores) and connected
+    components is idempotent to repeated edges — its first grouped pass
+    collapses them — so the extra dedup exchange would buy nothing.
+    Set ``dedup_edges=True`` when the edge list itself is the product.
     """
-    hot = {} if skip_hot_detection else hot_band_keys(
-        ds, num_bands=num_bands, seed=seed, threshold=hot_threshold
-    )
+    if skip_hot_detection:
+        active, hot = None, {}
+    else:
+        active, hot = band_key_stats(
+            ds, num_bands=num_bands, seed=seed, hot_threshold=hot_threshold
+        )
+    active_ref = None
+    if active is not None and len(active):
+        import ray as _ray
+
+        active_ref = _ray.put(active)
     bands = emit_band_rows(
-        ds, hot, num_bands=num_bands, seed=seed, salt_target=salt_target
+        ds,
+        hot,
+        num_bands=num_bands,
+        seed=seed,
+        salt_target=salt_target,
+        active_ref=active_ref,
     )
     pairs = partitioned_group_map(
         bands,
@@ -411,6 +536,10 @@ def candidate_pairs(
         ),
         num_partitions=num_partitions,
     )
+    if scorer_kwargs is not None and not dedup_edges:
+        return pairs.map_batches(
+            lambda t: t.drop_columns(["pair_key"]), batch_format="pyarrow"
+        )
     deduped = partitioned_group_map(
         pairs, "pair_key", _dedup_pairs_partition, num_partitions=num_partitions
     )

@@ -143,8 +143,20 @@ def star_edges(edges, max_rounds: int = 50, num_partitions: int = 64):
     """
     cur = edges.map_batches(_orient_down, batch_format="pyarrow", zero_copy_batch=True)
     cur = partitioned_group_map(cur, "u", _small_star_partition, num_partitions)
-    prev_sig = None
+    # checksum the INITIAL small-star result too: clone/dup graphs are star
+    # forests after one pass, so round 1's checksum matches immediately and
+    # the loop exits after ONE large+small round instead of a confirm round
+    # (2 grouped exchanges saved on the common path)
+    import logging
+    import time as _time
+
+    log = logging.getLogger(__name__)
+    t0 = _time.monotonic()
+    cur = cur.materialize()
+    prev_sig = _checksum(cur)
+    log.info("cc round 0 (initial small-star): %d edges, %.1fs", prev_sig[0], _time.monotonic() - t0)
     for _round in range(max_rounds):
+        t0 = _time.monotonic()
         sym = cur.map_batches(_symmetrize, batch_format="pyarrow", zero_copy_batch=True)
         large = partitioned_group_map(sym, "u", _large_star_partition, num_partitions)
         down = large.map_batches(
@@ -153,10 +165,101 @@ def star_edges(edges, max_rounds: int = 50, num_partitions: int = 64):
         small = partitioned_group_map(down, "u", _small_star_partition, num_partitions)
         cur = small.materialize()  # bounded lineage: per-round barrier
         sig = _checksum(cur)
+        log.info("cc round %d: %d edges, %.1fs", _round + 1, sig[0], _time.monotonic() - t0)
         if sig == prev_sig:
             break
         prev_sig = sig
     return cur
+
+
+def _vec_cc(u: np.ndarray, v: np.ndarray) -> tuple:
+    """Exact in-memory CC: (nodes, root_per_node), root = min id in component.
+
+    Min-label propagation over the two precomputed sorted edge orders
+    (``reduceat`` per segment — no per-edge Python, no ``ufunc.at``) with
+    double pointer-jumping per iteration → O(log n) iterations.
+    """
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    a, b = inv[: len(u)], inv[len(u) :]
+    keep = a != b
+    a, b = a[keep], b[keep]
+    label = np.arange(len(nodes), dtype=np.int64)
+    if len(a) == 0:
+        return nodes, nodes[label]
+    order_a = np.argsort(a, kind="stable")
+    a_s, b_by_a = a[order_a], b[order_a]
+    starts_a = segment_boundaries(a_s)
+    seg_a = a_s[starts_a]
+    order_b = np.argsort(b, kind="stable")
+    b_s, a_by_b = b[order_b], a[order_b]
+    starts_b = segment_boundaries(b_s)
+    seg_b = b_s[starts_b]
+    for _ in range(64):
+        new = label.copy()
+        new[seg_a] = np.minimum(new[seg_a], np.minimum.reduceat(label[b_by_a], starts_a))
+        new[seg_b] = np.minimum(new[seg_b], np.minimum.reduceat(label[a_by_b], starts_b))
+        new = new[new]
+        new = new[new]
+        if np.array_equal(new, label):
+            break
+        label = new
+    return nodes, nodes[label]
+
+
+def _local_cc_partition(part: pa.Table) -> pa.Table:
+    """Partition-local CONTRACTION: edges of one hash partition → that
+    subgraph's star forest (child → local root), ≤ one row per local node.
+
+    Replacing each partition's edges by a spanning star forest preserves
+    global connectivity (every edge (u,v) becomes the path u→r←v) while
+    cutting row count from |E_p| (with cross-band duplicates) to < |V_p|.
+    """
+    u, v = _uv(part)
+    nodes, roots = _vec_cc(u, v)
+    child = nodes != roots
+    return _edge_table(nodes[child], roots[child])
+
+
+def cc_forest(
+    edges,
+    num_partitions: int = 64,
+    driver_limit: int = 5_000_000,
+    max_rounds: int = 50,
+):
+    """Edge Dataset → star forest Dataset (child → root, root = component min).
+
+    1. **Contract batch-locally**: a MAP pass (no exchange — it fuses into
+       whatever DAG produced the edges) runs exact vectorized CC per edge
+       batch; duplicate edges, rings, and intra-batch chains collapse, so
+       only ≤ |V_batch| forest rows materialize.
+    2. **Finish adaptively**: the contracted forest's global CC runs on the
+       driver when it is small (≤ ``driver_limit`` rows ≈ 16 B each — the
+       same small-side rule as every broadcast in this engine), else through
+       one grouped cross-partition contraction plus the distributed
+       large-star/small-star rounds (:func:`star_edges`).
+       Clone-style corpora contract to ~#clustered-files rows, so the driver
+       path is the common case; web-scale quotient graphs take the star path.
+    """
+    contracted = edges.map_batches(
+        _local_cc_partition, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if contracted.count() > driver_limit:
+        regrouped = partitioned_group_map(
+            contracted, "u", _local_cc_partition, num_partitions
+        )
+        return star_edges(regrouped, max_rounds, num_partitions)
+    u_parts: list = []
+    v_parts: list = []
+    for b in contracted.iter_batches(batch_format="pyarrow"):
+        u_parts.append(np.asarray(b.column("u").combine_chunks(), dtype=np.int64))
+        v_parts.append(np.asarray(b.column("v").combine_chunks(), dtype=np.int64))
+    if not u_parts:
+        return contracted
+    nodes, roots = _vec_cc(np.concatenate(u_parts), np.concatenate(v_parts))
+    child = nodes != roots
+    import ray.data as _rd
+
+    return _rd.from_arrow(_edge_table(nodes[child], roots[child]))
 
 
 def label_rows(star):
@@ -197,10 +300,11 @@ def _min_label_partition(part: pa.Table) -> pa.Table:
 def connected_components(edges, max_rounds: int = 50, num_partitions: int = 64):
     """Edge Dataset (u, v[, score]) → labels Dataset (file_id, cluster_id).
 
-    Nodes appearing only in self-loops (or not at all) are absent from the
-    output; use :func:`attach_singletons` for a total labeling.
+    Contraction-first (:func:`cc_forest`); nodes appearing only in
+    self-loops (or not at all) are absent from the output; use
+    :func:`attach_singletons` for a total labeling.
     """
-    raw = label_rows(star_edges(edges, max_rounds, num_partitions))
+    raw = label_rows(cc_forest(edges, num_partitions, max_rounds=max_rounds))
     return partitioned_group_map(raw, "file_id", _min_label_partition, num_partitions)
 
 

@@ -57,8 +57,7 @@ def make_signature_fn(
 
     def fn(batch: pa.Table) -> pa.Table:
         hasher = _cached_hasher(num_perm, shingle_k, seed)
-        texts = batch.column(content_column).to_pylist()
-        sigs = hasher.signatures(texts)
+        sigs = hasher.signatures_arrow(batch.column(content_column))
         bands = band_keys(sigs, num_bands, seed=seed).view(np.int64)
         band_col = pa.FixedSizeListArray.from_arrays(
             pa.array(bands.reshape(-1), type=pa.int64()), bands.shape[1]
@@ -108,8 +107,7 @@ class SignatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.minhash import band_keys
 
-        texts = batch.column(self.content_column).to_pylist()
-        sigs = self.hasher.signatures(texts)  # (n, num_perm) uint64
+        sigs = self.hasher.signatures_arrow(batch.column(self.content_column))
         bands = band_keys(sigs, self.num_bands, seed=self.seed).view(np.int64)
         band_col = pa.FixedSizeListArray.from_arrays(
             pa.array(bands.reshape(-1), type=pa.int64()), bands.shape[1]

@@ -48,17 +48,27 @@ class StageRunner:
         self.root = root
         self.metrics: dict = {}
 
-    def run(self, name: str, fingerprint: str, build) -> "ray.data.Dataset":
+    def run(
+        self, name: str, fingerprint: str, build, materialize: bool = True
+    ) -> "ray.data.Dataset":
         """Return the stage's Dataset, reusing a valid checkpoint if present.
 
         ``build()`` must return a Dataset. On a fresh run the Dataset is
-        written to partitioned Parquet (a file per block → a failed run skips
-        finished partitions on retry) and read back lazily, so downstream
+        written to partitioned Parquet and read back lazily, so downstream
         stages stream from disk instead of recomputing lineage.
+
+        ``materialize=False`` (honored only when ``root is None``): return
+        the built Dataset LAZY, fusing it into the consumer's streaming DAG
+        with no barrier — for stages with exactly one downstream consumer
+        (a barrier there only adds an exchange and idles the cluster between
+        stages). Stages read more than once must keep ``materialize=True``.
         """
         if self.root is None:
-            # no disk checkpoint: materialize to the object store so multiple
-            # downstream consumers don't re-execute this stage's lineage
+            if not materialize:
+                self.metrics[name] = {"lazy": True, "skipped": False}
+                return build()
+            # materialize to the object store so multiple downstream
+            # consumers don't re-execute this stage's lineage
             t0 = time.monotonic()
             ds = build().materialize()
             wall = time.monotonic() - t0
