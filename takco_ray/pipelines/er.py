@@ -26,11 +26,13 @@ import ray.data
 
 from ..sources import read_files_corpus
 from ..stages.normalize import fingerprint as fingerprint_stage
+from ..stages.normalize import normalize_content
 from ..stages.minhash import make_signature_fn
 from ..stages.blocking import candidate_pairs
 from ..stages.scoring import score_pairs, DEFAULT_AGG_EXPR, DEFAULT_THRESHOLD
 from ..stages.components import cc_forest, label_rows
 from ..state import StageRunner, stage_fingerprint
+from ..state.checkpoint import manifest_for_dir
 
 
 @dataclass
@@ -39,6 +41,11 @@ class ERConfig:
     num_bands: int = 16
     shingle_k: int = 5
     seed: int = 41
+    # shingle NORMALIZED content (comment/whitespace churn stripped — the
+    # analog of the reference's restructure-first flagship order,
+    # takco/reshape/clean.py:18-70). sha256/size stay on the RAW bytes: the
+    # invariant the driver checks is the content as stored.
+    normalize: bool = False
     agg_expr: str = DEFAULT_AGG_EXPR
     threshold: float = DEFAULT_THRESHOLD
     hot_threshold: int = 512
@@ -81,16 +88,34 @@ def er_pipeline(
     num_parts = cfg.num_partitions or max(16, int(_ray.cluster_resources().get("CPU", 16)))
 
     # ---- stage 1: fingerprint + signatures (content dropped afterwards) --
+    # the corpus manifest (per-shard size+mtime) is part of every stage
+    # fingerprint: rerunning the same config on a CHANGED corpus under the
+    # same checkpoint root must invalidate, not silently reuse (SURVEY §7.5
+    # item 7 — the reference's dir-exists check is the footgun)
+    import hashlib as _hashlib
+    import json as _json
+
+    manifest = manifest_for_dir(corpus_dir)
+    manifest_hash = _hashlib.sha256(
+        _json.dumps(manifest, sort_keys=True).encode()
+    ).hexdigest()[:16]
     fp_fp = stage_fingerprint("signatures", params)
 
-    def build_signatures():
+    def build_signatures_from(paths):
         import ray as _ray
 
         n_blocks = cfg.read_num_blocks or 4 * int(
             _ray.cluster_resources().get("CPU", 8)
         )
-        files = read_files_corpus(corpus_dir, override_num_blocks=n_blocks)
+        files = read_files_corpus(paths, override_num_blocks=n_blocks)
         fp = fingerprint_stage(files)
+        src_col = "content"
+        if cfg.normalize:
+            fp = normalize_content(fp).map_batches(
+                lambda t: t.drop_columns(["content"]),
+                batch_format="pyarrow",
+            )
+            src_col = "content_norm"
         # task-based (not actor-pool): minhash state is ~2 KB and cached per
         # worker process, so the elastic task pool saturates all CPUs
         return fp.map_batches(
@@ -99,17 +124,40 @@ def er_pipeline(
                 num_bands=cfg.num_bands,
                 shingle_k=cfg.shingle_k,
                 seed=cfg.seed,
+                content_column=src_col,
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
 
     # materialized: consumed by the count pre-pass, the blocking shuffle AND
-    # the label merge — three readers of one object-store copy
-    sigs = runner.run("signatures", fp_fp, build_signatures)
+    # the label merge — three readers of one object-store copy. With a
+    # checkpoint root the stage is built per input shard GROUP with its own
+    # _SUCCESS + input-manifest fingerprint, so a retried or partially
+    # changed corpus rebuilds only the affected partitions.
+    import os as _os
+
+    shard_paths = sorted(
+        _os.path.join(corpus_dir, f)
+        for f in _os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )
+    if shard_paths:
+        # contiguous groups: appending shards to a corpus only perturbs the
+        # trailing groups' manifests, so earlier partitions stay reusable
+        n_groups = min(len(shard_paths), max(8, num_parts // 2))
+        bounds = [len(shard_paths) * i // n_groups for i in range(n_groups + 1)]
+        groups = [
+            shard_paths[bounds[i] : bounds[i + 1]]
+            for i in range(n_groups)
+            if bounds[i] < bounds[i + 1]
+        ]
+    else:
+        groups = [[corpus_dir]]
+    sigs = runner.run_sharded("signatures", fp_fp, groups, build_signatures_from)
 
     # ---- stage 2: blocking + scoring → edges ------------------------------
-    edges_fp = stage_fingerprint("edges", params, upstream=[fp_fp])
+    edges_fp = stage_fingerprint("edges", params, upstream=[fp_fp, manifest_hash])
 
     def build_edges():
         scorer_kwargs = dict(agg_expr=cfg.agg_expr, threshold=cfg.threshold)
@@ -149,7 +197,7 @@ def er_pipeline(
     edges = runner.run("edges", edges_fp, build_edges, materialize=False)
 
     # ---- stage 3: connected components → total labels ---------------------
-    labels_fp = stage_fingerprint("clusters", params, upstream=[edges_fp])
+    labels_fp = stage_fingerprint("clusters", params, upstream=[edges_fp, manifest_hash])
 
     def build_labels():
         star = cc_forest(

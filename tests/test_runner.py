@@ -48,3 +48,128 @@ def test_toml_runner_end_to_end(ray_session, test_corpus, tmp_path):
     # resume: second invocation reuses every stage checkpoint
     metrics2 = run_config(str(cfg))
     assert all(m["skipped"] for m in metrics2.values())
+
+
+def test_checkpoint_invalidated_by_corpus_change(ray_session, tmp_path):
+    """A changed corpus under the same checkpoint root must NOT reuse stale
+    signatures (SURVEY §7.5 item 7; reference footgun __init__.py:661-663)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from takco_ray.pipelines.er import ERConfig, er_pipeline
+
+    corpus = tmp_path / "files"
+    corpus.mkdir()
+    root = str(tmp_path / "ckpt")
+
+    def write_shard(texts, name="shard_00000.parquet"):
+        n = len(texts)
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": [f"r/{i}" for i in range(n)],
+                    "path": [f"p/{i}.py" for i in range(n)],
+                    "commit": [f"c{i}" for i in range(n)],
+                    "lang": ["py"] * n,
+                    "content": pa.array(texts, type=pa.large_string()),
+                }
+            ),
+            str(corpus / name),
+        )
+
+    write_shard(["alpha beta gamma delta epsilon zeta"] * 2 + ["unique one two three four five"])
+    r1 = er_pipeline(str(corpus), ERConfig(), checkpoint_root=root)
+    shas1 = sorted(x["sha256"] for x in r1["labels"].take_all())
+
+    # mutate the corpus: different content, same shard name
+    write_shard(["totally different text payload here now"] * 3)
+    r2 = er_pipeline(str(corpus), ERConfig(), checkpoint_root=root)
+    assert not r2["metrics"]["signatures"].get("skipped"), "stale checkpoint reused!"
+    shas2 = sorted(x["sha256"] for x in r2["labels"].take_all())
+    assert shas1 != shas2
+
+
+def test_per_partition_resume_skips_finished(ray_session, tmp_path):
+    """Kill mid-stage → rerun skips the finished shard-group partitions."""
+    import ray.data
+    import pyarrow as pa
+    from takco_ray.state.checkpoint import StageRunner, stage_fingerprint
+
+    shards = []
+    for i in range(4):
+        p = tmp_path / f"in_{i}.parquet"
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.table({"x": list(range(i * 10, i * 10 + 10))}), str(p))
+        shards.append(str(p))
+    groups = [[shards[0], shards[1]], [shards[2]], [shards[3]]]
+    fp = stage_fingerprint("s", {"v": 1})
+    calls = []
+
+    def build(paths):
+        calls.append(tuple(paths))
+        if len(calls) == 3 and not getattr(build, "second", False):
+            raise RuntimeError("simulated crash on partition 3")
+        return ray.data.read_parquet(paths)
+
+    runner = StageRunner(str(tmp_path / "root"))
+    try:
+        runner.run_sharded("s", fp, groups, build)
+        assert False, "expected simulated crash"
+    except RuntimeError:
+        pass
+
+    build.second = True
+    runner2 = StageRunner(str(tmp_path / "root"))
+    out = runner2.run_sharded("s", fp, groups, build)
+    m = runner2.metrics["s"]
+    assert m["partitions_skipped"] == 2  # first two groups reused
+    assert out.count() == 40
+    # third run: everything skipped
+    runner3 = StageRunner(str(tmp_path / "root"))
+    runner3.run_sharded("s", fp, groups, build)
+    assert runner3.metrics["s"]["partitions_skipped"] == 3
+
+
+def test_normalize_clusters_comment_churn(ray_session, tmp_path):
+    """With cfg.normalize, clones differing only in comments/whitespace land
+    in one cluster even when raw-content shingles would miss them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from takco_ray.pipelines.er import ERConfig, er_pipeline
+
+    corpus = tmp_path / "files"
+    corpus.mkdir()
+    base_lines = [f"def fn_{i}(a, b):\n    return a + b * {i}" for i in range(40)]
+    base = "\n".join(base_lines) + "\n"
+    # clone: a distinct comment after EVERY line — kills most raw shingles
+    noisy = "".join(
+        line + f"  # noise_{j}\n"
+        for j, line in enumerate(base.splitlines())
+    )
+    others = [
+        "\n".join(f"class K{j}_{i}:\n    field_{j}_{i} = {i+j}" for i in range(40)) + "\n"
+        for j in range(6)
+    ]
+    texts = [base, noisy] + others
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "repo": [f"r/{i}" for i in range(n)],
+                "path": [f"p/{i}.py" for i in range(n)],
+                "commit": [f"c{i}" for i in range(n)],
+                "lang": ["py"] * n,
+                "content": pa.array(texts, type=pa.large_string()),
+            }
+        ),
+        str(corpus / "shard_00000.parquet"),
+    )
+
+    raw = er_pipeline(str(corpus), ERConfig(normalize=False))
+    raw_labels = {x["path"]: x["cluster_id"] for x in raw["labels"].take_all()}
+    norm = er_pipeline(str(corpus), ERConfig(normalize=True))
+    norm_labels = {x["path"]: x["cluster_id"] for x in norm["labels"].take_all()}
+
+    assert raw_labels["p/0.py"] != raw_labels["p/1.py"], "comment churn should break raw similarity"
+    assert norm_labels["p/0.py"] == norm_labels["p/1.py"], "normalization should restore the clone pair"
