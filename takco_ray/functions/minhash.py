@@ -112,45 +112,11 @@ class MinHasher:
         so the two paths agree wherever their tokenizations agree (always,
         for ASCII).
         """
-        import pyarrow as pa
-        import pyarrow.compute as pc
+        from .tokenize import token_stream
 
-        from .tokenize import ascii_token_runs, python_token_hashes
-
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        n_docs = len(col)
-        if n_docs == 0:
+        stream, _lens, counts = token_stream(col, self.seed)
+        if len(counts) == 0:
             return np.empty((0, self.num_perm), dtype=np.uint64)
-        is_ascii = np.asarray(pc.string_is_ascii(pc.fill_null(col, "")))
-        if is_ascii.all():
-            buf, starts, lengths, parents, _ = ascii_token_runs(col)
-            from .tokenize import hash_token_runs
-
-            stream = hash_token_runs(buf, starts, lengths, self.seed)
-            counts = np.bincount(parents, minlength=n_docs).astype(np.int64)
-        else:
-            # split: vectorized path for the ASCII subset, per-doc regex
-            # fallback for the rest; reassemble in doc order
-            idx_ascii = np.flatnonzero(is_ascii)
-            per_doc: list = [None] * n_docs
-            if len(idx_ascii):
-                sub = col.take(pa.array(idx_ascii, type=pa.int64()))
-                buf, starts, lengths, parents, _ = ascii_token_runs(sub)
-                from .tokenize import hash_token_runs
-
-                sub_stream = hash_token_runs(buf, starts, lengths, self.seed)
-                sub_counts = np.bincount(parents, minlength=len(idx_ascii))
-                ends = np.cumsum(sub_counts)
-                begins = ends - sub_counts
-                for j, d in enumerate(idx_ascii):
-                    per_doc[d] = sub_stream[begins[j] : ends[j]]
-            for d in np.flatnonzero(~is_ascii):
-                per_doc[d] = python_token_hashes(col[int(d)].as_py() or "", self.seed)
-            counts = np.asarray([len(x) for x in per_doc], dtype=np.int64)
-            stream = (
-                np.concatenate(per_doc) if len(per_doc) else np.zeros(0, dtype=np.uint64)
-            )
         flat_sh, sh_counts = self._flat_shingles(stream, counts)
         return self.signatures_from_flat(flat_sh, sh_counts)
 

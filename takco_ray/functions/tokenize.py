@@ -133,11 +133,61 @@ def python_token_hashes(text: str, seed: int) -> np.ndarray:
     """Regex-tokenize ONE (possibly non-ASCII) doc and hash each token's
     UTF-8 bytes with the same FNV/splitmix scheme as :func:`hash_token_runs`
     — the fallback path produces identical hashes for identical tokens."""
+    return python_token_hashes_lengths(text, seed)[0]
+
+
+def python_token_hashes_lengths(text: str, seed: int) -> tuple:
     toks = tokenize(text)
     if not toks:
-        return np.zeros(0, dtype=np.uint64)
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
     enc = [t.encode("utf-8", "surrogatepass") for t in toks]
     lens = np.asarray([len(b) for b in enc], dtype=np.int64)
     flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
-    return hash_token_runs(flat, starts, lens, seed)
+    char_lens = np.asarray([len(t) for t in toks], dtype=np.int64)
+    return hash_token_runs(flat, starts, lens, seed), char_lens
+
+
+def token_stream(col, seed: int) -> tuple:
+    """Column of strings → flat ``(hashes, char_lengths, counts)`` per doc.
+
+    The shared vectorized entry for every token-level operator (MinHash,
+    quality scoring, language-ID, fingerprints): pure-ASCII batches take the
+    numpy run scanner; non-ASCII docs fall back to regex per doc with the
+    same hash family. ``counts[d]`` tokens of doc ``d`` occupy one
+    contiguous span of the flat arrays, in doc order.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_docs = len(col)
+    if n_docs == 0:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    filled = pc.fill_null(col, "")
+    is_ascii = np.asarray(pc.string_is_ascii(filled))
+    if is_ascii.all():
+        buf, starts, lengths, parents, _ = ascii_token_runs(filled)
+        hashes = hash_token_runs(buf, starts, lengths, seed)
+        counts = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        return hashes, lengths, counts
+    per_h: list = [None] * n_docs
+    per_l: list = [None] * n_docs
+    idx_ascii = np.flatnonzero(is_ascii)
+    if len(idx_ascii):
+        sub = filled.take(pa.array(idx_ascii, type=pa.int64()))
+        buf, starts, lengths, parents, _ = ascii_token_runs(sub)
+        sub_h = hash_token_runs(buf, starts, lengths, seed)
+        sub_c = np.bincount(parents, minlength=len(idx_ascii))
+        ends = np.cumsum(sub_c)
+        begins = ends - sub_c
+        for j, d in enumerate(idx_ascii):
+            per_h[d] = sub_h[begins[j] : ends[j]]
+            per_l[d] = lengths[begins[j] : ends[j]]
+    for d in np.flatnonzero(~is_ascii):
+        h, l = python_token_hashes_lengths(filled[int(d)].as_py() or "", seed)
+        per_h[d] = h
+        per_l[d] = l
+    counts = np.asarray([len(x) for x in per_h], dtype=np.int64)
+    hashes = np.concatenate(per_h) if per_h else np.zeros(0, dtype=np.uint64)
+    lens = np.concatenate(per_l) if per_l else np.zeros(0, dtype=np.int64)
+    return hashes, lens, counts

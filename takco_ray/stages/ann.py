@@ -56,18 +56,17 @@ class _BruteTopK:
         sims = self.qmat @ cmat.T  # (n_queries, n_batch)
         nq, nb = sims.shape
         k = min(self.k, nb)
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
-        for qi in range(nq):
-            for ci in top[qi]:
-                rows["query_id"].append(int(self.query_ids[qi]))
-                rows["neighbor_id"].append(int(ids[ci]))
-                rows["cosine"].append(float(sims[qi, ci]))
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # (nq, k)
+        # vectorized emit: no per-(query, neighbor) Python loop
+        qid = np.repeat(np.asarray(self.query_ids, dtype=np.int64), k)
+        flat = top.ravel()
         return pa.table(
             {
-                "query_id": pa.array(rows["query_id"], type=pa.int64()),
-                "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
-                "cosine": pa.array(rows["cosine"], type=pa.float64()),
+                "query_id": pa.array(qid, type=pa.int64()),
+                "neighbor_id": pa.array(ids[flat], type=pa.int64()),
+                "cosine": pa.array(
+                    np.take_along_axis(sims, top, axis=1).ravel(), type=pa.float64()
+                ),
             }
         )
 
@@ -181,7 +180,19 @@ def lsh_bucket_neighbors(
     groupby(bucket) → in-bucket exact cosine ≥ threshold. Recall is tunable
     with ``bits`` (fewer bits = bigger buckets = higher recall); the scale
     path when the query set IS the corpus (all-pairs similarity join).
+
+    Buckets over ``max_bucket`` rows are SALTED the way LSH band blocking
+    salts hot blocks (``stages/blocking.py``): each member lands in two
+    overlapping sub-buckets (``id % ns`` and ``(id+1) % ns``), bounding the
+    O(m²) in-bucket cost while chain-connecting the bucket through shared
+    members — no rows are silently dropped. Pairs whose endpoints share no
+    sub-bucket are missed (logged recall trade, inherent to salting); pairs
+    found in both sub-buckets are deduplicated per partition.
     """
+    import logging
+
+    log = logging.getLogger(__name__)
+
     bucketed = ds.map_batches(
         _HyperplaneBucketer,
         fn_constructor_kwargs=dict(
@@ -190,9 +201,55 @@ def lsh_bucket_neighbors(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=default_concurrency(),
-    )
+    ).materialize()
 
-    def in_bucket(group: pa.Table) -> pa.Table:
+    # bucket-size pre-pass: ≤ 2^bits buckets, so the count table is tiny
+    sizes = {
+        int(r["bucket"]): int(r["count()"])
+        for r in bucketed.groupby("bucket").count().take_all()
+    }
+    hot = {b: c for b, c in sizes.items() if c > max_bucket}
+    if hot:
+        log.warning(
+            "lsh_bucket_neighbors: salting %d hot buckets (sizes %s) — "
+            "cross-sub-bucket pairs outside the overlap chain are not emitted",
+            len(hot),
+            sorted(hot.values(), reverse=True)[:5],
+        )
+    _MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+    def salt_hot(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch.column("bucket").combine_chunks(), dtype=np.int64)
+        ids = np.asarray(batch.column("id").combine_chunks(), dtype=np.int64)
+        hot_arr = np.sort(np.fromiter(hot.keys(), dtype=np.int64))
+        pos = np.minimum(np.searchsorted(hot_arr, b), len(hot_arr) - 1)
+        is_hot = hot_arr[pos] == b
+        cold_idx = np.flatnonzero(~is_hot)
+        hot_idx = np.flatnonzero(is_hot)
+        ns = np.asarray(
+            [max(2, -(-2 * hot[int(k)] // max_bucket)) for k in b[hot_idx]],
+            dtype=np.int64,
+        )
+        salts = np.concatenate([ids[hot_idx] % ns, (ids[hot_idx] + 1) % ns])
+        hk = np.concatenate([b[hot_idx], b[hot_idx]]).view(np.uint64)
+        mixed = (hk * _MIX + salts.view(np.uint64) + np.uint64(1)).view(np.int64)
+        take = np.concatenate([cold_idx, hot_idx, hot_idx])
+        out = batch.take(pa.array(take, type=pa.int64()))
+        new_bucket = np.concatenate([b[cold_idx], mixed])
+        return out.set_column(
+            out.schema.get_field_index("bucket"),
+            "bucket",
+            pa.array(new_bucket, type=pa.int64()),
+        )
+
+    if hot:
+        bucketed = bucketed.map_batches(
+            salt_hot, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def in_partition(part: pa.Table) -> pa.Table:
+        """All buckets hashed to one partition (sorted by bucket): exact
+        in-bucket pair-gen, then (id1, id2) dedup across salted copies."""
         empty = pa.table(
             {
                 "id1": pa.array([], type=pa.int64()),
@@ -200,29 +257,75 @@ def lsh_bucket_neighbors(
                 "cosine": pa.array([], type=pa.float64()),
             }
         )
-        m = len(group)
-        if m < 2:
-            return empty
-        if m > max_bucket:
-            group = group.slice(0, max_bucket)
-            m = max_bucket
-        import pyarrow.compute as pc
+        from .groupmap import segment_boundaries
 
-        order = pc.sort_indices(group.column("id"))
-        group = group.take(order)
-        mat = _normalize(_emb_matrix(group, "embedding").astype(np.float64))
-        ids = np.asarray(group.column("id").combine_chunks(), dtype=np.int64)
-        sims = mat @ mat.T
-        ii, jj = np.triu_indices(m, k=1)
-        keep = sims[ii, jj] >= threshold
-        if not keep.any():
+        bkt = np.asarray(part.column("bucket").combine_chunks(), dtype=np.int64)
+        ids_all = np.asarray(part.column("id").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ids_all, bkt))
+        part = part.take(pa.array(order, type=pa.int64()))
+        bkt, ids_all = bkt[order], ids_all[order]
+        starts = segment_boundaries(bkt)
+        counts = np.diff(np.append(starts, len(bkt)))
+        mat = _normalize(_emb_matrix(part, "embedding").astype(np.float64))
+        p1: list = []
+        p2: list = []
+        cs: list = []
+        for s, m in zip(starts[counts >= 2], counts[counts >= 2]):
+            sub = mat[s : s + m]
+            sims = sub @ sub.T
+            ii, jj = np.triu_indices(m, k=1)
+            keep = sims[ii, jj] >= threshold
+            if keep.any():
+                p1.append(ids_all[s + ii[keep]])
+                p2.append(ids_all[s + jj[keep]])
+                cs.append(np.round(sims[ii[keep], jj[keep]], 6))
+        if not p1:
             return empty
+        id1 = np.concatenate(p1)
+        id2 = np.concatenate(p2)
+        cos = np.concatenate(cs)
+        o = np.lexsort((id2, id1))
+        id1, id2, cos = id1[o], id2[o], cos[o]
+        first = np.concatenate(
+            [[True], (id1[1:] != id1[:-1]) | (id2[1:] != id2[:-1])]
+        )
         return pa.table(
             {
-                "id1": pa.array(ids[ii[keep]], type=pa.int64()),
-                "id2": pa.array(ids[jj[keep]], type=pa.int64()),
-                "cosine": pa.array(np.round(sims[ii[keep], jj[keep]], 6), type=pa.float64()),
+                "id1": pa.array(id1[first], type=pa.int64()),
+                "id2": pa.array(id2[first], type=pa.int64()),
+                "cosine": pa.array(cos[first], type=pa.float64()),
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(in_bucket, batch_format="pyarrow")
+    from .groupmap import partitioned_group_map
+
+    pairs = partitioned_group_map(
+        bucketed, "bucket", in_partition, default_concurrency()[1]
+    )
+    if not hot:
+        return pairs
+
+    # a pair co-occurs in two sub-buckets when id1 ≡ id2 (mod ns); those may
+    # land in different partitions, so one more tiny grouped pass dedups
+    def add_key(t: pa.Table) -> pa.Table:
+        i1 = np.asarray(t.column("id1").combine_chunks(), dtype=np.int64)
+        i2 = np.asarray(t.column("id2").combine_chunks(), dtype=np.int64)
+        pk = (i1.view(np.uint64) * _MIX + i2.view(np.uint64)).view(np.int64)
+        return t.append_column("pair_key", pa.array(pk, type=pa.int64()))
+
+    def dedup_part(part: pa.Table) -> pa.Table:
+        i1 = np.asarray(part.column("id1").combine_chunks(), dtype=np.int64)
+        i2 = np.asarray(part.column("id2").combine_chunks(), dtype=np.int64)
+        o = np.lexsort((i2, i1))
+        i1s, i2s = i1[o], i2[o]
+        first = np.concatenate(
+            [[True], (i1s[1:] != i1s[:-1]) | (i2s[1:] != i2s[:-1])]
+        ) if len(i1s) else np.zeros(0, dtype=bool)
+        return part.take(pa.array(o[first], type=pa.int64())).drop_columns(["pair_key"])
+
+    return partitioned_group_map(
+        pairs.map_batches(add_key, batch_format="pyarrow"),
+        "pair_key",
+        dedup_part,
+        default_concurrency()[1],
+    )

@@ -1,23 +1,26 @@
 """Text-analysis operators for training-data pipelines.
 
-Language-ID (n-gram heuristic), quality scoring (length/punct/stopword
-ratios), token counting, and rolling-hash document fingerprinting — the
-numeric/type detection heuristics of the reference (numeric-column voting,
-``takco/cluster/matchers/lsh.py:124-128``; cell typing,
-``takco/link/types.py:121-142``) generalized to document scoring. All are
-single zero-copy ``map_batches`` passes; the language profiles are built once
-per actor (stateful-stage shape).
+Language-ID (stopword-profile heuristic), quality scoring (length/punct/
+stopword ratios), token counting, and rolling-hash document fingerprinting —
+the numeric/type detection heuristics of the reference (numeric-column
+voting, ``takco/cluster/matchers/lsh.py:124-128``; cell typing,
+``takco/link/types.py:121-142``) generalized to document scoring.
+
+All operators run on the FLAT token stream from
+:func:`takco_ray.functions.tokenize.token_stream` (vectorized ASCII scanner
++ FNV token hashes, per-doc regex fallback for non-ASCII): membership tests
+are ``searchsorted`` against tiny sorted profile-hash arrays and per-doc
+reductions are ``np.add.reduceat`` over segment boundaries — no per-token
+or per-row Python anywhere on the hot path.
 """
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.tokenize import tokenize_many
+from ..functions.tokenize import token_stream, python_token_hashes_lengths
 
 # Tiny per-language stopword profiles (public common-word lists) — enough for
 # a deterministic heuristic; NOT a trained model (none are available here).
@@ -29,21 +32,58 @@ _LANG_PROFILES = {
     "nl": {"de", "het", "een", "en", "van", "ik", "dat", "is", "niet", "op", "te", "met"},
 }
 
-_PUNCT_RE = re.compile(r"[^\w\s]")
+_TOKEN_SEED = 3
+
+
+def _profile_hashes(words, seed: int = _TOKEN_SEED) -> np.ndarray:
+    """Sorted FNV hashes of a profile word set (same family as the stream)."""
+    h, _ = python_token_hashes_lengths(" ".join(sorted(words)), seed)
+    return np.sort(h)
+
+
+def _seg_starts(counts: np.ndarray) -> np.ndarray:
+    ends = np.cumsum(counts)
+    return (ends - counts).astype(np.int64)
+
+
+def _member(sorted_arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    if len(sorted_arr) == 0 or len(keys) == 0:
+        return np.zeros(len(keys), dtype=bool)
+    pos = np.minimum(np.searchsorted(sorted_arr, keys), len(sorted_arr) - 1)
+    return sorted_arr[pos] == keys
+
+
+def _per_doc_sum(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Sum of ``values`` per doc segment; 0 for empty docs."""
+    out = np.zeros(len(counts), dtype=np.float64)
+    nz = counts > 0
+    if nz.any():
+        starts = _seg_starts(counts)
+        sums = np.add.reduceat(values.astype(np.float64), starts[nz])
+        out[nz] = sums
+    return out
 
 
 def token_counts(ds, text_column: str, id_column: str):
     """(id, n_tokens, n_unique_tokens) — whitespace+\\w tokenizer counts."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = tokenize_many(batch.column(text_column).to_pylist())
-        n = pa.array([len(t) for t in toks], type=pa.int64())
-        nu = pa.array([len(set(t)) for t in toks], type=pa.int64())
+        hashes, _lens, counts = token_stream(batch.column(text_column), _TOKEN_SEED)
+        n_docs = len(counts)
+        parents = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        # distinct per doc: sort (doc, hash), count segment-first positions
+        if len(hashes):
+            order = np.lexsort((hashes, parents))
+            hs, ps = hashes[order], parents[order]
+            first = np.concatenate([[True], (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])])
+            uniq = np.bincount(ps[first], minlength=n_docs)
+        else:
+            uniq = np.zeros(n_docs, dtype=np.int64)
         return pa.table(
             {
                 "id": batch.column(id_column).cast(pa.int64()),
-                "n_tokens": n,
-                "n_unique_tokens": nu,
+                "n_tokens": pa.array(counts, type=pa.int64()),
+                "n_unique_tokens": pa.array(uniq.astype(np.int64), type=pa.int64()),
             }
         )
 
@@ -55,32 +95,31 @@ def quality_scores(ds, text_column: str, id_column: str):
 
     ``quality`` ∈ [0,1]: long-enough docs with moderate punctuation, natural
     token lengths and some stopwords score high — the usual cheap pre-filter
-    in training-data pipelines. Deterministic, vectorized where pyarrow has
-    kernels.
+    in training-data pipelines. Deterministic, fully vectorized.
     """
-    en = _LANG_PROFILES["en"]
+    en = _profile_hashes(_LANG_PROFILES["en"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_column).to_pylist()
-        toks = tokenize_many(texts)
-        n_chars = np.array([len(t or "") for t in texts], dtype=np.float64)
-        punct = np.array(
-            [len(_PUNCT_RE.findall(t or "")) for t in texts], dtype=np.float64
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        n_chars = np.asarray(pc.utf8_length(filled), dtype=np.float64)
+        punct = np.asarray(
+            pc.count_substring_regex(filled, r"[^\w\s]"), dtype=np.float64
         )
+        hashes, lens, counts = token_stream(col, _TOKEN_SEED)
         punct_ratio = punct / np.maximum(n_chars, 1.0)
-        mean_tok = np.array(
-            [np.mean([len(w) for w in t]) if t else 0.0 for t in toks], dtype=np.float64
-        )
-        stop_ratio = np.array(
-            [sum(1 for w in t if w in en) / len(t) if t else 0.0 for t in toks],
-            dtype=np.float64,
-        )
+        tok_f = np.maximum(counts.astype(np.float64), 1.0)
+        mean_tok = _per_doc_sum(lens, counts) / tok_f
+        stop_ratio = _per_doc_sum(_member(en, hashes), counts) / tok_f
         quality = (
             np.clip(n_chars / 200.0, 0, 1) * 0.25
             + np.clip(1.0 - 4.0 * punct_ratio, 0, 1) * 0.25
             + np.clip(1.0 - np.abs(mean_tok - 5.0) / 5.0, 0, 1) * 0.25
             + np.clip(stop_ratio * 4.0, 0, 1) * 0.25
         )
+        # empty docs: token-derived features are 0 by construction
         return pa.table(
             {
                 "id": batch.column(id_column).cast(pa.int64()),
@@ -98,37 +137,36 @@ def quality_scores(ds, text_column: str, id_column: str):
 class LanguageId:
     """Actor-pool stage: stopword-profile language scoring per document.
 
-    Profiles are tiny frozensets prepared in ``__init__`` (once per actor);
-    each batch is one pass over its token lists. Ties break deterministically
-    by profile order; docs with no stopword hits → "und" (undetermined).
+    Profile hash arrays are prepared in ``__init__`` (once per actor); each
+    batch is one flat-stream pass — per-language membership via searchsorted,
+    per-doc hit counts via ``reduceat``. Ties break deterministically by
+    profile order (argmax keeps the first maximum); docs with no stopword
+    hits → "und" (undetermined).
     """
 
     def __init__(self, text_column: str, id_column: str):
         self.text_column = text_column
         self.id_column = id_column
-        self.profiles = sorted(_LANG_PROFILES.items())
+        self.langs = sorted(_LANG_PROFILES)
+        self.profiles = [_profile_hashes(_LANG_PROFILES[l]) for l in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = tokenize_many(batch.column(self.text_column).to_pylist())
-        langs = []
-        confs = []
-        for t in toks:
-            if not t:
-                langs.append("und")
-                confs.append(0.0)
-                continue
-            best_lang, best_hits = "und", 0
-            for lang, prof in self.profiles:
-                hits = sum(1 for w in t if w in prof)
-                if hits > best_hits:
-                    best_lang, best_hits = lang, hits
-            langs.append(best_lang)
-            confs.append(round(best_hits / len(t), 6))
+        hashes, _lens, counts = token_stream(batch.column(self.text_column), _TOKEN_SEED)
+        n_docs = len(counts)
+        hits = np.zeros((n_docs, len(self.langs)), dtype=np.float64)
+        for li, prof in enumerate(self.profiles):
+            hits[:, li] = _per_doc_sum(_member(prof, hashes), counts)
+        best = np.argmax(hits, axis=1)
+        best_hits = hits[np.arange(n_docs), best]
+        langs = np.asarray(self.langs, dtype=object)[best]
+        langs[best_hits == 0] = "und"
+        conf = np.round(best_hits / np.maximum(counts.astype(np.float64), 1.0), 6)
+        conf[best_hits == 0] = 0.0
         return pa.table(
             {
                 "id": batch.column(self.id_column).cast(pa.int64()),
                 "lang_pred": pa.array(langs, type=pa.string()),
-                "lang_conf": pa.array(confs, type=pa.float64()),
+                "lang_conf": pa.array(conf, type=pa.float64()),
             }
         )
 
@@ -148,33 +186,46 @@ def language_id(ds, text_column: str, id_column: str, concurrency=None):
 def fingerprints(ds, text_column: str, id_column: str, window: int = 16):
     """(id, fingerprint) — winnowed rolling-hash document fingerprint.
 
-    Rolling polynomial hash over the token-hash stream, min-sampled per
-    window (winnowing): near-identical docs share fingerprints, any edit
-    changes only nearby windows.
+    Rolling polynomial hash (4-token windows) over the token-hash stream,
+    min-sampled per ``window`` (winnowing): near-identical docs share
+    fingerprints, any edit changes only nearby windows. Roll computation is
+    one global pass; window minima are one ``minimum.reduceat``; only the
+    final tiny per-doc combine (≈ n_tokens/window values) loops.
     """
-    from ..functions.hashing import hash64_strings
-
     base = np.uint64(0x100000001B3)
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = tokenize_many(batch.column(text_column).to_pylist())
-        out = np.zeros(len(toks), dtype=np.uint64)
-        for i, t in enumerate(toks):
-            if not t:
+        hashes, _lens, counts = token_stream(batch.column(text_column), _TOKEN_SEED)
+        n_docs = len(counts)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        n = len(hashes)
+        k = 4
+        if n >= k:
+            # global roll; per-doc slices below use only windows fully
+            # inside the doc (start ≤ doc_start + count - k)
+            roll = hashes[: n - k + 1].copy()
+            for j in range(1, k):
+                roll *= base
+                roll += hashes[j : n - k + 1 + j]
+        else:
+            roll = np.zeros(0, dtype=np.uint64)
+        starts = _seg_starts(counts)
+        for d in range(n_docs):
+            c = counts[d]
+            if c == 0:
                 continue
-            h = hash64_strings(t, seed=3)
-            if len(h) >= 4:
-                roll = h[:-3] * base + h[1:-2]
-                roll = roll * base + h[2:-1]
-                roll = roll * base + h[3:]
+            s = starts[d]
+            if c >= k:
+                r = roll[s : s + c - k + 1]
             else:
-                roll = h
-            n_win = max(1, len(roll) // window)
-            mins = [roll[w * window : (w + 1) * window].min() for w in range(n_win)]
+                r = hashes[s : s + c]
+            n_win = max(1, len(r) // window)
+            w_starts = np.arange(n_win, dtype=np.int64) * window
+            mins = np.minimum.reduceat(r[: n_win * window] if n_win * window <= len(r) else r, w_starts)
             acc = np.uint64(0)
             for m in mins:
                 acc = acc * base + np.uint64(m)
-            out[i] = acc
+            out[d] = acc
         return pa.table(
             {
                 "id": batch.column(id_column).cast(pa.int64()),
