@@ -107,6 +107,20 @@ def run_bench(sf_dir: str, num_cpus: int, er_only: bool = False) -> dict:
         er_sec = time.monotonic() - t0
         timings["er_pipeline"] = round(er_sec, 3)
 
+        # pairwise F1 vs the generator's gold entity labels — reported with
+        # every bench run (outside the timed window) so throughput numbers
+        # are always accompanied by correctness (SURVEY §5 / reference
+        # `report`, takco/evaluate/__init__.py:77-141)
+        er_f1 = None
+        gold_path = os.path.join(corpus_dir, "labels.parquet")
+        if os.path.exists(gold_path):
+            import ray.data as rd
+            from takco_ray.stages.report import score_clusters
+
+            gold = rd.read_parquet(gold_path, columns=["file_id", "entity_id"])
+            rep = score_clusters(result["labels"], gold).take_all()[0]
+            er_f1 = rep["f1"]
+
         if not er_only:
             queries = build_queries()
             for name in BENCH_QUERIES:
@@ -128,6 +142,7 @@ def run_bench(sf_dir: str, num_cpus: int, er_only: bool = False) -> dict:
             "er_files": manifest["n_files"],
             "er_files_per_s": round(manifest["n_files"] / er_sec, 1),
             "er_labels": int(n_labels),
+            "er_pairwise_f1": er_f1,
         }
     finally:
         ray.shutdown()

@@ -110,16 +110,25 @@ def hash_token_runs(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, se
     h = np.full(n, _FNV_INIT ^ np.uint64(seed * 0x9E3779B97F4A7C15 & (1 << 64) - 1), dtype=np.uint64)
     if n == 0:
         return h
-    max_len = int(lengths.max())
-    # one padded gather (n_tokens × max_len) replaces per-position fancy
-    # indexing; each Horner step is then a contiguous column pass
-    idx = starts[:, None] + np.arange(max_len, dtype=np.int64)[None, :]
-    np.minimum(idx, len(buf) - 1, out=idx)
-    mat = buf[idx]  # (n, max_len) uint8
-    for j in range(max_len):
-        active = lengths > j
-        hb = (h ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
-        h = np.where(active, hb, h)
+    # chunked padded gather: the (chunk × max_len) byte matrix replaces
+    # per-position fancy indexing while keeping temporaries cache-sized
+    # (an unchunked n_tokens × max_len int64 index matrix is ~1 GB for a
+    # 100 MB batch — enough to stall 32 concurrent workers on memory)
+    chunk_n = 262_144
+    for c0 in range(0, n, chunk_n):
+        c1 = min(c0 + chunk_n, n)
+        st = starts[c0:c1]
+        ln = lengths[c0:c1]
+        max_len = int(ln.max()) if c1 > c0 else 0
+        idx = st[:, None] + np.arange(max_len, dtype=np.int64)[None, :]
+        np.minimum(idx, len(buf) - 1, out=idx)
+        mat = buf[idx]  # (chunk, max_len) uint8
+        hc = h[c0:c1]
+        for j in range(max_len):
+            active = ln > j
+            hb = (hc ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+            hc = np.where(active, hb, hc)
+        h[c0:c1] = hc
     # splitmix64-style avalanche
     h ^= h >> np.uint64(30)
     h *= _MIX1

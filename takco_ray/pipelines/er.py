@@ -108,7 +108,7 @@ def er_pipeline(
             _ray.cluster_resources().get("CPU", 8)
         )
         files = read_files_corpus(paths, override_num_blocks=n_blocks)
-        fp = fingerprint_stage(files)
+        fp = fingerprint_stage(files, batch_size=2048)
         src_col = "content"
         if cfg.normalize:
             fp = normalize_content(fp).map_batches(
@@ -117,7 +117,9 @@ def er_pipeline(
             )
             src_col = "content_norm"
         # task-based (not actor-pool): minhash state is ~2 KB and cached per
-        # worker process, so the elastic task pool saturates all CPUs
+        # worker process, so the elastic task pool saturates all CPUs.
+        # batch_size bounds per-task content in memory (~2048 × file size);
+        # a whole 100 MB read block per batch starves concurrent workers.
         return fp.map_batches(
             make_signature_fn(
                 num_perm=cfg.num_perm,
@@ -128,6 +130,7 @@ def er_pipeline(
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
+            batch_size=2048,
         )
 
     # materialized: consumed by the count pre-pass, the blocking shuffle AND

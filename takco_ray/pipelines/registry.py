@@ -1,0 +1,279 @@
+"""Generic config-driven pipeline: a TOML stage list over named datasets.
+
+The reference resolves a TOML step list against ``TableSet`` methods with
+signature-based config injection and per-step jsonl caches
+(``takco/__init__.py:654-695``, ``chain_step``). Here the same shape is a
+registry of OPS over named Ray Datasets:
+
+    workdir = "/tmp/ckpt"            # optional: enables per-stage resume
+
+    [[stage]]
+    op = "read_parquet"
+    path = "/data/documents.parquet"
+    columns = ["doc_id", "text"]
+    output = "docs"
+
+    [[stage]]
+    op = "exact_dedup"
+    input = "docs"
+    text_column = "text"
+    id_column = "doc_id"
+    output = "uniq"
+
+    [[stage]]
+    op = "write_parquet"
+    input = "uniq"
+    path = "/data/out"
+
+Every stage with an ``output`` is checkpointed under ``workdir`` (Parquet +
+lineage fingerprint chained through its inputs' fingerprints + the input
+manifest for reads), so a rerun resumes from the first changed stage —
+``chain_step`` semantics without the stale-cache footgun.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import ray.data
+
+from ..state import StageRunner, stage_fingerprint
+from ..state.checkpoint import input_manifest, manifest_for_dir
+
+OPS: dict[str, Callable] = {}
+
+
+def op(name: str):
+    def deco(f):
+        OPS[name] = f
+        return f
+
+    return deco
+
+
+def _ds(ctx, cfg, key="input"):
+    name = cfg[key]
+    if name not in ctx:
+        raise KeyError(f"stage input {name!r} not produced by any earlier stage")
+    return ctx[name]
+
+
+# ---- sources / sinks -----------------------------------------------------
+
+@op("read_parquet")
+def _read_parquet(ctx, cfg):
+    return ray.data.read_parquet(cfg["path"], columns=cfg.get("columns"))
+
+
+@op("read_csv")
+def _read_csv(ctx, cfg):
+    return ray.data.read_csv(cfg["path"])
+
+
+@op("read_json")
+def _read_json(ctx, cfg):
+    return ray.data.read_json(cfg["path"])
+
+
+@op("write_parquet")
+def _write_parquet(ctx, cfg):
+    _ds(ctx, cfg).write_parquet(cfg["path"])
+    return None
+
+
+# ---- row-level transforms ------------------------------------------------
+
+@op("filter")
+def _filter(ctx, cfg):
+    return _ds(ctx, cfg).filter(expr=cfg["expr"])
+
+
+@op("select_columns")
+def _select(ctx, cfg):
+    return _ds(ctx, cfg).select_columns(cfg["columns"])
+
+
+@op("limit")
+def _limit(ctx, cfg):
+    return _ds(ctx, cfg).limit(int(cfg["n"]))
+
+
+@op("normalize_content")
+def _normalize(ctx, cfg):
+    from ..stages.normalize import normalize_content
+
+    kw = {k: cfg[k] for k in ("content_column", "out_column", "strip_comments", "collapse_whitespace") if k in cfg}
+    return normalize_content(_ds(ctx, cfg), **kw)
+
+
+@op("fingerprint")
+def _fingerprint(ctx, cfg):
+    from ..stages.normalize import fingerprint
+
+    return fingerprint(_ds(ctx, cfg))
+
+
+# ---- dedup family --------------------------------------------------------
+
+def _text_kw(cfg, extra=()):
+    keys = ("text_column", "id_column") + tuple(extra)
+    return {k: cfg[k] for k in keys if k in cfg}
+
+
+@op("exact_dedup")
+def _exact_dedup(ctx, cfg):
+    from ..stages import dedup
+
+    return dedup.exact_dedup(_ds(ctx, cfg), **_text_kw(cfg))
+
+
+@op("minhash_dedup")
+def _minhash_dedup(ctx, cfg):
+    from ..stages import dedup
+
+    return dedup.minhash_dedup(
+        _ds(ctx, cfg),
+        **_text_kw(cfg, ("num_perm", "num_bands", "shingle_k", "seed", "threshold", "max_block_size")),
+    )
+
+
+@op("simhash_dedup")
+def _simhash_dedup(ctx, cfg):
+    from ..stages import dedup
+
+    return dedup.simhash_dedup(_ds(ctx, cfg), **_text_kw(cfg, ("seed",)))
+
+
+@op("ngram_jaccard_pairs")
+def _ngram_jaccard(ctx, cfg):
+    from ..stages import dedup
+
+    return dedup.ngram_jaccard_pairs(
+        _ds(ctx, cfg), **_text_kw(cfg, ("shingle_k", "threshold"))
+    )
+
+
+# ---- text analysis -------------------------------------------------------
+
+@op("quality_scores")
+def _quality(ctx, cfg):
+    from ..stages import textstats
+
+    return textstats.quality_scores(_ds(ctx, cfg), **_text_kw(cfg))
+
+
+@op("language_id")
+def _language_id(ctx, cfg):
+    from ..stages import textstats
+
+    return textstats.language_id(_ds(ctx, cfg), **_text_kw(cfg))
+
+
+@op("token_counts")
+def _token_counts(ctx, cfg):
+    from ..stages import textstats
+
+    return textstats.token_counts(_ds(ctx, cfg), **_text_kw(cfg))
+
+
+@op("fingerprints")
+def _fingerprints(ctx, cfg):
+    from ..stages import textstats
+
+    return textstats.fingerprints(_ds(ctx, cfg), **_text_kw(cfg))
+
+
+# ---- relational ----------------------------------------------------------
+
+@op("join")
+def _join(ctx, cfg):
+    right = _ds(ctx, cfg, "right")
+    return _ds(ctx, cfg).join(
+        right,
+        join_type=cfg.get("join_type", "inner"),
+        num_partitions=int(cfg.get("num_partitions", 16)),
+        on=tuple(cfg["on"]),
+        right_on=tuple(cfg["right_on"]) if "right_on" in cfg else None,
+    )
+
+
+@op("union")
+def _union(ctx, cfg):
+    return _ds(ctx, cfg).union(_ds(ctx, cfg, "other"))
+
+
+# ---- composite pipelines -------------------------------------------------
+
+@op("er")
+def _er(ctx, cfg):
+    from .er import ERConfig, er_pipeline
+
+    er_kwargs = {k: v for k, v in cfg.items() if k in ERConfig.__dataclass_fields__}
+    if "scorer_concurrency" in er_kwargs and isinstance(er_kwargs["scorer_concurrency"], list):
+        er_kwargs["scorer_concurrency"] = tuple(er_kwargs["scorer_concurrency"])
+    result = er_pipeline(
+        cfg["corpus"], ERConfig(**er_kwargs), checkpoint_root=cfg.get("er_workdir")
+    )
+    return result["labels"]
+
+
+@op("score_clusters")
+def _score_clusters(ctx, cfg):
+    from ..stages.report import score_clusters
+
+    kw = {
+        k: cfg[k]
+        for k in ("id_column", "label_column", "gold_column", "num_partitions")
+        if k in cfg
+    }
+    return score_clusters(_ds(ctx, cfg), _ds(ctx, cfg, "gold"), **kw)
+
+
+# ---- executor ------------------------------------------------------------
+
+def run_pipeline(cfg: dict) -> dict:
+    """Execute a ``[[stage]]`` list; returns ``{"datasets": {...}, "metrics": {...}}``.
+
+    Stage fingerprints chain: op + kwargs + input-dataset fingerprints (+
+    file manifest for reads), so any upstream change re-runs exactly the
+    affected suffix of the pipeline. Stages without an ``output`` name
+    (sinks) always execute.
+    """
+    stages = cfg.get("stage", [])
+    runner = StageRunner(cfg.get("workdir"))
+    ctx: dict = {}
+    fps: dict = {}
+    for i, st in enumerate(stages):
+        st = dict(st)
+        op_name = st.pop("op")
+        if op_name not in OPS:
+            raise KeyError(f"unknown op {op_name!r}; known: {sorted(OPS)}")
+        out_name = st.pop("output", None)
+        upstream = [fps[st[k]] for k in ("input", "right", "other", "gold") if k in st and st[k] in fps]
+        extra = {}
+        if op_name.startswith("read_") and "path" in st:
+            p = st["path"]
+            try:
+                extra["manifest"] = (
+                    manifest_for_dir(p) if os.path.isdir(p) else input_manifest([p])
+                )
+            except OSError:
+                pass
+        if op_name == "er" and "corpus" in st:
+            try:
+                extra["manifest"] = manifest_for_dir(st["corpus"])
+            except OSError:
+                pass
+        fp = stage_fingerprint(f"{i:02d}-{op_name}", {**st, **extra}, upstream=upstream)
+        stage_key = f"{i:02d}-{op_name}"
+
+        fn = OPS[op_name]
+        if out_name is None:
+            result = fn(ctx, st)  # sink: always executes
+            runner.metrics[stage_key] = {"sink": True}
+            continue
+        result = runner.run(stage_key, fp, lambda: fn(ctx, st), materialize=False)
+        ctx[out_name] = result
+        fps[out_name] = fp
+    return {"datasets": ctx, "metrics": runner.metrics}

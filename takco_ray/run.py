@@ -30,6 +30,12 @@ import tomllib
 def run_config(path: str) -> dict:
     with open(path, "rb") as f:
         cfg = tomllib.load(f)
+    if "stage" in cfg:
+        # generic [[stage]] pipeline (registry.py): compose dedup / textstats
+        # / ANN / ER stages from config with per-stage checkpoints
+        from .pipelines.registry import run_pipeline
+
+        return run_pipeline(cfg)["metrics"]
     from .pipelines.er import ERConfig, er_pipeline
 
     er_kwargs = cfg.get("er", {})

@@ -45,3 +45,6 @@ __all__ = [
     "ngram_jaccard_pairs",
     "partitioned_group_map",
 ]
+from .report import score_clusters
+
+__all__.append("score_clusters")

@@ -173,3 +173,41 @@ def test_normalize_clusters_comment_churn(ray_session, tmp_path):
 
     assert raw_labels["p/0.py"] != raw_labels["p/1.py"], "comment churn should break raw similarity"
     assert norm_labels["p/0.py"] == norm_labels["p/1.py"], "normalization should restore the clone pair"
+
+
+def test_generic_stage_pipeline_with_resume(ray_session, tmp_path):
+    """[[stage]] TOML: exact-dedup → minhash-dedup → quality-filter chain
+    end-to-end with per-stage checkpoints and resume (reference chain_step,
+    takco/__init__.py:654-695)."""
+    import pyarrow.parquet as pq
+    from takco_ray.run import run_config
+
+    workdir = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        f'workdir = "{workdir}"\n'
+        "[[stage]]\n"
+        'op = "read_parquet"\npath = "/root/testdata/sf0.001/documents.parquet"\n'
+        'columns = ["doc_id", "text"]\noutput = "docs"\n'
+        "[[stage]]\n"
+        'op = "exact_dedup"\ninput = "docs"\ntext_column = "text"\nid_column = "doc_id"\noutput = "uniq"\n'
+        "[[stage]]\n"
+        'op = "minhash_dedup"\ninput = "uniq"\ntext_column = "text"\nid_column = "doc_id"\nthreshold = 0.5\noutput = "neardup"\n'
+        "[[stage]]\n"
+        'op = "filter"\ninput = "neardup"\nexpr = "is_representative == True"\noutput = "reps"\n'
+        "[[stage]]\n"
+        'op = "quality_scores"\ninput = "docs"\ntext_column = "text"\nid_column = "doc_id"\noutput = "scores"\n'
+        "[[stage]]\n"
+        'op = "filter"\ninput = "scores"\nexpr = "quality > 0.2"\noutput = "good"\n'
+        "[[stage]]\n"
+        'op = "write_parquet"\ninput = "good"\npath = "' + outdir + '"\n'
+    )
+    m1 = run_config(str(cfg))
+    assert not any(v.get("skipped") for v in m1.values() if isinstance(v, dict))
+    rows = pq.read_table(outdir).num_rows
+    assert rows > 0
+    # resume: all dataset-producing stages reuse checkpoints
+    m2 = run_config(str(cfg))
+    produced = {k: v for k, v in m2.items() if isinstance(v, dict) and not v.get("sink")}
+    assert produced and all(v.get("skipped") for v in produced.values())

@@ -186,3 +186,44 @@ def test_media_features_deterministic_schema(ray_session):
     a = np.stack(out.sort_values("media_id").feature.to_numpy())
     b = np.stack(out2.sort_values("media_id").feature.to_numpy())
     assert np.array_equal(a, b)
+
+
+def test_score_clusters_report(ray_session):
+    """Pairwise P/R/F1 from contingency counts vs a hand-computed oracle."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.report import score_clusters
+
+    # pred clusters: {1,2,3}, {4,5}, {6}; gold: {1,2}, {3,4,5}, {6}
+    ids = [1, 2, 3, 4, 5, 6]
+    pred = [10, 10, 10, 20, 20, 30]
+    gold = [100, 100, 200, 200, 200, 300]
+    labels = ray.data.from_arrow(
+        pa.table({"file_id": ids, "cluster_id": pred})
+    )
+    gold_ds = ray.data.from_arrow(
+        pa.table({"file_id": ids, "entity_id": gold})
+    )
+    out = score_clusters(labels, gold_ds).take_all()[0]
+
+    def pairs(assign):
+        by = {}
+        for i, a in zip(ids, assign):
+            by.setdefault(a, []).append(i)
+        return {
+            frozenset(p)
+            for members in by.values()
+            for p in itertools.combinations(members, 2)
+        }
+
+    pp, gp = pairs(pred), pairs(gold)
+    tp = pp & gp
+    assert out["pred_pairs"] == len(pp)
+    assert out["gold_pairs"] == len(gp)
+    assert out["tp_pairs"] == len(tp)
+    prec, rec = len(tp) / len(pp), len(tp) / len(gp)
+    assert abs(out["precision"] - prec) < 1e-9
+    assert abs(out["recall"] - rec) < 1e-9
+    assert abs(out["f1"] - 2 * prec * rec / (prec + rec)) < 1e-9
