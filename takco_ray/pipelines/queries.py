@@ -463,13 +463,87 @@ def q_ngram_jaccard_docs(sf_dir: str):
 
 
 def q_language_id_docs(sf_dir: str):
+    """Language-ID predictions (SQL-oracled on the string label; the float
+    confidence stays operator-level — round() tie semantics differ across
+    engines)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return textstats.language_id(ds, text_column="text", id_column="doc_id")
+    return textstats.language_id(ds, text_column="text", id_column="doc_id").select_columns(
+        ["id", "lang_pred"]
+    )
+
+
+def _sql_language_id() -> str:
+    from ..stages.textstats import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    hits = ",\n       ".join(
+        "len(list_filter(toks, t -> t IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[l])), l
+        )
+        for l in langs
+    )
+    # first-maximum tie-break in profile order — same as numpy argmax
+    case = "CASE WHEN greatest({all}) = 0 THEN 'und' ".format(
+        all=", ".join(f"h_{l}" for l in langs)
+    )
+    for i, l in enumerate(langs[:-1]):
+        rest = ", ".join(f"h_{m}" for m in langs[i + 1 :])
+        case += f"WHEN h_{l} >= greatest({rest}) THEN '{l}' "
+    case += f"ELSE '{langs[-1]}' END AS lang_pred"
+    return f"""
+WITH tokd AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '\\w+') AS toks FROM documents
+), hits AS (
+  SELECT id, {hits} FROM tokd
+)
+SELECT id, {case} FROM hits
+"""
 
 
 def q_doc_quality(sf_dir: str):
+    """Quality scores in int64 micro-units — engine-independent floor(x·1e6
+    + 0.5) over identical IEEE expressions, so the typed value hash matches
+    DuckDB exactly (no round() tie-break differences)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return textstats.quality_scores(ds, text_column="text", id_column="doc_id")
+    return textstats.quality_scores(ds, text_column="text", id_column="doc_id", units=True)
+
+
+_EN_STOP_SQL = None
+
+
+def _sql_doc_quality() -> str:
+    from ..stages.textstats import _LANG_PROFILES
+
+    en = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"]))
+    return f"""
+WITH tokd AS (
+  SELECT doc_id AS id,
+         CAST(length(text) AS DOUBLE) AS n_chars_f,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+         regexp_extract_all(lower(text), '\\w+') AS toks
+  FROM documents
+), feat AS (
+  SELECT id, n_chars_f,
+         punct / greatest(n_chars_f, 1.0) AS punct_ratio,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS mean_tok,
+         CAST(len(list_filter(toks, t -> t IN ({en}))) AS DOUBLE)
+           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stop_ratio
+  FROM tokd
+)
+SELECT id,
+       CAST(n_chars_f AS BIGINT) AS n_chars,
+       CAST(floor(punct_ratio * 1000000 + 0.5) AS BIGINT) AS punct_ratio_u,
+       CAST(floor(mean_tok * 1000000 + 0.5) AS BIGINT) AS mean_token_len_u,
+       CAST(floor(stop_ratio * 1000000 + 0.5) AS BIGINT) AS stopword_ratio_u,
+       CAST(floor(
+         (least(greatest(n_chars_f / 200.0, 0.0), 1.0) * 0.25
+          + least(greatest(1.0 - 4.0 * punct_ratio, 0.0), 1.0) * 0.25
+          + least(greatest(1.0 - abs(mean_tok - 5.0) / 5.0, 0.0), 1.0) * 0.25
+          + least(greatest(stop_ratio * 4.0, 0.0), 1.0) * 0.25) * 1000000 + 0.5
+       ) AS BIGINT) AS quality_u
+FROM feat
+"""
 
 
 def q_doc_fingerprints(sf_dir: str):
@@ -478,6 +552,9 @@ def q_doc_fingerprints(sf_dir: str):
 
 
 def q_embedding_topk(sf_dir: str):
+    """Exact top-5 neighbors per query (SQL-oracled on (query, neighbor,
+    rank); the raw cosine stays operator-level — summation order makes the
+    float differ across engines at ~1e-15)."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qtab = (
         read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -485,9 +562,56 @@ def q_embedding_topk(sf_dir: str):
         .to_pandas()
     )
     qmat = np.stack(qtab.embedding.to_numpy())
-    return ann_stages.brute_topk(
+    out = ann_stages.brute_topk(
         emb, qtab.vec_id.to_numpy(), qmat, k=5, id_column="vec_id", emb_column="embedding"
     )
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+SQL_EMBEDDING_TOPK = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                    e.vec_id ASC
+         ) AS rank
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id < 10
+) WHERE rank <= 5
+"""
+
+
+def q_ngram_jaccard_exact(sf_dir: str):
+    """EXACT shingle-set Jaccard pairs ≥ 0.5 (SURVEY §2.3 ST2 CellJacc
+    analog) — candidates from shared-shingle buckets are exhaustive for any
+    positive threshold, so DuckDB's brute-force cross join is a true oracle.
+    """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stages.ngram_jaccard_exact(
+        ds, text_column="text", id_column="doc_id", shingle_k=3, threshold=0.5
+    )
+
+
+SQL_NGRAM_JACCARD_EXACT = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+           list_transform(
+             range(1, len(regexp_extract_all(lower(text), '\w+')) - 1),
+             i -> regexp_extract_all(lower(text), '\w+')[i] || ' ' ||
+                  regexp_extract_all(lower(text), '\w+')[i+1] || ' ' ||
+                  regexp_extract_all(lower(text), '\w+')[i+2]
+           )) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_intersect(a.s, b.s)) AS c, len(a.s) AS n1, len(b.s) AS n2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) AS jaccard
+FROM pairs
+WHERE c > 0 AND CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= 0.5
+"""
 
 
 def q_embedding_lsh_pairs(sf_dir: str):
@@ -553,6 +677,8 @@ def build_queries() -> dict:
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
+        # SQL-oracled (moved up from rows-only in round 2)
+        "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "language_id_docs": q_language_id_docs,
         "doc_quality": q_doc_quality,
         "doc_fingerprints": q_doc_fingerprints,
@@ -578,4 +704,8 @@ def build_oracle_sql() -> dict:
         "token_counts_docs": SQL_TOKEN_COUNTS,
         "doc_char_stats": SQL_DOC_CHAR_STATS,
         "embedding_neighbors": SQL_EMBEDDING_NEIGHBORS,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "ngram_jaccard_exact": SQL_NGRAM_JACCARD_EXACT,
+        "doc_quality": _sql_doc_quality(),
+        "language_id_docs": _sql_language_id(),
     }

@@ -352,3 +352,135 @@ def ngram_jaccard_pairs(
 
     keyed = raw.map_batches(add_pair_key, batch_format="pyarrow", zero_copy_batch=True)
     return partitioned_group_map(keyed, "__pair", first_per_pair, _parts())
+
+
+def ngram_jaccard_exact(
+    ds,
+    text_column: str,
+    id_column: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+):
+    """EXACT n-gram Jaccard pairs (id1, id2, jaccard) — SQL-oracle-able.
+
+    Candidates via shared-shingle buckets: any pair with Jaccard > 0 shares
+    at least one distinct shingle, so bucketing by shingle hash is exact,
+    not probabilistic. Per-bucket pairs are counted per (id1, id2) across
+    buckets — each shared distinct shingle contributes one row — giving
+    |A∩B| exactly; |A∪B| = n1 + n2 − |A∩B|. Two grouped passes total.
+
+    Partitioning assumption: common-shingle buckets are quadratic in bucket
+    size — this is the *audit* operator for moderate corpora; at web scale
+    use the LSH-estimated :func:`ngram_jaccard_pairs` (stop-shingles would
+    need demotion/caps, which would break exactness).
+    """
+    from ..functions.tokenize import token_stream
+
+    _BASE = np.uint64(0x9E3779B97F4A7C15)
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        hashes, _lens, counts = token_stream(batch.column(text_column), 41)
+        ids = np.asarray(batch.column(id_column).combine_chunks(), dtype=np.int64)
+        n = len(hashes)
+        n_docs = len(counts)
+        k = shingle_k
+        parents = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        if n >= k:
+            acc = hashes[: n - k + 1].copy()
+            for j in range(1, k):
+                acc *= _BASE
+                acc += hashes[j : n - k + 1 + j]
+            valid = parents[: n - k + 1] == parents[k - 1 :]
+            sh = acc[valid]
+            par = parents[: n - k + 1][valid]
+        else:
+            sh = np.zeros(0, dtype=np.uint64)
+            par = np.zeros(0, dtype=np.int64)
+        # distinct shingles per doc
+        order = np.lexsort((sh, par))
+        sh, par = sh[order], par[order]
+        first = (
+            np.concatenate([[True], (par[1:] != par[:-1]) | (sh[1:] != sh[:-1])])
+            if len(sh)
+            else np.zeros(0, dtype=bool)
+        )
+        sh, par = sh[first], par[first]
+        n_sh = np.bincount(par, minlength=n_docs).astype(np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(sh.view(np.int64), type=pa.int64()),
+                "id": pa.array(ids[par], type=pa.int64()),
+                "n_sh": pa.array(n_sh[par], type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        sh = np.asarray(part.column("shingle").combine_chunks(), dtype=np.int64)
+        ids = np.asarray(part.column("id").combine_chunks(), dtype=np.int64)
+        nsh = np.asarray(part.column("n_sh").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ids, sh))
+        sh, ids, nsh = sh[order], ids[order], nsh[order]
+        starts = segment_boundaries(sh)
+        cnts = np.diff(np.append(starts, len(sh)))
+        ii_p: list = []
+        jj_p: list = []
+        for s, m in zip(starts[cnts >= 2], cnts[cnts >= 2]):
+            li, lj = np.triu_indices(m, k=1)
+            ii_p.append(li + s)
+            jj_p.append(lj + s)
+        if not ii_p:
+            return pa.table(
+                {
+                    "id1": pa.array([], type=pa.int64()),
+                    "id2": pa.array([], type=pa.int64()),
+                    "n1": pa.array([], type=pa.int64()),
+                    "n2": pa.array([], type=pa.int64()),
+                    "pair_key": pa.array([], type=pa.int64()),
+                }
+            )
+        ii = np.concatenate(ii_p)
+        jj = np.concatenate(jj_p)
+        pk = (ids[ii].view(np.uint64) * _PAIR_MIX + ids[jj].view(np.uint64)).view(np.int64)
+        return pa.table(
+            {
+                "id1": pa.array(ids[ii], type=pa.int64()),
+                "id2": pa.array(ids[jj], type=pa.int64()),
+                "n1": pa.array(nsh[ii], type=pa.int64()),
+                "n2": pa.array(nsh[jj], type=pa.int64()),
+                "pair_key": pa.array(pk, type=pa.int64()),
+            }
+        )
+
+    pairs = partitioned_group_map(rows, "shingle", bucket_pairs, _parts())
+
+    def count_pairs(part: pa.Table) -> pa.Table:
+        pk = np.asarray(part.column("pair_key").combine_chunks(), dtype=np.int64)
+        i1 = np.asarray(part.column("id1").combine_chunks(), dtype=np.int64)
+        i2 = np.asarray(part.column("id2").combine_chunks(), dtype=np.int64)
+        n1 = np.asarray(part.column("n1").combine_chunks(), dtype=np.int64)
+        n2 = np.asarray(part.column("n2").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((i2, i1, pk))
+        pk, i1, i2, n1, n2 = pk[order], i1[order], i2[order], n1[order], n2[order]
+        both = (
+            np.concatenate(
+                [[True], (pk[1:] != pk[:-1]) | (i1[1:] != i1[:-1]) | (i2[1:] != i2[:-1])]
+            )
+            if len(pk)
+            else np.zeros(0, dtype=bool)
+        )
+        starts = np.flatnonzero(both)
+        c = np.diff(np.append(starts, len(pk)))  # |A∩B|
+        i1s, i2s, n1s, n2s = i1[starts], i2[starts], n1[starts], n2[starts]
+        jac = c.astype(np.float64) / (n1s + n2s - c).astype(np.float64)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id1": pa.array(i1s[keep], type=pa.int64()),
+                "id2": pa.array(i2s[keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return partitioned_group_map(pairs, "pair_key", count_pairs, _parts())

@@ -90,12 +90,17 @@ def token_counts(ds, text_column: str, id_column: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def quality_scores(ds, text_column: str, id_column: str):
+def quality_scores(ds, text_column: str, id_column: str, units: bool = False):
     """(id, n_chars, punct_ratio, mean_token_len, stopword_ratio, quality).
 
     ``quality`` ∈ [0,1]: long-enough docs with moderate punctuation, natural
     token lengths and some stopwords score high — the usual cheap pre-filter
     in training-data pipelines. Deterministic, fully vectorized.
+
+    ``units=True`` emits int64 micro-units ``floor(x·10⁶ + 0.5)`` computed
+    from the RAW doubles — engine-independent (identical IEEE expression on
+    the SQL side; no round() tie-breaking enters), which is what the driver
+    oracle compares.
     """
     en = _profile_hashes(_LANG_PROFILES["en"])
 
@@ -120,6 +125,22 @@ def quality_scores(ds, text_column: str, id_column: str):
             + np.clip(stop_ratio * 4.0, 0, 1) * 0.25
         )
         # empty docs: token-derived features are 0 by construction
+        if units:
+            def u(x):
+                return pa.array(
+                    np.floor(x * 1e6 + 0.5).astype(np.int64), type=pa.int64()
+                )
+
+            return pa.table(
+                {
+                    "id": batch.column(id_column).cast(pa.int64()),
+                    "n_chars": pa.array(n_chars.astype(np.int64), type=pa.int64()),
+                    "punct_ratio_u": u(punct_ratio),
+                    "mean_token_len_u": u(mean_tok),
+                    "stopword_ratio_u": u(stop_ratio),
+                    "quality_u": u(quality),
+                }
+            )
         return pa.table(
             {
                 "id": batch.column(id_column).cast(pa.int64()),
