@@ -455,6 +455,15 @@ def q_simhash_docs(sf_dir: str):
     return dedup_stages.simhash_dedup(ds, text_column="text", id_column="doc_id")
 
 
+def q_simhash_neardup_docs(sf_dir: str):
+    """Hamming-ball SimHash near-dup clusters (exact-recall banding +
+    popcount verify; rows-only — gated by the brute-force pytest oracle)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stages.simhash_neardup(
+        ds, text_column="text", id_column="doc_id", max_hamming=3
+    )
+
+
 def q_ngram_jaccard_docs(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return dedup_stages.ngram_jaccard_pairs(
@@ -676,6 +685,7 @@ def build_queries() -> dict:
         # rows-only (non-SQL-expressible)
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
+        "simhash_neardup_docs": q_simhash_neardup_docs,
         "ngram_jaccard_docs": q_ngram_jaccard_docs,
         # SQL-oracled (moved up from rows-only in round 2)
         "ngram_jaccard_exact": q_ngram_jaccard_exact,

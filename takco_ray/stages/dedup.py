@@ -484,3 +484,187 @@ def ngram_jaccard_exact(
         )
 
     return partitioned_group_map(pairs, "pair_key", count_pairs, _parts())
+
+
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays (byte-LUT popcount)."""
+    x = np.bitwise_xor(a, b)
+    return _POPCOUNT_LUT[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def simhash_neardup(
+    ds,
+    text_column: str,
+    id_column: str,
+    seed: int = 7,
+    max_hamming: int = 3,
+):
+    """(id, cluster_id, is_representative) — SimHash Hamming-ball near-dup.
+
+    EXACT-recall banding: the 64-bit simhash splits into ``max_hamming + 1``
+    bands — two hashes within Hamming distance d must agree exactly on at
+    least one band (pigeonhole), so a ``groupby(band)`` with in-block
+    popcount verification finds every qualifying pair. Same wide-op shape as
+    the MinHash ladder: band groupby → verified edges → transitive CC →
+    singleton attach. Cross-band duplicate edges are collapsed by CC itself.
+    """
+    from .components import cc_forest, label_rows
+    from .groupmap import partitioned_group_map as _pgm
+
+    nb = max_hamming + 1
+    width = 64 // nb
+    shifts = [np.uint64(i * width) for i in range(nb)]
+    masks = [
+        np.uint64((1 << (64 - i * width)) - 1) if i == nb - 1 else np.uint64((1 << width) - 1)
+        for i in range(nb)
+    ]
+    _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    fp = ds.map_batches(
+        _SimHasher,
+        fn_constructor_kwargs=dict(
+            text_column=text_column, id_column=id_column, seed=seed
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=default_concurrency(),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch.column("simhash").combine_chunks(), dtype=np.int64).view(np.uint64)
+        ids = np.asarray(batch.column("id").combine_chunks(), dtype=np.int64)
+        keys: list = []
+        for bi in range(nb):
+            bv = (h >> shifts[bi]) & masks[bi]
+            keys.append((bv * _BAND_MIX + np.uint64(bi + 1)).view(np.int64))
+        n = len(h)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(keys), type=pa.int64()),
+                "id": pa.array(np.tile(ids, nb), type=pa.int64()),
+                "simhash": pa.array(np.tile(h.view(np.int64), nb), type=pa.int64()),
+            }
+        )
+
+    def block_edges(part: pa.Table) -> pa.Table:
+        b = np.asarray(part.column("band").combine_chunks(), dtype=np.int64)
+        ids = np.asarray(part.column("id").combine_chunks(), dtype=np.int64)
+        h = np.asarray(part.column("simhash").combine_chunks(), dtype=np.int64).view(np.uint64)
+        order = np.lexsort((ids, b))
+        b, ids, h = b[order], ids[order], h[order]
+        starts = segment_boundaries(b)
+        cnts = np.diff(np.append(starts, len(b)))
+        uu: list = []
+        vv: list = []
+        for s, m in zip(starts[cnts >= 2], cnts[cnts >= 2]):
+            li, lj = np.triu_indices(m, k=1)
+            d = _hamming64(h[s + li], h[s + lj])
+            keep = d <= max_hamming
+            if keep.any():
+                uu.append(ids[s + li[keep]])
+                vv.append(ids[s + lj[keep]])
+        if not uu:
+            return pa.table(
+                {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate(uu), type=pa.int64()),
+                "v": pa.array(np.concatenate(vv), type=pa.int64()),
+            }
+        )
+
+    edges = _pgm(fp.map_batches(explode, batch_format="pyarrow"), "band", block_edges, _parts())
+    star = cc_forest(edges, num_partitions=_parts())
+    raw = label_rows(star)
+    ids_only = fp.select_columns(["id"]).map_batches(
+        lambda t: pa.table({"file_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    from .components import _min_label_partition
+
+    labels = attach_singletons(
+        partitioned_group_map(raw, "file_id", _min_label_partition, _parts()), ids_only
+    )
+
+    def mark(part: pa.Table) -> pa.Table:
+        cid = np.asarray(part.column("cluster_id").combine_chunks(), dtype=np.int64)
+        fid = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((fid, cid))
+        cid_s = cid[order]
+        starts = segment_boundaries(cid_s)
+        rep = np.zeros(len(cid_s), dtype=bool)
+        rep[starts] = True
+        part = part.take(pa.array(order, type=pa.int64()))
+        return part.append_column("is_representative", pa.array(rep))
+
+    return partitioned_group_map(labels, "cluster_id", mark, _parts())
+
+
+def cluster_size_report(labels, label_column: str = "cluster_id", top_k: int = 20):
+    """Cluster-size distribution + largest clusters (SURVEY §2.5 A9 analog;
+    the reference re-chunks clusters over ``max_cluster_size``,
+    ``takco/__init__.py:385-397`` — this is the audit view that drives that
+    decision). Returns a single-row Dataset: n_clusters, n_items, max_size,
+    log2 histogram, and the top-k (cluster_id, size) pairs."""
+
+    def sizes_in_partition(part: pa.Table) -> pa.Table:
+        c = np.asarray(part.column(label_column).combine_chunks(), dtype=np.int64)
+        starts = segment_boundaries(np.sort(c))
+        n = np.diff(np.append(starts, len(c)))
+        return pa.table(
+            {
+                "cluster_id": pa.array(np.sort(c)[starts], type=pa.int64()),
+                "size": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    sizes = partitioned_group_map(
+        labels.select_columns([label_column]), label_column, sizes_in_partition, _parts()
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("size").combine_chunks(), dtype=np.int64)
+        cid = np.asarray(batch.column("cluster_id").combine_chunks(), dtype=np.int64)
+        hist = np.bincount(np.log2(np.maximum(s, 1)).astype(np.int64), minlength=24)[:24]
+        top = np.argsort(-s)[:top_k]
+        return pa.table(
+            {
+                "n_clusters": pa.array([len(s)], type=pa.int64()),
+                "n_items": pa.array([int(s.sum())], type=pa.int64()),
+                "max_size": pa.array([int(s.max()) if len(s) else 0], type=pa.int64()),
+                "hist": pa.array([hist.tolist()]),
+                "top_ids": pa.array([cid[top].tolist()]),
+                "top_sizes": pa.array([s[top].tolist()]),
+            }
+        )
+
+    parts = sizes.map_batches(summarize, batch_format="pyarrow").take_all()
+    hist = np.zeros(24, dtype=np.int64)
+    n_clusters = n_items = mx = 0
+    pairs: list = []
+    for p in parts:
+        n_clusters += p["n_clusters"]
+        n_items += p["n_items"]
+        mx = max(mx, p["max_size"])
+        hist += np.asarray(p["hist"], dtype=np.int64)
+        pairs.extend(zip(p["top_ids"], p["top_sizes"]))
+    pairs.sort(key=lambda x: -x[1])
+    pairs = pairs[:top_k]
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "n_clusters": pa.array([n_clusters], type=pa.int64()),
+                "n_items": pa.array([n_items], type=pa.int64()),
+                "max_size": pa.array([mx], type=pa.int64()),
+                "log2_hist": pa.array([hist.tolist()]),
+                "top_cluster_ids": pa.array([[int(a) for a, _ in pairs]]),
+                "top_cluster_sizes": pa.array([[int(b) for _, b in pairs]]),
+            }
+        )
+    )

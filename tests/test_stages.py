@@ -227,3 +227,76 @@ def test_score_clusters_report(ray_session):
     assert abs(out["precision"] - prec) < 1e-9
     assert abs(out["recall"] - rec) < 1e-9
     assert abs(out["f1"] - 2 * prec * rec / (prec + rec)) < 1e-9
+
+
+def test_simhash_neardup_matches_bruteforce(ray_session):
+    """Banded Hamming-ball grouping finds EXACTLY the brute-force clusters."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.dedup import _SimHasher, _hamming64, simhash_neardup
+
+    rs = np.random.RandomState(5)
+    vocab = [f"tok{i}" for i in range(400)]
+    texts = []
+    for i in range(40):
+        base = [vocab[j] for j in rs.randint(0, 400, 60)]
+        texts.append(" ".join(base))
+        if i % 3 == 0:
+            # near-dup: a couple of token substitutions → small hamming delta
+            mut = list(base)
+            for _ in range(2):
+                mut[rs.randint(0, 60)] = vocab[rs.randint(0, 400)]
+            texts.append(" ".join(mut))
+    ids = list(range(len(texts)))
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": texts})
+
+    max_h = 8
+    out = simhash_neardup(
+        ray.data.from_arrow(tbl), text_column="text", id_column="doc_id", max_hamming=max_h
+    ).take_all()
+    got = {r["file_id"]: r["cluster_id"] for r in out}
+
+    # brute force oracle
+    sh = _SimHasher("text", "doc_id")(tbl)
+    h = np.asarray(sh.column("simhash")).view(np.uint64)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in ids:
+        for b in range(a + 1, len(ids)):
+            if _hamming64(h[a : a + 1], h[b : b + 1])[0] <= max_h:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    # canonical: min id per component on both sides
+    assert len(got) == len(want)
+    comp_got = {}
+    comp_want = {}
+    for i in ids:
+        comp_got.setdefault(got[i], set()).add(i)
+        comp_want.setdefault(want[i], set()).add(i)
+    assert sorted(map(sorted, comp_got.values())) == sorted(map(sorted, comp_want.values()))
+    # at least one planted near-dup pair actually clustered
+    assert any(len(c) > 1 for c in comp_want.values())
+
+
+def test_cluster_size_report(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.dedup import cluster_size_report
+
+    labels = ray.data.from_arrow(
+        pa.table({"cluster_id": [1] * 10 + [2] * 5 + [3] * 1 + [4] * 2})
+    )
+    rep = cluster_size_report(labels, top_k=2).take_all()[0]
+    assert rep["n_clusters"] == 4
+    assert rep["n_items"] == 18
+    assert rep["max_size"] == 10
+    assert rep["top_cluster_sizes"] == [10, 5]
