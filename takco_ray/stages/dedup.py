@@ -247,7 +247,12 @@ def minhash_dedup(ds, text_column: str, id_column: str, **kwargs):
 
 
 class _SimHasher:
-    """64-bit SimHash over token unigrams (sign-aggregated token hashes)."""
+    """64-bit SimHash over token unigrams (sign-aggregated token hashes).
+
+    Vectorized on the flat token stream: per-doc unique (hash, count) via
+    one global lexsort, bit expansion chunked to stay cache-sized, per-doc
+    bit sums via ``add.reduceat`` — no per-doc Python loops.
+    """
 
     def __init__(self, text_column: str, id_column: str, seed: int = 7):
         self.text_column = text_column
@@ -255,18 +260,37 @@ class _SimHasher:
         self.seed = seed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        token_lists = tokenize_many(batch.column(self.text_column).to_pylist())
-        out = np.zeros(len(token_lists), dtype=np.uint64)
-        for i, toks in enumerate(token_lists):
-            if not toks:
-                continue
-            uniq, counts = np.unique(toks, return_counts=True)
-            h = hash64_strings(list(uniq), seed=self.seed)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            out[i] = np.packbits((acc > 0)[::-1]).view(">u8")[0]
+        from ..functions.tokenize import token_stream
+        from .groupmap import segment_boundaries as _segb
+
+        hashes, _lens, counts = token_stream(batch.column(self.text_column), self.seed)
+        n_docs = len(counts)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if len(hashes):
+            parents = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            order = np.lexsort((hashes, parents))
+            hs, ps = hashes[order], parents[order]
+            first = np.concatenate([[True], (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])])
+            starts = np.flatnonzero(first)
+            cnt = np.diff(np.append(starts, len(hs)))  # multiplicity per unique
+            hu, pu = hs[starts], ps[starts]
+            doc_starts = _segb(pu)
+            acc = np.zeros((n_docs, 64), dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)[None, :]
+            chunk = 262_144
+            for c0 in range(0, len(hu), chunk):
+                c1 = min(c0 + chunk, len(hu))
+                bits = ((hu[c0:c1, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                contrib = (bits * 2 - 1) * cnt[c0:c1, None]
+                # sum per doc for this chunk (docs are contiguous in pu)
+                sub_p = pu[c0:c1]
+                sub_starts = _segb(sub_p)
+                sums = np.add.reduceat(contrib, sub_starts, axis=0)
+                np.add.at(acc, sub_p[sub_starts], sums)
+            weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+            docs_present = pu[doc_starts]
+            bitsel = (acc[docs_present] > 0).astype(np.uint64)
+            out[docs_present] = (bitsel * weights[::-1][None, :]).sum(axis=1)
         return pa.table(
             {
                 "id": batch.column(self.id_column).cast(pa.int64()),
