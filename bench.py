@@ -219,7 +219,9 @@ def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        out = run_scaling(sf_dir)
+        low = int(os.environ.get("GRAFT_SCALING_LOW", "8"))
+        high = int(os.environ.get("GRAFT_SCALING_HIGH", "32"))
+        out = run_scaling(sf_dir, low=low, high=high)
     else:
         out = run_bench(sf_dir, num_cpus, er_only=args.er_only)
     print(json.dumps(out))

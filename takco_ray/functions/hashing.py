@@ -56,6 +56,37 @@ def sha256_hex(values) -> list:
     return out
 
 
+def sha256_hex_arrow(col) -> list:
+    """sha256 hexdigest per row of an Arrow string column, hashed directly
+    from the column's UTF-8 value buffer via memoryview slices — no Python
+    string materialization or re-encode on the hot path (content is
+    multi-KB; ``to_pylist`` would copy every byte twice)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    sha = hashlib.sha256
+    empty_digest = sha(b"").hexdigest()
+    buffers = col.buffers()
+    if n == 0:
+        return []
+    if buffers[2] is None:
+        return [empty_digest] * n
+    import numpy as np
+
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[col.offset : col.offset + n + 1]
+    mv = memoryview(buffers[2])
+    if col.null_count == 0:
+        return [sha(mv[offsets[i] : offsets[i + 1]]).hexdigest() for i in range(n)]
+    valid = np.asarray(col.is_valid())
+    return [
+        sha(mv[offsets[i] : offsets[i + 1]]).hexdigest() if valid[i] else empty_digest
+        for i in range(n)
+    ]
+
+
 def stable_file_id(repo, path, commit) -> np.ndarray:
     """Deterministic int64 file id from the (repo, path, commit) key.
 

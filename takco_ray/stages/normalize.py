@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import sha256_hex, stable_file_id
+from ..functions.hashing import sha256_hex_arrow, stable_file_id
 
 FINGERPRINT_COLUMNS = ["file_id", "sha256", "size", "n_lines"]
 
@@ -35,7 +35,7 @@ def add_fingerprint_columns(batch: pa.Table) -> pa.Table:
         batch.column("path").to_pylist(),
         batch.column("commit").to_pylist(),
     )
-    sha = sha256_hex(content.to_pylist())
+    sha = sha256_hex_arrow(content)
     size = pc.binary_length(content)
     n_lines = pc.count_substring(content, "\n")
     return batch.append_column(
