@@ -82,7 +82,7 @@ class CorpusConfig:
     # version of the engine's token-hash/minhash family; bumped when the
     # signature semantics change so cached fixtures (whose gold band
     # membership was computed with the old family) regenerate
-    minhash_family: str = "fnv-splitmix-v2"
+    minhash_family: str = "wordhash-v3"
 
 
 def _vocab(rs: np.random.RandomState, n: int) -> list:
@@ -164,6 +164,15 @@ def generate_corpus(out_dir: str, cfg: CorpusConfig) -> dict:
             m = json.load(f)
         if m.get("config") == asdict(cfg):
             return m
+        if not cfg.emit_pairs and not m.get("config", {}).get("emit_pairs", True):
+            # without gold pairs the minhash family never touches the output:
+            # content depends only on the non-minhash fields, so a family
+            # bump must not force a multi-GB bench-corpus regeneration
+            mh_fields = {"num_perm", "num_bands", "shingle_k", "minhash_seed", "max_block_pairs", "minhash_family"}
+            a = {k: v for k, v in asdict(cfg).items() if k not in mh_fields}
+            b = {k: v for k, v in m.get("config", {}).items() if k not in mh_fields}
+            if a == b:
+                return m
 
     rs = np.random.RandomState(cfg.seed)
     n = cfg.n_files

@@ -94,3 +94,35 @@ def test_string_similarities():
     assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
     assert jaro_winkler("abc", "abc") == 1.0
     assert levenshtein_ratio("", "x") == 0.0
+
+
+def test_arrow_and_python_signature_paths_agree():
+    """The vectorized ASCII/word-hash path and the per-doc regex fallback
+    must produce identical signatures on any input mix (empty docs, short
+    docs, >16-byte tokens, non-ASCII, boundary-adjacent word runs)."""
+    import string
+
+    import numpy as np
+    import pyarrow as pa
+    from takco_ray.functions.minhash import MinHasher
+    from takco_ray.functions.tokenize import tokenize_many
+
+    mh = MinHasher()
+    edge = [
+        "", "a b", "héllo wörld foo bar baz qux aaa bbb", "xxx", None,
+        "supercalifragilisticexpialidocious extraordinarily_long_identifier_name_here ok",
+        "short k", "tail", "", "x y z w v u t s",
+    ]
+    a = mh.signatures_arrow(pa.array(edge, type=pa.large_string()))
+    b = mh.signatures_from_shingles(
+        mh._shingles_from_tokens(tokenize_many([w or "" for w in edge]))
+    )
+    assert np.array_equal(a, b)
+
+    rs = np.random.RandomState(1234)
+    alphabet = list(string.ascii_letters + string.digits + "_ .,;()#\n\t-")
+    for _ in range(5):
+        docs = ["".join(rs.choice(alphabet, rs.randint(0, 200))) for _ in range(40)]
+        a = mh.signatures_arrow(pa.array(docs, type=pa.large_string()))
+        b = mh.signatures_from_shingles(mh._shingles_from_tokens(tokenize_many(docs)))
+        assert np.array_equal(a, b)
