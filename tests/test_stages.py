@@ -323,3 +323,42 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     vids = synthesize_media(n=24).to_pandas()
     vid_ids = set(vids[vids.kind == "video"].media_id)
     assert set(frames.media_id) <= vid_ids
+
+
+def test_csv_and_jsonl_readers_roundtrip(ray_session, tmp_path):
+    """S1/S3 sources: csv + jsonl read through the same query surface."""
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.sources import read_csv_table, read_jsonl, write_dataset
+
+    src = ray.data.from_arrow(
+        pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    )
+    csv_dir = str(tmp_path / "csv")
+    json_dir = str(tmp_path / "json")
+    write_dataset(src, csv_dir, fmt="csv")
+    write_dataset(src, json_dir, fmt="json")
+    got_csv = read_csv_table(csv_dir).to_pandas().sort_values("a").reset_index(drop=True)
+    got_json = read_jsonl(json_dir).to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(got_csv.a) == [1, 2, 3] and list(got_csv.b) == ["x", "y", "z"]
+    assert list(got_json.a) == [1, 2, 3] and list(got_json.b) == ["x", "y", "z"]
+
+
+def test_block_size_stats(ray_session, test_corpus):
+    """A9: block-size distribution over band keys of the fixture corpus."""
+    from takco_ray.sources import read_files_corpus
+    from takco_ray.stages.normalize import fingerprint
+    from takco_ray.stages.minhash import make_signature_fn
+    from takco_ray.stages.blocking import block_size_stats
+
+    files = read_files_corpus(test_corpus["files"])
+    sigs = fingerprint(files).map_batches(
+        make_signature_fn(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    stats = block_size_stats(sigs)
+    n_files = test_corpus["manifest"]["n_files"]
+    assert stats["n_rows"] == n_files * 16  # num_bands rows per file
+    assert stats["n_blocks"] > 0
+    # the planted hot boilerplate block must dominate the max
+    assert stats["max"] >= int(n_files * 0.04)
+    assert sum(stats["log2_histogram"]) == stats["n_blocks"]
