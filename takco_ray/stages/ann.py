@@ -2,15 +2,17 @@
 
 The reference's ``EmbeddingMatcher`` blocks by FAISS ``IndexFlatIP`` top-100
 neighbors at cos ≥ 0.9 (``takco/cluster/matchers/embedding.py:109-137,
-180-217``). FAISS is not available here; the same two shapes are provided:
+180-217``). FAISS is not available here; three shapes are provided:
 
 - **brute-force top-k**: the query matrix is broadcast ONCE via ``ray.put``
   and every batch does one numpy matmul against it — the baseline, exact;
 - **LSH-bucketed**: random-hyperplane signs bucket the corpus; only
-  same-bucket candidates are compared — the scale path (candidates per query
-  drop from N to N/2^bits on average).
+  same-bucket candidates are compared — the all-pairs similarity-join scale
+  path (candidates per query drop from N to N/2^bits on average);
+- **IVF**: seeded k-means cells + n_probe nearest-cell search — the top-k
+  scale path (exactly equal to brute force at full probe).
 
-Both stream: the corpus Dataset is never materialized.
+All stream: the corpus Dataset is never materialized.
 """
 
 from __future__ import annotations
@@ -329,3 +331,135 @@ def lsh_bucket_neighbors(
         dedup_part,
         default_concurrency()[1],
     )
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, seed: int, n_iter: int = 10) -> np.ndarray:
+    """Seeded Lloyd's k-means on an L2-normalized sample (driver-side; the
+    sample is small by construction). Returns L2-normalized centroids."""
+    rs = np.random.RandomState(seed)
+    n = len(sample)
+    k = min(n_centroids, n)
+    cent = sample[rs.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ cent.T, axis=1)  # cosine on normalized
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 10_000,
+    seed: int = 17,
+    id_column: str = "vec_id",
+    emb_column: str = "embedding",
+):
+    """IVF approximate top-k: coarse k-means cells + per-cell exact search.
+
+    The scale path beyond brute force (reference: FAISS ``IndexFlatIP``
+    blocking, ``takco/cluster/matchers/embedding.py:109-137``, re-expressed
+    without FAISS):
+
+    1. a corpus SAMPLE trains seeded k-means centroids on the driver;
+    2. one map assigns every corpus vector its nearest-centroid cell
+       (centroids broadcast once via ``ray.put``);
+    3. each query probes its ``n_probe`` nearest cells; per hash partition
+       of cells the probing queries run exact cosine against only that
+       cell's vectors (candidates drop ~n_probe/n_centroids);
+    4. per-batch partial top-k → small ``groupby(query_id)`` final top-k —
+       identical final semantics to :func:`brute_topk` (with
+       ``n_probe == n_centroids`` the results are exactly equal).
+    """
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    sample_tbl = ds.limit(sample_size).to_pandas()
+    sample = _normalize(
+        np.stack(sample_tbl[emb_column].to_numpy()).astype(np.float64)
+    )
+    cent = _kmeans(sample, n_centroids, seed)
+    # per-query probe cells (tiny driver-side matrix)
+    probe_order = np.argsort(-(qmat @ cent.T), axis=1)[:, : min(n_probe, len(cent))]
+    probed_by_cell: dict = {}
+    for qi in range(len(qids)):
+        for c in probe_order[qi]:
+            probed_by_cell.setdefault(int(c), []).append(qi)
+    ref = ray.put((cent, qids, qmat, {c: np.asarray(v) for c, v in probed_by_cell.items()}))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent_, _, _, _ = ray.get(ref)
+        mat = _normalize(_emb_matrix(batch, emb_column).astype(np.float64))
+        cell = np.argmax(mat @ cent_.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cell, type=pa.int64()),
+                "id": batch.column(id_column).cast(pa.int64()),
+                "embedding": batch.column(emb_column),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def search_partition(part: pa.Table) -> pa.Table:
+        from .groupmap import segment_boundaries
+
+        _, qids_, qmat_, by_cell = ray.get(ref)
+        cells = np.asarray(part.column("cell").combine_chunks(), dtype=np.int64)
+        ids = np.asarray(part.column("id").combine_chunks(), dtype=np.int64)
+        mat = _normalize(_emb_matrix(part, "embedding").astype(np.float64))
+        starts = segment_boundaries(cells)
+        counts = np.diff(np.append(starts, len(cells)))
+        out_q: list = []
+        out_n: list = []
+        out_c: list = []
+        for s, m in zip(starts, counts):
+            probers = by_cell.get(int(cells[s]))
+            if probers is None or m == 0:
+                continue
+            sims = qmat_[probers] @ mat[s : s + m].T  # (n_probers, m)
+            kk = min(k, m)
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q.append(np.repeat(qids_[probers], kk))
+            out_n.append(ids[s + top.ravel()])
+            out_c.append(np.take_along_axis(sims, top, axis=1).ravel())
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+    from .groupmap import partitioned_group_map
+
+    partial = partitioned_group_map(
+        assigned, "cell", search_partition, default_concurrency()[1]
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("cosine", "descending"), ("neighbor_id", "ascending")],
+        )
+        out = group.take(order[:k])
+        rank = pa.array(np.arange(1, len(out) + 1), type=pa.int64())
+        return out.append_column("rank", rank)
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")

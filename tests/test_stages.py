@@ -362,3 +362,43 @@ def test_block_size_stats(ray_session, test_corpus):
     # the planted hot boilerplate block must dominate the max
     assert stats["max"] >= int(n_files * 0.04)
     assert sum(stats["log2_histogram"]) == stats["n_blocks"]
+
+
+def test_ivf_topk_full_probe_equals_brute(ray_session):
+    """IVF with n_probe == n_centroids is exhaustive → must equal brute_topk."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.ann import brute_topk, ivf_topk
+
+    rs = np.random.RandomState(3)
+    n, dim = 300, 16
+    mat = rs.normal(size=(n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.astype(np.float32).reshape(-1), type=pa.float32()), dim
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids = np.arange(5)
+    qmat = mat[:5]
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_topk(ds, qids, qmat, k=5).take_all()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(
+            ds, qids, qmat, k=5, n_centroids=8, n_probe=8, sample_size=300
+        ).take_all()
+    }
+    assert got == want
+
+    # reduced probe: still returns k ranked neighbors per query
+    approx = ivf_topk(ds, qids, qmat, k=5, n_centroids=8, n_probe=2, sample_size=300)
+    df = approx.to_pandas()
+    assert set(df.query_id) == set(qids)
+    assert (df.groupby("query_id")["rank"].max() == 5).all()
