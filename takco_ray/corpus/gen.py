@@ -82,7 +82,7 @@ class CorpusConfig:
     # version of the engine's token-hash/minhash family; bumped when the
     # signature semantics change so cached fixtures (whose gold band
     # membership was computed with the old family) regenerate
-    minhash_family: str = "wordhash-v3"
+    minhash_family: str = "wordhash-v4-u32"
 
 
 def _vocab(rs: np.random.RandomState, n: int) -> list:

@@ -9,8 +9,9 @@ per-object SHA1 MinHash, everything is numpy —
 
 - unique tokens per batch are hashed once (blake2b, C-speed),
 - k-token shingles are a vectorized polynomial combine of token hashes,
-- the 128 permutations are multiply-add universal hashes with native uint64
-  wraparound, minimized per document with ``np.minimum.reduceat``.
+- the 128 permutations are multiply-add universal hashes over the xor-folded
+  32-bit shingle stream (SIMD uint32 multiply; positional equality is all the
+  estimator tests), minimized per document in an L2-resident chunk buffer.
 
 Determinism: all coefficients come from a seeded ``RandomState``; the same
 (seed, num_perm, shingle_k) always yields identical signatures, which is what
@@ -53,6 +54,21 @@ class MinHasher:
         self.b = rs.randint(0, 2**63, size=self.num_perm).astype(np.uint64) * np.uint64(
             2
         ) + np.uint64(1)
+        # 32-bit permutation family (h_p(x) = a32_p·x + b32_p mod 2³², a odd):
+        # uint32 multiplies vectorize (vpmulld — uint64 mul is scalar on
+        # x86), the L2 working set halves, and positional-equality testing —
+        # all MinHash needs — only requires per-position collision ≪ the
+        # estimator's own σ (2⁻³² vs σ≈0.04). Derived from the seeded 64-bit
+        # family so determinism still flows from (seed, num_perm) alone.
+        self.a32 = ((self.a >> np.uint64(32)).astype(np.uint32) | np.uint32(1))[None, :]
+        self.b32 = (self.b >> np.uint64(32)).astype(np.uint32)[None, :]
+        # per-instance scratch (one instance per worker process; Ray map
+        # tasks in a process run serially): fresh ≥256 KB allocations per
+        # chunk would mmap/munmap + page-zero every call — measured as a
+        # multi-process scaling killer
+        self._chunk_n = 256
+        self._vals = np.empty((self._chunk_n, self.num_perm), dtype=np.uint32)
+        self._m = np.empty(self.num_perm, dtype=np.uint32)
 
     # ---- shingling -------------------------------------------------------
 
@@ -98,7 +114,7 @@ class MinHasher:
     # ---- signatures ------------------------------------------------------
 
     def signatures(self, texts) -> np.ndarray:
-        """(n_docs, num_perm) uint64 signature matrix for a batch of texts."""
+        """(n_docs, num_perm) uint32 signature matrix for a batch of texts."""
         import pyarrow as pa
 
         return self.signatures_arrow(pa.array([t or "" for t in texts], type=pa.large_string()))
@@ -116,7 +132,7 @@ class MinHasher:
 
         stream, _lens, counts = token_stream(col, self.seed)
         if len(counts) == 0:
-            return np.empty((0, self.num_perm), dtype=np.uint64)
+            return np.empty((0, self.num_perm), dtype=np.uint32)
         flat_sh, sh_counts = self._flat_shingles(stream, counts)
         return self.signatures_from_flat(flat_sh, sh_counts)
 
@@ -167,63 +183,65 @@ class MinHasher:
         return np.concatenate(out_parts), sh_counts
 
     def signatures_from_flat(self, flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
-        """Chunked per-doc min-reduce over a flat shingle stream (see
-        ``signatures_from_shingles`` for the L2-residency rationale)."""
+        """Chunked per-doc min-reduce over a flat shingle stream.
+
+        uint32 multiply-add in a PREALLOCATED (chunk × num_perm) ≤128 KB
+        temporary: SIMD integer multiply, L2-resident, no per-chunk
+        allocation (mmap churn + kernel page-zeroing measured as the
+        dominant multi-worker scaling cost of the uint64 version). The
+        64-bit shingle stream is xor-folded to 32 bits once per batch.
+        """
         n_docs = len(counts)
-        sig = np.empty((n_docs, self.num_perm), dtype=np.uint64)
-        a = self.a[None, :]
-        b = self.b[None, :]
-        chunk_n = 512
+        sig = np.empty((n_docs, self.num_perm), dtype=np.uint32)
+        if n_docs == 0:
+            return sig
+        flat32 = (flat >> np.uint64(32)).astype(np.uint32)
+        np.bitwise_xor(flat32, flat.astype(np.uint32), out=flat32)
+        a, b = self.a32, self.b32
+        chunk_n = self._chunk_n
+        vals_buf = self._vals
+        m = self._m
         pos = 0
         for d in range(n_docs):
             c = counts[d]
-            s = flat[pos : pos + c]
+            s = flat32[pos : pos + c]
             pos += c
-            acc = None
+            acc = sig[d]
+            first = True
             for c0 in range(0, len(s), chunk_n):
                 chunk = s[c0 : c0 + chunk_n, None]
-                vals = chunk * a
-                vals += b
-                m = vals.min(axis=0)
-                acc = m if acc is None else np.minimum(acc, m, out=acc)
-            sig[d] = acc
+                v = vals_buf[: len(chunk)]
+                np.multiply(chunk, a, out=v)
+                v += b
+                v.min(axis=0, out=m)
+                if first:
+                    acc[:] = m
+                    first = False
+                else:
+                    np.minimum(acc, m, out=acc)
         return sig
 
-    def signatures_from_shingles(
-        self, shingle_lists, shingle_chunk: int = 512
-    ) -> np.ndarray:
-        """Per-doc, shingle-chunked min-reduce.
-
-        The (chunk × num_perm) multiply-add temporary is ≤512 KB so it stays
-        L2-resident: DRAM traffic is ~8 B per shingle instead of
-        ~num_perm × 16 B — the batch-wide ``reduceat`` formulation saturated
-        memory bandwidth with 32 concurrent workers (≈7 MB of traffic per
-        3 KB document) and throttled the whole signature stage.
-        """
+    def signatures_from_shingles(self, shingle_lists) -> np.ndarray:
+        """Per-doc shingle lists → signatures (delegates to the ONE flat
+        kernel so every signature path is bit-identical)."""
         n_docs = len(shingle_lists)
-        sig = np.empty((n_docs, self.num_perm), dtype=np.uint64)
         if n_docs == 0:
-            return sig
-        a = self.a[None, :]
-        b = self.b[None, :]
-        for d, shingles in enumerate(shingle_lists):
-            s = np.asarray(shingles, dtype=np.uint64)
-            acc = None
-            for c0 in range(0, len(s), shingle_chunk):
-                chunk = s[c0 : c0 + shingle_chunk, None]
-                vals = chunk * a
-                vals += b
-                m = vals.min(axis=0)
-                acc = m if acc is None else np.minimum(acc, m, out=acc)
-            sig[d] = acc
-        return sig
+            return np.empty((0, self.num_perm), dtype=np.uint32)
+        counts = np.asarray([len(s) for s in shingle_lists], dtype=np.int64)
+        flat = (
+            np.concatenate([np.asarray(s, dtype=np.uint64) for s in shingle_lists])
+            if counts.sum()
+            else np.zeros(0, dtype=np.uint64)
+        )
+        return self.signatures_from_flat(flat, counts)
 
 
 def jaccard_from_signatures(sig1: np.ndarray, sig2: np.ndarray) -> np.ndarray:
     """Estimated Jaccard per pair = mean positional equality of signatures.
 
     Exactly the reference's estimator (``lsh.py:244``:
-    ``(digests1 == digests2).mean(1)``). Inputs: (n_pairs, num_perm) uint64.
+    ``(digests1 == digests2).mean(1)``). Inputs: (n_pairs, num_perm) uint
+    arrays of matching dtype (full uint32 signatures or uint16 transport).
     """
     return (sig1 == sig2).mean(axis=1)
 
@@ -240,6 +258,10 @@ def band_keys(signatures: np.ndarray, num_bands: int, seed: int = 41) -> np.ndar
     n_docs, num_perm = signatures.shape
     if num_perm % num_bands != 0:
         raise ValueError(f"num_perm={num_perm} not divisible by num_bands={num_bands}")
+    if signatures.dtype != np.uint64:
+        # value-preserving upcast: uint32 kernel output and any uint64
+        # staging copy (e.g. the fixture generator's) yield identical keys
+        signatures = signatures.astype(np.uint64)
     r = num_perm // num_bands
     rs = np.random.RandomState(seed + 1)
     band_salts = (

@@ -72,11 +72,16 @@ def ascii_token_runs(col: pa.Array) -> tuple:
     doc_bounds = offsets[1:-1]
 
     w = _WORD_LUT[buf]
-    d = np.diff(w.view(np.int8))
-    starts = np.flatnonzero(d == 1) + 1
-    ends = np.flatnonzero(d == -1) + 1
+    # ONE transition scan: word/non-word boundaries strictly alternate, so
+    # even/odd slices of the transition list are the starts/ends (half the
+    # temporaries and scans of separate d==1 / d==-1 passes)
+    trans = np.flatnonzero(w[1:] != w[:-1]) + 1
     if len(w) and w[0]:
-        starts = np.concatenate([[0], starts])
+        starts = np.concatenate([[0], trans[1::2]])
+        ends = trans[0::2]
+    else:
+        starts = trans[0::2]
+        ends = trans[1::2]
     if len(w) and w[-1]:
         ends = np.concatenate([ends, [len(w)]])
     # a run spanning a doc boundary (last byte of doc i and first byte of
@@ -114,11 +119,18 @@ def hash_token_runs(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, se
     if n == 0:
         return h
 
+    # pad so an 8-byte window never runs off the end; the single 1-pass copy
+    # replaces the per-gather (n,8) int64 index matrix (64 B/token of pure
+    # DRAM churn) and its clamp pass — windows become one contiguous 8-byte
+    # row copy per token via sliding_window_view
+    bufp = np.empty(len(buf) + 16, dtype=np.uint8)
+    bufp[: len(buf)] = buf
+    bufp[len(buf) :] = 0
+    win = np.lib.stride_tricks.sliding_window_view(bufp, 8)
+
     def _gather_word(st: np.ndarray, ln_clip: np.ndarray) -> np.ndarray:
         """8 bytes at ``st`` as little-endian uint64, masked to ``ln_clip``."""
-        idx = st[:, None] + np.arange(8, dtype=np.int64)[None, :]
-        np.minimum(idx, len(buf) - 1, out=idx)
-        w = np.ascontiguousarray(buf[idx]).view(np.uint64).reshape(-1)
+        w = win[st].view(np.uint64).reshape(-1)
         mask = _LEN_MASK[ln_clip]
         return w & mask
 

@@ -234,7 +234,10 @@ def _broadcast_labels(star, side):
 
     fid_parts: list = []
     cid_parts: list = []
-    for b in star.iter_batches(batch_format="pyarrow"):
+    # batch_size=None: whole blocks — the 256-row default would cost one
+    # driver-side slice+combine per 256 rows (~50k Python roundtrips on a
+    # 12M-row stream)
+    for b in star.iter_batches(batch_format="pyarrow", batch_size=None):
         fid_parts.append(np.asarray(b.column("u").combine_chunks(), dtype=np.int64))
         cid_parts.append(np.asarray(b.column("v").combine_chunks(), dtype=np.int64))
     if fid_parts:

@@ -78,7 +78,9 @@ def _read_json(ctx, cfg):
 
 @op("write_parquet")
 def _write_parquet(ctx, cfg):
-    _ds(ctx, cfg).write_parquet(cfg["path"])
+    # overwrite: a re-run sink replaces its output instead of appending a
+    # second copy beside the previous run's files
+    _ds(ctx, cfg).write_parquet(cfg["path"], mode="overwrite")
     return None
 
 

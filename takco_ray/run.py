@@ -50,7 +50,9 @@ def run_config(path: str) -> dict:
     )
     out = cfg.get("output")
     if out:
-        result["labels"].write_parquet(out)
+        # overwrite: a resumed run must REPLACE the label output, not append
+        # a second copy next to the previous run's files
+        result["labels"].write_parquet(out, mode="overwrite")
     return result["metrics"]
 
 

@@ -73,7 +73,8 @@ def write_dataset(ds, path: str, fmt: str = "parquet"):
     """Sink (reference ``HashBag.dump``, ``takco/util.py:98-123``): one file
     per block — the shard layout resumable runs rely on."""
     if fmt == "parquet":
-        ds.write_parquet(path)
+        # overwrite: dump semantics — the dir holds THIS dataset afterwards
+        ds.write_parquet(path, mode="overwrite")
     elif fmt == "json":
         ds.write_json(path)
     elif fmt == "csv":

@@ -185,7 +185,7 @@ def band_key_stats(
     if n_rows_bound is not None and n_rows_bound <= 40_000_000:
         k_parts: list = []
         n_parts: list = []
-        for b in partials.iter_batches(batch_format="pyarrow"):
+        for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
             k_parts.append(np.asarray(b.column("band_key").combine_chunks(), dtype=np.int64))
             n_parts.append(np.asarray(b.column("n").combine_chunks(), dtype=np.int64))
         if k_parts:
@@ -231,7 +231,7 @@ def band_key_stats(
     cnt_parts: list = []
     # iter_batches, not take_all: millions of active keys stream to the
     # driver as Arrow blocks, never as Python row dicts
-    for b in rows.iter_batches(batch_format="pyarrow"):
+    for b in rows.iter_batches(batch_format="pyarrow", batch_size=None):
         keys_parts.append(np.asarray(b.column("band_key").combine_chunks(), dtype=np.int64))
         cnt_parts.append(np.asarray(b.column("n").combine_chunks(), dtype=np.int64))
     if keys_parts:

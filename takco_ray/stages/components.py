@@ -250,7 +250,7 @@ def cc_forest(
         return star_edges(regrouped, max_rounds, num_partitions)
     u_parts: list = []
     v_parts: list = []
-    for b in contracted.iter_batches(batch_format="pyarrow"):
+    for b in contracted.iter_batches(batch_format="pyarrow", batch_size=None):
         u_parts.append(np.asarray(b.column("u").combine_chunks(), dtype=np.int64))
         v_parts.append(np.asarray(b.column("v").combine_chunks(), dtype=np.int64))
     if not u_parts:
