@@ -164,6 +164,112 @@ def _warm_page_cache(corpus_dir: str):
                 pass
 
 
+def run_stages(sf_dir: str, num_cpus: int) -> dict:
+    """Per-stage throughput counters (the north rule's per-stage evidence).
+
+    Runs the flagship stages with explicit barriers so each wall is
+    attributable — read+fingerprint+signatures / band-key stats /
+    blocking-shuffle+fused-scoring / connected components / label broadcast
+    — and prints one JSON line with per-stage seconds + files/s. The barrier
+    between blocking and CC means the total here is slightly above the fused
+    `--er-only` wall; use THIS mode to compare stages across CPU levels.
+    """
+    import ray
+
+    corpus_dir, manifest = _ensure_corpus(sf_dir)
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        log_to_driver=False,
+    )
+    try:
+        from takco_ray.pipelines.er import ERConfig, _broadcast_labels
+        from takco_ray.sources import read_files_corpus
+        from takco_ray.stages.normalize import fingerprint as fingerprint_stage
+        from takco_ray.stages.minhash import make_signature_fn
+        from takco_ray.stages import blocking
+        from takco_ray.stages.groupmap import partitioned_group_map
+        from takco_ray.stages.components import cc_forest
+
+        cfg = ERConfig()
+        num_parts = max(16, num_cpus)
+        n_files = manifest["n_files"]
+        stages: dict = {}
+
+        def tick(name, t0):
+            stages[name] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        files = read_files_corpus(
+            os.path.join(corpus_dir, "files"), override_num_blocks=4 * num_cpus
+        )
+        fp = fingerprint_stage(files, batch_size=2048)
+        sigs = fp.map_batches(
+            make_signature_fn(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=2048,
+        ).materialize()
+        tick("signatures", t0)
+
+        t0 = time.monotonic()
+        active, hot = blocking.band_key_stats(
+            sigs, num_bands=cfg.num_bands, seed=cfg.seed, hot_threshold=cfg.hot_threshold
+        )
+        tick("band_key_stats", t0)
+
+        t0 = time.monotonic()
+        active_ref = ray.put(active) if active is not None and len(active) else None
+        bands = blocking.emit_band_rows(
+            sigs, hot, num_bands=cfg.num_bands, seed=cfg.seed,
+            salt_target=cfg.salt_target, active_ref=active_ref,
+        )
+        pairs = partitioned_group_map(
+            bands,
+            "block_key",
+            blocking._PartitionPairEmitter(
+                max_block_size=cfg.max_block_size,
+                min_size_ratio=cfg.min_size_ratio,
+                scorer_kwargs=dict(agg_expr=cfg.agg_expr, threshold=cfg.threshold),
+            ),
+            num_partitions=num_parts,
+        )
+        edges = pairs.map_batches(
+            lambda t: t.drop_columns(["pair_key"]), batch_format="pyarrow"
+        ).materialize()
+        tick("blocking_scoring", t0)
+
+        t0 = time.monotonic()
+        star = cc_forest(
+            edges, num_partitions=num_parts, driver_limit=cfg.broadcast_label_limit
+        )
+        tick("connected_components", t0)
+
+        t0 = time.monotonic()
+        side = sigs.select_columns(["file_id", "sha256", "repo", "path"])
+        n_labels = _broadcast_labels(star, side).count()
+        tick("label_broadcast", t0)
+
+        total = round(sum(stages.values()), 3)
+        return {
+            "metric": "stage_walls_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": stages,
+            "stage_files_per_s": {
+                k: round(n_files / v, 1) if v > 0 else None for k, v in stages.items()
+            },
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "num_cpus": num_cpus,
+            "er_files": n_files,
+            "er_labels": int(n_labels),
+            "n_edges": int(edges.count()),
+        }
+    finally:
+        ray.shutdown()
+
+
 def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
     corpus_dir, _ = _ensure_corpus(sf_dir)  # generate once, outside timing
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
@@ -213,6 +319,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--er-only", action="store_true")
+    ap.add_argument("--stages", action="store_true")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", SF_DEFAULT)
@@ -222,6 +329,8 @@ def main():
         low = int(os.environ.get("GRAFT_SCALING_LOW", "8"))
         high = int(os.environ.get("GRAFT_SCALING_HIGH", "32"))
         out = run_scaling(sf_dir, low=low, high=high)
+    elif args.stages:
+        out = run_stages(sf_dir, num_cpus)
     else:
         out = run_bench(sf_dir, num_cpus, er_only=args.er_only)
     print(json.dumps(out))

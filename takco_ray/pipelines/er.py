@@ -68,6 +68,9 @@ class ERConfig:
     # ray.put, and attached to the side rows in a single map pass (classic
     # small-side broadcast); above it, the shuffle merge path runs.
     broadcast_label_limit: int = 5_000_000
+    # cap cluster sizes the way the reference re-chunks oversized partitions
+    # (takco/__init__.py:385-397); None = transitive components unaltered
+    max_cluster_size: int | None = None
 
 
 def er_pipeline(
@@ -211,9 +214,15 @@ def er_pipeline(
         side = sigs.select_columns(["file_id", "sha256", "repo", "path"])
         # star is materialized by the CC loop, so count() is metadata-cheap
         if star.count() <= cfg.broadcast_label_limit:
-            return _broadcast_labels(star, side)
-        raw = label_rows(star)  # (file_id, cluster_id), dup roots possible
-        return _merge_labels(raw, side, num_parts)
+            labels = _broadcast_labels(star, side)
+        else:
+            raw = label_rows(star)  # (file_id, cluster_id), dup roots possible
+            labels = _merge_labels(raw, side, num_parts)
+        if cfg.max_cluster_size is not None:
+            from ..stages.components import rechunk_clusters
+
+            labels = rechunk_clusters(labels, cfg.max_cluster_size, num_parts)
+        return labels
 
     labels = runner.run("clusters", labels_fp, build_labels, materialize=False)
     return {"labels": labels, "edges": edges, "metrics": runner.metrics}

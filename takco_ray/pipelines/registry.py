@@ -220,6 +220,17 @@ def _er(ctx, cfg):
     return result["labels"]
 
 
+@op("rechunk_clusters")
+def _rechunk_clusters(ctx, cfg):
+    from ..stages.components import rechunk_clusters
+
+    return rechunk_clusters(
+        _ds(ctx, cfg),
+        int(cfg["max_cluster_size"]),
+        int(cfg.get("num_partitions", 64)),
+    )
+
+
 @op("score_clusters")
 def _score_clusters(ctx, cfg):
     from ..stages.report import score_clusters

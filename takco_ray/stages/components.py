@@ -308,6 +308,46 @@ def connected_components(edges, max_rounds: int = 50, num_partitions: int = 64):
     return partitioned_group_map(raw, "file_id", _min_label_partition, num_partitions)
 
 
+def rechunk_clusters(labels, max_cluster_size: int, num_partitions: int = 64):
+    """Split clusters larger than ``max_cluster_size`` into deterministic
+    chunks — the reference caps its partitions the same way before stitching
+    (``takco/__init__.py:385-397``: clusters over ``max_cluster_size`` are
+    re-chunked into consecutive slices).
+
+    Members are ordered by ``file_id`` and sliced into ⌈m/max⌉ runs; each
+    run's label becomes its MINIMUM member id — the engine's canonical
+    labeling, so sub-cluster ids stay collision-free int64 without a second
+    id-assignment pass. Clusters at or under the cap pass through unchanged.
+    One grouped pass over 16 B label rows.
+    """
+    if max_cluster_size < 1:
+        raise ValueError("max_cluster_size must be ≥ 1")
+
+    def split(part: pa.Table) -> pa.Table:
+        cid = np.asarray(part.column("cluster_id").combine_chunks(), dtype=np.int64)
+        fid = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((fid, cid))
+        cid, fid = cid[order], fid[order]
+        starts = segment_boundaries(cid)
+        counts = np.diff(np.append(starts, len(cid)))
+        # chunk index of each row within its cluster
+        within = np.arange(len(cid), dtype=np.int64) - np.repeat(starts, counts)
+        chunk = within // max_cluster_size
+        # new label = min fid of the (cluster, chunk) run = its first row
+        # (rows are fid-sorted within the cluster)
+        run_first = np.concatenate(
+            [[True], (cid[1:] != cid[:-1]) | (chunk[1:] != chunk[:-1])]
+        ) if len(cid) else np.zeros(0, dtype=bool)
+        run_starts = np.flatnonzero(run_first)
+        run_counts = np.diff(np.append(run_starts, len(cid)))
+        new_label = np.repeat(fid[run_starts], run_counts)
+        out = part.take(pa.array(order, type=pa.int64()))
+        idx = out.schema.get_field_index("cluster_id")
+        return out.set_column(idx, "cluster_id", pa.array(new_label, type=pa.int64()))
+
+    return partitioned_group_map(labels, "cluster_id", split, num_partitions)
+
+
 def attach_singletons(labels, all_ids):
     """labels ∪ (id, id) for ids absent from any edge → total labeling.
 

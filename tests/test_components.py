@@ -78,3 +78,35 @@ def test_attach_singletons_total_labeling(ray_session):
     labels = attach_singletons(connected_components(edges), all_ids)
     got = {int(r["file_id"]): int(r["cluster_id"]) for r in labels.take_all()}
     assert got == {1: 1, 2: 1, 3: 1, 99: 99}
+
+
+def test_rechunk_clusters_caps_sizes(ray_session):
+    """rechunk_clusters splits oversized clusters into ≤max slices with
+    min-member-id sub-labels and leaves small clusters untouched
+    (reference max_cluster_size re-chunk, takco/__init__.py:385-397)."""
+    import ray.data
+    from takco_ray.stages.components import rechunk_clusters
+
+    # cluster 0: 10 members; cluster 100: 3 members; singleton 200
+    fid = list(range(10)) + [100, 101, 102] + [200]
+    cid = [0] * 10 + [100] * 3 + [200]
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "file_id": pa.array(fid, type=pa.int64()),
+                "cluster_id": pa.array(cid, type=pa.int64()),
+            }
+        )
+    )
+    out = rechunk_clusters(labels, max_cluster_size=4).to_pandas()
+    assert len(out) == len(fid)
+    sizes = out.groupby("cluster_id").size()
+    assert sizes.max() <= 4
+    # big cluster split 4+4+2 with min-id labels 0, 4, 8
+    big = out[out.file_id < 10]
+    assert sorted(big.cluster_id.unique()) == [0, 4, 8]
+    # members 0-3 → label 0, 4-7 → 4, 8-9 → 8
+    assert set(big[big.cluster_id == 0].file_id) == {0, 1, 2, 3}
+    assert set(big[big.cluster_id == 8].file_id) == {8, 9}
+    # small clusters unchanged
+    assert set(out[out.file_id >= 100].cluster_id) == {100, 200}
