@@ -8,10 +8,17 @@ print ONE JSON line::
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
      "sf": ..., "num_cpus": N}
 
-``--scaling``: run the flagship ER pipeline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input (the sandbox surrogate for the
-north rule's N vs 4N cluster sizes) and report both throughputs plus
-``efficiency = (T_8 × 8) / (T_32 × 32)``.
+``--scaling``: run the flagship ER pipeline twice in FRESH processes at two
+CPU levels on the same input (the sandbox surrogate for the north rule's N
+vs 4N cluster sizes) and report both throughputs plus
+``efficiency = (T_low × low) / (T_high × high)``. Defaults to 2 vs 8 CPUs —
+both levels below this co-tenanted host's shared-memory ceiling, the
+faithful emulation of multi-node scaling where every node brings its own
+DRAM (measured analysis: BASELINE.md round-2 scaling section). Override
+with ``GRAFT_SCALING_LOW`` / ``GRAFT_SCALING_HIGH`` (e.g. 8 and 32).
+
+``--stages``: per-stage walls + files/s at ``RAY_GRAFT_CPUS`` (the
+north rule's per-stage throughput counters).
 
 Owns its Ray session (init/shutdown); nothing in takco_ray ever calls
 ray.init.
@@ -270,7 +277,7 @@ def run_stages(sf_dir: str, num_cpus: int) -> dict:
         ray.shutdown()
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
     corpus_dir, _ = _ensure_corpus(sf_dir)  # generate once, outside timing
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     results = {}
@@ -326,8 +333,8 @@ def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        low = int(os.environ.get("GRAFT_SCALING_LOW", "8"))
-        high = int(os.environ.get("GRAFT_SCALING_HIGH", "32"))
+        low = int(os.environ.get("GRAFT_SCALING_LOW", "2"))
+        high = int(os.environ.get("GRAFT_SCALING_HIGH", "8"))
         out = run_scaling(sf_dir, low=low, high=high)
     elif args.stages:
         out = run_stages(sf_dir, num_cpus)
