@@ -637,6 +637,37 @@ def q_embedding_lsh_pairs(sf_dir: str):
     return ann_stages.lsh_bucket_neighbors(emb, dim=dim, bits=4, threshold=0.35)
 
 
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup clusters (exact all-pairs rung of the vector
+    dedup ladder, SURVEY §2.7 D3 analog for vectors). SQL-oracled end to end:
+    DuckDB reproduces the transitive closure itself with a recursive-CTE
+    min-label walk, so the CC tail — not just the pair stage — is
+    hash-verified. Threshold 0.4205 sits mid-gap between the nearest actual
+    cosines in the synthetic corpus (0.41826 / 0.42270), so float32-vs-DuckDB
+    rounding (~1e-6) cannot flip an edge."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup_stages.embedding_neardup(
+        emb, id_column="vec_id", emb_column="embedding", threshold=0.4205
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH RECURSIVE edges AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4205
+),
+walk(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT CAST(id AS BIGINT) AS file_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM walk GROUP BY id
+"""
+
+
 def q_media_features(sf_dir: str):
     media = ray.data.from_arrow(synthesize_media(n=96))
     return extract_media_features(media, batch_size=16)
@@ -692,6 +723,7 @@ def build_queries() -> dict:
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "er_clusters": q_er_clusters,
     }
@@ -716,4 +748,5 @@ def build_oracle_sql() -> dict:
         "ngram_jaccard_exact": SQL_NGRAM_JACCARD_EXACT,
         "doc_quality": _sql_doc_quality(),
         "language_id_docs": _sql_language_id(),
+        "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     }

@@ -628,6 +628,90 @@ def simhash_neardup(
     return partitioned_group_map(labels, "cluster_id", mark, _parts())
 
 
+def embedding_neardup(
+    ds,
+    id_column: str = "vec_id",
+    emb_column: str = "embedding",
+    threshold: float = 0.42,
+    corpus_tile: int = 16_384,
+    num_partitions: int | None = None,
+):
+    """Embedding-cosine near-dup labels → (file_id, cluster_id), cluster_id =
+    component-min id.
+
+    The exact rung of the vector dedup ladder (reference EmbeddingMatcher
+    semantics, ``takco/cluster/matchers/embedding.py:109-217``, minus the
+    FAISS index): the L2-normalized corpus matrix is assembled ONCE in the
+    object store (a remote task over the materialized block refs — content
+    never lands on the driver) and read zero-copy by every worker; each batch
+    computes tiled batch×corpus matmuls and emits strict upper-triangle pairs
+    with cosine ≥ ``threshold``; transitive closure + singleton attach give a
+    total labeling.
+
+    Exactness costs O(n²) dot products distributed over batches. Documented
+    assumption: the corpus matrix (n×d float32, ≈2.6 GB at 10M×64) fits the
+    object store — this is the ≤10M-vector rung; above that, feed
+    :func:`takco_ray.stages.ann.lsh_bucket_neighbors` (salted buckets,
+    probabilistic recall) into the same CC tail. Per-task peak extra memory
+    is ``batch × corpus_tile × 4`` bytes (tiled), independent of n.
+    """
+    import ray
+
+    from .ann import _emb_matrix, _normalize
+
+    mat_ds = ds.materialize()
+
+    @ray.remote
+    def _assemble(*tables):
+        ids = (
+            np.concatenate(
+                [
+                    np.asarray(t.column(id_column).combine_chunks(), dtype=np.int64)
+                    for t in tables
+                ]
+            )
+            if tables
+            else np.zeros(0, dtype=np.int64)
+        )
+        mats = [
+            _normalize(_emb_matrix(t, emb_column).astype(np.float32)) for t in tables
+        ]
+        mat = np.vstack(mats) if mats else np.zeros((0, 0), dtype=np.float32)
+        return ids, np.ascontiguousarray(mat, dtype=np.float32)
+
+    corpus_ref = _assemble.remote(*mat_ds.to_arrow_refs())
+
+    def edges_fn(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(corpus_ref)
+        bids = np.asarray(batch.column(id_column).combine_chunks(), dtype=np.int64)
+        bmat = _normalize(_emb_matrix(batch, emb_column).astype(np.float32))
+        us: list = []
+        vs: list = []
+        for t0 in range(0, len(all_ids), corpus_tile):
+            t1 = min(t0 + corpus_tile, len(all_ids))
+            sims = bmat @ all_mat[t0:t1].T
+            tids = all_ids[t0:t1]
+            bi, ci = np.nonzero((sims >= threshold) & (bids[:, None] < tids[None, :]))
+            us.append(bids[bi])
+            vs.append(tids[ci])
+        u = np.concatenate(us) if us else np.zeros(0, dtype=np.int64)
+        v = np.concatenate(vs) if vs else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u, type=pa.int64()),
+                "v": pa.array(v, type=pa.int64()),
+            }
+        )
+
+    edges = mat_ds.map_batches(edges_fn, batch_format="pyarrow", zero_copy_batch=True)
+    ids_only = mat_ds.select_columns([id_column]).map_batches(
+        lambda t: pa.table({"file_id": t.column(id_column).cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges, num_partitions=num_partitions or _parts())
+    return attach_singletons(labels, ids_only)
+
+
 def cluster_size_report(labels, label_column: str = "cluster_id", top_k: int = 20):
     """Cluster-size distribution + largest clusters (SURVEY §2.5 A9 analog;
     the reference re-chunks clusters over ``max_cluster_size``,

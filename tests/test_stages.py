@@ -402,3 +402,65 @@ def test_ivf_topk_full_probe_equals_brute(ray_session):
     df = approx.to_pandas()
     assert set(df.query_id) == set(qids)
     assert (df.groupby("query_id")["rank"].max() == 5).all()
+
+
+def test_embedding_neardup_tiled_matches_bruteforce(ray_session):
+    """Tiled batch×corpus matmul (corpus_tile < n forces multiple tiles)
+    reproduces the brute-force union-find clusters exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.dedup import embedding_neardup
+
+    rs = np.random.RandomState(11)
+    n, dim = 120, 8
+    # planted near-dup pairs: every 4th vector gets a tiny-perturbation clone
+    base = rs.normal(size=(n, dim))
+    rows = []
+    for i in range(n):
+        rows.append(base[i])
+        if i % 4 == 0:
+            rows.append(base[i] + rs.normal(scale=0.01, size=dim))
+    mat = np.asarray(rows, dtype=np.float32)
+    m = len(mat)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(m), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), type=pa.float32()), dim
+            ),
+        }
+    )
+    thr = 0.9
+    out = embedding_neardup(
+        ray.data.from_arrow(tbl), threshold=thr, corpus_tile=17
+    ).take_all()
+    got = {r["file_id"]: r["cluster_id"] for r in out}
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(m):
+        for b in range(a + 1, m):
+            if sims[a, b] >= thr:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(m)}
+    assert len(got) == m
+    comp_got, comp_want = {}, {}
+    for i in range(m):
+        comp_got.setdefault(got[i], set()).add(i)
+        comp_want.setdefault(want[i], set()).add(i)
+    assert sorted(map(sorted, comp_got.values())) == sorted(map(sorted, comp_want.values()))
+    # cluster_id is the component-min id
+    assert all(k == min(v) for k, v in comp_got.items())
+    # planted clones actually clustered
+    assert sum(1 for c in comp_want.values() if len(c) > 1) >= 25
