@@ -27,6 +27,7 @@ from ..functions.hashing import sha256_hex
 from ..stages import dedup as dedup_stages
 from ..stages import textstats
 from ..stages import ann as ann_stages
+from ..stages import temporal as temporal_stages
 from ..stages.multimodal import synthesize_media, extract_media_features
 
 
@@ -279,6 +280,92 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_u,
        count(*) AS n_events
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_event_sessions(sf_dir: str):
+    """Gap-based sessionization (custom temporal operator — Ray Data has no
+    session window; stages/temporal.py builds it as one hash shuffle +
+    vectorized per-partition segmentation). session_id = min event_id of the
+    session; new session when the same-user gap exceeds 30 minutes."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return temporal_stages.sessionize(
+        ds, key_column="user_id", ts_column="ts", id_column="event_id"
+    )
+
+
+SQL_EVENT_SESSIONS = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT event_id, user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM o
+)
+SELECT event_id,
+       CAST(min(event_id) OVER (PARTITION BY user_id, sess) AS BIGINT) AS session_id
+FROM s
+"""
+
+
+def q_asof_orders(sf_dir: str):
+    """As-of join (custom temporal operator): each event matched to the most
+    recent order of the same customer with o_orderdate ≤ ts (ties → max
+    o_orderkey). One shuffle + merge-scan; never builds the key×key cross
+    product the SQL oracle scans."""
+    events = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    return temporal_stages.asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_id="event_id",
+        right_id="o_orderkey",
+        right_value="o_totalprice",
+    )
+
+
+SQL_ASOF_ORDERS = """
+SELECT event_id, o_orderkey, o_totalprice FROM (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
+def q_events_rolling(sf_dir: str):
+    """Sliding-window (RANGE-frame) count (custom temporal operator): per
+    event, how many same-user events fall in the preceding hour inclusive —
+    the windowed-aggregate tier of the brief, computed with two global
+    searchsorted calls per partition."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return temporal_stages.rolling_window_count(
+        ds, key_column="user_id", ts_column="ts", id_column="event_id"
+    )
+
+
+SQL_EVENTS_ROLLING = """
+SELECT event_id,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_window
+FROM events
 """
 
 
@@ -724,6 +811,9 @@ def build_queries() -> dict:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "event_sessions": q_event_sessions,
+        "asof_orders": q_asof_orders,
+        "events_rolling": q_events_rolling,
         "media_features": q_media_features,
         "er_clusters": q_er_clusters,
     }
@@ -749,4 +839,7 @@ def build_oracle_sql() -> dict:
         "doc_quality": _sql_doc_quality(),
         "language_id_docs": _sql_language_id(),
         "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+        "event_sessions": SQL_EVENT_SESSIONS,
+        "asof_orders": SQL_ASOF_ORDERS,
+        "events_rolling": SQL_EVENTS_ROLLING,
     }

@@ -205,6 +205,48 @@ def _union(ctx, cfg):
     return _ds(ctx, cfg).union(_ds(ctx, cfg, "other"))
 
 
+@op("sessionize")
+def _sessionize(ctx, cfg):
+    from ..stages.temporal import sessionize
+
+    kw = {k: int(cfg[k]) for k in ("gap_us", "num_partitions") if k in cfg}
+    if "session_column" in cfg:
+        kw["session_column"] = cfg["session_column"]
+    return sessionize(
+        _ds(ctx, cfg), cfg["key_column"], cfg["ts_column"], cfg["id_column"], **kw
+    )
+
+
+@op("asof_join")
+def _asof_join(ctx, cfg):
+    from ..stages.temporal import asof_join
+
+    return asof_join(
+        _ds(ctx, cfg),
+        _ds(ctx, cfg, "right"),
+        left_key=cfg["left_key"],
+        right_key=cfg["right_key"],
+        left_ts=cfg["left_ts"],
+        right_ts=cfg["right_ts"],
+        left_id=cfg["left_id"],
+        right_id=cfg["right_id"],
+        right_value=cfg.get("right_value"),
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
+@op("rolling_window_count")
+def _rolling_window_count(ctx, cfg):
+    from ..stages.temporal import rolling_window_count
+
+    kw = {k: int(cfg[k]) for k in ("window_us", "num_partitions") if k in cfg}
+    if "count_column" in cfg:
+        kw["count_column"] = cfg["count_column"]
+    return rolling_window_count(
+        _ds(ctx, cfg), cfg["key_column"], cfg["ts_column"], cfg["id_column"], **kw
+    )
+
+
 # ---- composite pipelines -------------------------------------------------
 
 @op("er")

@@ -22,6 +22,7 @@ from .components import (
 )
 from .dedup import exact_dedup, minhash_dedup, simhash_dedup, ngram_jaccard_pairs
 from .groupmap import partitioned_group_map
+from .temporal import sessionize, asof_join, rolling_window_count
 
 __all__ = [
     "add_fingerprint_columns",
@@ -44,6 +45,9 @@ __all__ = [
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "partitioned_group_map",
+    "sessionize",
+    "asof_join",
+    "rolling_window_count",
 ]
 from .report import score_clusters
 

@@ -1,0 +1,244 @@
+"""Temporal operators Ray Data lacks natively: as-of join, gap sessionization,
+sliding-window (RANGE-frame) aggregate.
+
+The reference engine is strictly batch and has none of these (SURVEY §2.9);
+they are the custom-operator tier of the brief — each built as composition
+(a): ONE hash shuffle on the entity key (`groupmap.partitioned_group_map`,
+the same coarse-partition machinery every dedup stage uses), then fully
+vectorized numpy segment work inside each partition. No driver-side
+materialization, no per-row or per-key Python loops.
+
+Partitioning assumption (documented per the brief): all history of one key
+lands in one partition — per-key history must fit a worker's heap. Skew
+bound = max rows per key; for per-user event streams that is naturally
+bounded (a user's clickstream, a customer's orders). Keys are mixed before
+the modulo, so sequential ids spread evenly; a single pathological key would
+need the salting treatment `stages.blocking` applies to hot bands.
+
+Timestamps ride as int64 epoch-microseconds end to end (timestamp[us] is a
+bit-cast, zero-copy); only 8-byte columns cross the exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .groupmap import partitioned_group_map
+
+
+def _parts() -> int:
+    from ..util import default_concurrency
+
+    return default_concurrency()[1]
+
+
+def _i64(col: pa.ChunkedArray) -> np.ndarray:
+    """Zero-copy-ish int64 view of an int64/timestamp[us] column."""
+    return np.asarray(col.cast(pa.int64()).combine_chunks(), dtype=np.int64)
+
+
+def sessionize(
+    ds,
+    key_column: str,
+    ts_column: str,
+    id_column: str,
+    gap_us: int = 30 * 60 * 1_000_000,
+    session_column: str = "session_id",
+    num_partitions: int | None = None,
+):
+    """Gap-based sessions: within a key, a new session starts when the gap to
+    the previous event exceeds ``gap_us`` (strict >). Returns
+    ``(id_column, session_column)`` with ``session_column`` = the minimum
+    event id of the session (content-free, deterministic, no global counter
+    — the same order-free-id rationale as SURVEY A3).
+
+    Semantics match the SQL window formulation exactly (lag → gap flag →
+    running sum → min-per-session), tie-broken by ``(ts, id)``.
+    """
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], type=pa.int64()),
+                    session_column: pa.array([], type=pa.int64()),
+                }
+            )
+        k = _i64(t.column(key_column))
+        ts = _i64(t.column(ts_column))
+        ids = _i64(t.column(id_column))
+        order = np.lexsort((ids, ts, k))
+        k, ts, ids = k[order], ts[order], ids[order]
+        new = np.ones(len(k), dtype=bool)
+        new[1:] = (k[1:] != k[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        sess_min = np.minimum.reduceat(ids, starts)
+        return pa.table(
+            {
+                id_column: pa.array(ids, type=pa.int64()),
+                session_column: pa.array(sess_min[seg], type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(
+        ds, key_column, per_partition, num_partitions or _parts()
+    )
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_id: str,
+    right_value: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Inner as-of join: each left row matches the right row of the same key
+    with the greatest ``right_ts`` ≤ ``left_ts`` (ties → greatest
+    ``right_id``). Left rows with no eligible right row are dropped.
+
+    Shape: both sides normalize to a slim shared schema (key, t, rid, side
+    [, val]) → ``union`` → one hash shuffle on key → per-partition merge
+    scan: rows lexsorted by (key, t, side, rid) with right-before-left at
+    equal t, then a single ``np.maximum.accumulate`` of right positions
+    gives every left row its most-recent-right index; a key-equality check
+    voids carries across key boundaries. O(n log n) per partition, no
+    per-key loop, never materializes the cross product the SQL oracle
+    scans.
+    """
+    want_val = right_value is not None
+
+    def norm_left(t: pa.Table) -> pa.Table:
+        cols = {
+            "__k": t.column(left_key).cast(pa.int64()),
+            "__t": t.column(left_ts).cast(pa.int64()),
+            "__rid": t.column(left_id).cast(pa.int64()),
+            "__side": pa.array(np.ones(len(t), dtype=np.int8), type=pa.int8()),
+        }
+        if want_val:
+            cols["__val"] = pa.array(np.zeros(len(t)), type=pa.float64())
+        return pa.table(cols)
+
+    def norm_right(t: pa.Table) -> pa.Table:
+        cols = {
+            "__k": t.column(right_key).cast(pa.int64()),
+            "__t": t.column(right_ts).cast(pa.int64()),
+            "__rid": t.column(right_id).cast(pa.int64()),
+            "__side": pa.array(np.zeros(len(t), dtype=np.int8), type=pa.int8()),
+        }
+        if want_val:
+            cols["__val"] = t.column(right_value).cast(pa.float64())
+        return pa.table(cols)
+
+    both = left.map_batches(norm_left, batch_format="pyarrow").union(
+        right.map_batches(norm_right, batch_format="pyarrow")
+    )
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        out_cols = {
+            left_id: pa.array([], type=pa.int64()),
+            right_id: pa.array([], type=pa.int64()),
+        }
+        if want_val:
+            out_cols[right_value] = pa.array([], type=pa.float64())
+        if len(t) == 0:
+            return pa.table(out_cols)
+        k = _i64(t.column("__k"))
+        ts = _i64(t.column("__t"))
+        rid = _i64(t.column("__rid"))
+        side = np.asarray(t.column("__side").combine_chunks(), dtype=np.int8)
+        val = (
+            np.asarray(t.column("__val").combine_chunks(), dtype=np.float64)
+            if want_val
+            else None
+        )
+        order = np.lexsort((rid, side, ts, k))
+        k, ts, rid, side = k[order], ts[order], rid[order], side[order]
+        if want_val:
+            val = val[order]
+        n = len(k)
+        pos = np.arange(n, dtype=np.int64)
+        last_right = np.maximum.accumulate(np.where(side == 0, pos, np.int64(-1)))
+        li = np.flatnonzero(side == 1)
+        m = last_right[li]
+        valid = (m >= 0) & (k[np.maximum(m, 0)] == k[li])
+        li, m = li[valid], m[valid]
+        out_cols[left_id] = pa.array(rid[li], type=pa.int64())
+        out_cols[right_id] = pa.array(rid[m], type=pa.int64())
+        if want_val:
+            out_cols[right_value] = pa.array(val[m], type=pa.float64())
+        return pa.table(out_cols)
+
+    return partitioned_group_map(both, "__k", per_partition, num_partitions or _parts())
+
+
+def rolling_window_count(
+    ds,
+    key_column: str,
+    ts_column: str,
+    id_column: str,
+    window_us: int = 60 * 60 * 1_000_000,
+    count_column: str = "n_window",
+    num_partitions: int | None = None,
+):
+    """Sliding-window count (SQL RANGE frame): for each row, the number of
+    same-key rows with ``ts`` in ``[t − window_us, t]``, both ends
+    inclusive, peers (equal ts) included — exactly
+    ``count(*) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    window PRECEDING AND CURRENT ROW)``.
+
+    Per partition, both bounds come from TWO global ``np.searchsorted``
+    calls: timestamps are made globally monotone by lifting each key
+    segment onto its own disjoint band (``seg_id × BIG + ts_rel`` with
+    ``BIG > ts_range + window``), so no per-key search loop. Falls back to
+    a per-segment scan only if the lift would overflow int64 (≈2^62 —
+    billions of keys × decades of span in one partition).
+    """
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], type=pa.int64()),
+                    count_column: pa.array([], type=pa.int64()),
+                }
+            )
+        k = _i64(t.column(key_column))
+        ts = _i64(t.column(ts_column))
+        ids = _i64(t.column(id_column))
+        order = np.lexsort((ids, ts, k))
+        k, ts, ids = k[order], ts[order], ids[order]
+        seg_start = np.concatenate([[True], k[1:] != k[:-1]])
+        seg_id = np.cumsum(seg_start) - 1
+        ts_rel = ts - ts.min()
+        big = int(ts_rel.max()) + window_us + 2
+        n_seg = int(seg_id[-1]) + 1
+        if n_seg * big < (1 << 62):
+            adj = seg_id * big + ts_rel
+            lo = np.searchsorted(adj, adj - window_us, side="left")
+            hi = np.searchsorted(adj, adj, side="right")
+        else:  # pragma: no cover - astronomic spans only
+            lo = np.empty(len(k), dtype=np.int64)
+            hi = np.empty(len(k), dtype=np.int64)
+            starts = np.flatnonzero(seg_start)
+            ends = np.append(starts[1:], len(k))
+            for s, e in zip(starts, ends):
+                lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - window_us, "left")
+                hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], "right")
+        return pa.table(
+            {
+                id_column: pa.array(ids, type=pa.int64()),
+                count_column: pa.array(hi - lo, type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(
+        ds, key_column, per_partition, num_partitions or _parts()
+    )

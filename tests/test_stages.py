@@ -464,3 +464,100 @@ def test_embedding_neardup_tiled_matches_bruteforce(ray_session):
     assert all(k == min(v) for k, v in comp_got.items())
     # planted clones actually clustered
     assert sum(1 for c in comp_want.values() if len(c) > 1) >= 25
+
+
+def test_temporal_operators_match_bruteforce(ray_session):
+    """sessionize / asof_join / rolling_window_count vs brute-force Python on
+    an adversarial fixture: equal-ts ties, gaps exactly at the threshold
+    (same session: strict >), right ts == left ts (inclusive as-of), right-ts
+    ties (max rid wins), keys with no eligible right row (dropped)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.temporal import asof_join, rolling_window_count, sessionize
+
+    rs = np.random.RandomState(7)
+    n, n_keys = 600, 12
+    keys = rs.randint(0, n_keys, n).astype(np.int64)
+    ts = np.sort(rs.randint(0, 10_000, n)).astype(np.int64)
+    # plant exact ties and exact-gap pairs
+    ts[100] = ts[101] = ts[102]
+    ids = rs.permutation(n).astype(np.int64)
+    ev = pa.table(
+        {
+            "event_id": pa.array(ids),
+            "ts": pa.array(ts, type=pa.int64()),
+            "user_id": pa.array(keys),
+        }
+    )
+    gap, window = 50, 80
+
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(
+            ray.data.from_arrow(ev), "user_id", "ts", "event_id",
+            gap_us=gap, num_partitions=5,
+        ).take_all()
+    }
+    want = {}
+    for k in range(n_keys):
+        idx = np.flatnonzero(keys == k)
+        order = idx[np.lexsort((ids[idx], ts[idx]))]
+        sess: list = []
+        for i in order:
+            if sess and ts[i] - ts[sess[-1][-1]] <= gap:
+                sess[-1].append(i)
+            else:
+                sess.append([i])
+        for s in sess:
+            m = min(ids[i] for i in s)
+            for i in s:
+                want[ids[i]] = m
+    assert got == want
+
+    rc = {
+        r["event_id"]: r["n_window"]
+        for r in rolling_window_count(
+            ray.data.from_arrow(ev), "user_id", "ts", "event_id",
+            window_us=window, num_partitions=5,
+        ).take_all()
+    }
+    for i in range(n):
+        same = keys == keys[i]
+        assert rc[ids[i]] == int(
+            np.sum(same & (ts >= ts[i] - window) & (ts <= ts[i]))
+        )
+
+    m = 150
+    rkeys = rs.randint(0, n_keys + 3, m).astype(np.int64)  # some keys eventless
+    rts = rs.randint(-500, 9_000, m).astype(np.int64)
+    rts[10] = ts[5]  # right ts == a left ts → inclusive match
+    rts[11] = rts[12] = 4_000  # duplicate right ts → max rid wins
+    rkeys[11] = rkeys[12]
+    rids = (1000 + rs.permutation(m)).astype(np.int64)
+    rvals = rs.uniform(1, 9, m).round(3)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(rids),
+            "o_custkey": pa.array(rkeys),
+            "o_orderdate": pa.array(rts, type=pa.int64()),
+            "o_totalprice": pa.array(rvals, type=pa.float64()),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(ev),
+        ray.data.from_arrow(orders),
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        left_id="event_id", right_id="o_orderkey",
+        right_value="o_totalprice", num_partitions=5,
+    ).take_all()
+    got_asof = {r["event_id"]: (r["o_orderkey"], r["o_totalprice"]) for r in out}
+    want_asof = {}
+    for i in range(n):
+        elig = np.flatnonzero((rkeys == keys[i]) & (rts <= ts[i]))
+        if len(elig):
+            j = elig[np.lexsort((rids[elig], rts[elig]))][-1]
+            want_asof[ids[i]] = (rids[j], rvals[j])
+    assert len(out) == len(want_asof) < n  # some lefts really dropped
+    assert got_asof == want_asof
