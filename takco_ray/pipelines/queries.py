@@ -369,6 +369,39 @@ FROM events
 """
 
 
+def q_event_pairs_range(sf_dir: str):
+    """Self range join (custom temporal operator): all ordered pairs of
+    same-user events within ±10 minutes of each other (identity pairs
+    filtered). Banded searchsorted pair emission — output size is the true
+    match count, never the key×key cross product."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    ten_min = 10 * 60 * 1_000_000
+    pairs = temporal_stages.range_join(
+        ds,
+        ds,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_id="event_id",
+        right_id="event_id",
+        before_us=ten_min,
+        after_us=ten_min,
+        left_id_out="event_id",
+        right_id_out="other_id",
+    )
+    return pairs.filter(expr="event_id != other_id")
+
+
+SQL_EVENT_PAIRS_RANGE = """
+SELECT a.event_id AS event_id, b.event_id AS other_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL '10 minutes' AND a.ts + INTERVAL '10 minutes'
+ AND a.event_id <> b.event_id
+"""
+
+
 def q_distinct_segments(sf_dir: str):
     """Distinct values (SURVEY §2.7 D6)."""
     ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
@@ -814,6 +847,7 @@ def build_queries() -> dict:
         "event_sessions": q_event_sessions,
         "asof_orders": q_asof_orders,
         "events_rolling": q_events_rolling,
+        "event_pairs_range": q_event_pairs_range,
         "media_features": q_media_features,
         "er_clusters": q_er_clusters,
     }
@@ -842,4 +876,5 @@ def build_oracle_sql() -> dict:
         "event_sessions": SQL_EVENT_SESSIONS,
         "asof_orders": SQL_ASOF_ORDERS,
         "events_rolling": SQL_EVENTS_ROLLING,
+        "event_pairs_range": SQL_EVENT_PAIRS_RANGE,
     }

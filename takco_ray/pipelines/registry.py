@@ -235,6 +235,27 @@ def _asof_join(ctx, cfg):
     )
 
 
+@op("range_join")
+def _range_join(ctx, cfg):
+    from ..stages.temporal import range_join
+
+    return range_join(
+        _ds(ctx, cfg),
+        _ds(ctx, cfg, "right"),
+        left_key=cfg["left_key"],
+        right_key=cfg["right_key"],
+        left_ts=cfg["left_ts"],
+        right_ts=cfg["right_ts"],
+        left_id=cfg["left_id"],
+        right_id=cfg["right_id"],
+        before_us=int(cfg.get("before_us", 0)),
+        after_us=int(cfg.get("after_us", 0)),
+        left_id_out=cfg.get("left_id_out"),
+        right_id_out=cfg.get("right_id_out"),
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
 @op("rolling_window_count")
 def _rolling_window_count(ctx, cfg):
     from ..stages.temporal import rolling_window_count

@@ -22,7 +22,7 @@ from .components import (
 )
 from .dedup import exact_dedup, minhash_dedup, simhash_dedup, ngram_jaccard_pairs
 from .groupmap import partitioned_group_map
-from .temporal import sessionize, asof_join, rolling_window_count
+from .temporal import sessionize, asof_join, range_join, rolling_window_count
 
 __all__ = [
     "add_fingerprint_columns",
@@ -47,6 +47,7 @@ __all__ = [
     "partitioned_group_map",
     "sessionize",
     "asof_join",
+    "range_join",
     "rolling_window_count",
 ]
 from .report import score_clusters

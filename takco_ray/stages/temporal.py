@@ -179,6 +179,109 @@ def asof_join(
     return partitioned_group_map(both, "__k", per_partition, num_partitions or _parts())
 
 
+def range_join(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+    right_id: str,
+    before_us: int = 0,
+    after_us: int = 0,
+    left_id_out: str | None = None,
+    right_id_out: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Banded range join: every (left, right) pair of the same key with
+    ``right_ts`` in ``[left_ts − before_us, left_ts + after_us]``, both ends
+    inclusive. Pass the same dataset twice for a self-join (the identity
+    pair ships too — filter it downstream if unwanted). Output columns are
+    ``left_id_out``/``right_id_out`` (default: the input id names).
+
+    Same one-shuffle shape as the other temporal operators; per partition
+    the right side is lexsorted and lifted onto disjoint per-key int64
+    bands, so both window bounds for EVERY left row come from two global
+    ``np.searchsorted`` calls, and pair emission is a vectorized
+    repeat+offset gather. Output size is the true match count — fanout is
+    bounded by window width × per-key event rate; a pathologically dense
+    key needs upstream salting like hot LSH bands.
+    """
+    lo_name = left_id_out or left_id
+    ro_name = right_id_out or right_id
+    if lo_name == ro_name:
+        raise ValueError("left/right output id columns must differ")
+
+    def norm(key, ts, idc, side):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__k": t.column(key).cast(pa.int64()),
+                    "__t": t.column(ts).cast(pa.int64()),
+                    "__rid": t.column(idc).cast(pa.int64()),
+                    "__side": pa.array(
+                        np.full(len(t), side, dtype=np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    both = left.map_batches(
+        norm(left_key, left_ts, left_id, 1), batch_format="pyarrow"
+    ).union(right.map_batches(norm(right_key, right_ts, right_id, 0), batch_format="pyarrow"))
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                lo_name: pa.array([], type=pa.int64()),
+                ro_name: pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        k = _i64(t.column("__k"))
+        ts = _i64(t.column("__t"))
+        rid = _i64(t.column("__rid"))
+        side = np.asarray(t.column("__side").combine_chunks(), dtype=np.int8)
+        lmask = side == 1
+        lk, lt, lid = k[lmask], ts[lmask], rid[lmask]
+        rk, rt, rid_r = k[~lmask], ts[~lmask], rid[~lmask]
+        if len(lk) == 0 or len(rk) == 0:
+            return empty
+        ro = np.lexsort((rid_r, rt, rk))
+        rk, rt, rid_r = rk[ro], rt[ro], rid_r[ro]
+        uniq = np.unique(np.concatenate([lk, rk]))
+        tmin = min(int(lt.min()), int(rt.min()))
+        rel_max = max(int(lt.max()), int(rt.max())) - tmin
+        big = rel_max + before_us + after_us + 2
+        if len(uniq) * big >= (1 << 62):  # pragma: no cover - astronomic spans
+            raise OverflowError(
+                "range_join band lift overflows int64; reduce partition span"
+            )
+        adj_r = np.searchsorted(uniq, rk) * big + (rt - tmin)
+        seg_l = np.searchsorted(uniq, lk) * big + (lt - tmin)
+        lo = np.searchsorted(adj_r, seg_l - before_us, side="left")
+        hi = np.searchsorted(adj_r, seg_l + after_us, side="right")
+        counts = hi - lo
+        out_l = np.repeat(lid, counts)
+        starts = np.repeat(lo, counts)
+        offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        out_r = rid_r[starts + offs]
+        return pa.table(
+            {
+                lo_name: pa.array(out_l, type=pa.int64()),
+                ro_name: pa.array(out_r, type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(both, "__k", per_partition, num_partitions or _parts())
+
+
 def rolling_window_count(
     ds,
     key_column: str,

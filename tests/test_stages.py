@@ -561,3 +561,43 @@ def test_temporal_operators_match_bruteforce(ray_session):
             want_asof[ids[i]] = (rids[j], rvals[j])
     assert len(out) == len(want_asof) < n  # some lefts really dropped
     assert got_asof == want_asof
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """Banded range join (two distinct tables, asymmetric window) vs
+    brute-force nested loop, including inclusive boundaries and keys
+    missing from one side."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.temporal import range_join
+
+    rs = np.random.RandomState(13)
+    nl, nr, n_keys = 300, 200, 10
+    lk = rs.randint(0, n_keys, nl).astype(np.int64)
+    lt = rs.randint(0, 5_000, nl).astype(np.int64)
+    lid = rs.permutation(nl).astype(np.int64)
+    rk = rs.randint(0, n_keys + 4, nr).astype(np.int64)
+    rt = rs.randint(0, 5_000, nr).astype(np.int64)
+    rt[0] = lt[0] - 40  # exactly at the 'before' boundary → included
+    rk[0] = lk[0]
+    rid = (5000 + np.arange(nr)).astype(np.int64)
+    left = pa.table({"k": pa.array(lk), "t": pa.array(lt), "i": pa.array(lid)})
+    right = pa.table({"k": pa.array(rk), "t": pa.array(rt), "i": pa.array(rid)})
+    before, after = 40, 25
+    out = range_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        left_key="k", right_key="k", left_ts="t", right_ts="t",
+        left_id="i", right_id="i", before_us=before, after_us=after,
+        left_id_out="li", right_id_out="ri", num_partitions=4,
+    ).take_all()
+    got = sorted((r["li"], r["ri"]) for r in out)
+    want = sorted(
+        (int(lid[a]), int(rid[b]))
+        for a in range(nl)
+        for b in range(nr)
+        if lk[a] == rk[b] and lt[a] - before <= rt[b] <= lt[a] + after
+    )
+    assert got == want and len(want) >= 40
+    assert (int(lid[0]), int(rid[0])) in got  # exact 'before' boundary included
