@@ -28,6 +28,7 @@ from ..stages import dedup as dedup_stages
 from ..stages import textstats
 from ..stages import ann as ann_stages
 from ..stages import temporal as temporal_stages
+from ..stages import relational
 from ..stages.multimodal import synthesize_media, extract_media_features
 
 
@@ -399,6 +400,113 @@ FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND b.ts BETWEEN a.ts - INTERVAL '10 minutes' AND a.ts + INTERVAL '10 minutes'
  AND a.event_id <> b.event_id
+"""
+
+
+def q_semi_join_orders(sf_dir: str):
+    """Semi-join: orders having ≥1 high-quantity lineitem (SURVEY §2.4 J2,
+    the filter-matchers semi-join made first-class). Right side pruned to
+    the key column before the single hash exchange."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    big = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]).filter(
+        expr="l_quantity > 49"
+    ).select_columns(["l_orderkey"])
+    return relational.semi_join(orders, big, on="o_orderkey", right_on="l_orderkey")
+
+
+SQL_SEMI_JOIN_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+"""
+
+
+def q_anti_join_customers(sf_dir: str):
+    """Anti-join: customers with no finished ('F') order — the novelty /
+    not-matched shape (reference ``takco/evaluate/novelty.py``)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    f_orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
+    return relational.anti_join(cust, f_orders, on="c_custkey", right_on="o_custkey")
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+"""
+
+
+def q_top_orders_per_priority(sf_dir: str):
+    """Per-group top-n (window row_number ≤ n): top-3 orders by totalprice
+    per priority, map-side combiner bounds the shuffle at n×groups rows
+    per batch (SURVEY §2.6 O2/O4 generalized)."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+    return relational.top_n_per_group(
+        orders, group_col="o_orderpriority", order_col="o_totalprice",
+        n=3, tiebreak_col="o_orderkey",
+    )
+
+
+SQL_TOP_ORDERS_PER_PRIORITY = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS BIGINT) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_orders_pivot(sf_dir: str):
+    """Pivot (conditional-aggregation form): order-status counts as columns
+    per priority. Shuffle carries groups×categories integers only."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+    return relational.pivot_counts(
+        orders, index_col="o_orderpriority", pivot_col="o_orderstatus",
+        categories=["F", "O", "P"],
+    )
+
+
+SQL_ORDERS_PIVOT = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_quantiles_quantity(sf_dir: str):
+    """Exact distributed quantiles via the value-histogram route — only
+    distinct values shuffle, never rows (SURVEY §2.5 A9 distribution stats
+    generalized to quantiles)."""
+    li = read_table(sf_dir, "lineitem", columns=["l_quantity"])
+    return relational.exact_quantiles(li, "l_quantity", [0.25, 0.5, 0.75, 0.99])
+
+
+SQL_QUANTILES_QUANTITY = """
+SELECT quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.50) AS q50,
+       quantile_disc(l_quantity, 0.75) AS q75,
+       quantile_disc(l_quantity, 0.99) AS q99
+FROM lineitem
+"""
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic 10% hash sample of documents — stateless projection,
+    identical membership on any engine / cluster size."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return relational.hash_sample(docs, "doc_id", modulus=1000, keep=100)
+
+
+SQL_DOC_SAMPLE = """
+SELECT doc_id, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 1000 < 100
 """
 
 
@@ -826,6 +934,12 @@ def build_queries() -> dict:
         "events_hourly": q_events_hourly,
         "distinct_segments": q_distinct_segments,
         "union_accounts": q_union_accounts,
+        "semi_join_orders": q_semi_join_orders,
+        "anti_join_customers": q_anti_join_customers,
+        "top_orders_per_priority": q_top_orders_per_priority,
+        "orders_pivot": q_orders_pivot,
+        "quantiles_quantity": q_quantiles_quantity,
+        "doc_sample": q_doc_sample,
         "doc_sha256": q_doc_sha256,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_counts_docs": q_token_counts_docs,
@@ -863,6 +977,12 @@ def build_oracle_sql() -> dict:
         "events_hourly": SQL_EVENTS_HOURLY,
         "distinct_segments": SQL_DISTINCT_SEGMENTS,
         "union_accounts": SQL_UNION_ACCOUNTS,
+        "semi_join_orders": SQL_SEMI_JOIN_ORDERS,
+        "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+        "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
+        "orders_pivot": SQL_ORDERS_PIVOT,
+        "quantiles_quantity": SQL_QUANTILES_QUANTITY,
+        "doc_sample": SQL_DOC_SAMPLE,
         "doc_sha256": SQL_DOC_SHA256,
         "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
         "token_counts_docs": SQL_TOKEN_COUNTS,

@@ -1,0 +1,204 @@
+"""Relational extensions: semi/anti joins, per-group top-n, pivot,
+exact histogram quantiles, and deterministic hash sampling.
+
+Fills the query-surface gaps around the reference's filter/join family
+(filter matchers as a semi-join, ``takco/cluster/__init__.py:520-540``;
+novelty/anti patterns, ``takco/evaluate/novelty.py:15-60``; per-group
+argmax, ``takco/cluster/__init__.py:371-383``) re-expressed Ray-Data-first:
+
+- semi/anti joins ride Ray's native hash-shuffle join (``left_semi`` /
+  ``left_anti``) — one exchange, no driver materialization;
+- per-group top-n runs a vectorized PARTIAL top-n inside every batch
+  (combiner) so only ``n × groups`` rows per batch reach the shuffle;
+- quantiles aggregate a value histogram map-side (exact for bounded-
+  cardinality columns — prices, sizes, counts; for unbounded doubles
+  compose with a rounding projection, which bounds the error explicitly
+  rather than hiding it in a sketch);
+- hash sampling is a pure projection (multiplicative mix, no RNG state),
+  so every worker agrees on membership without coordination and the
+  sample is reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Knuth's multiplicative constant — same sample can be drawn in SQL with
+# (id * 2654435761) % m, so oracles and downstream engines agree exactly.
+SAMPLE_MIX = 2654435761
+
+
+def semi_join(left, right, on: str, right_on: str | None = None, num_partitions: int = 8):
+    """Rows of ``left`` with ≥1 match in ``right`` (Ray native left_semi).
+
+    Prune ``right`` to its key column before calling — only the key needs
+    to shuffle. One hash exchange; output carries only left columns.
+    """
+    return left.join(
+        right,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+    )
+
+
+def anti_join(left, right, on: str, right_on: str | None = None, num_partitions: int = 8):
+    """Rows of ``left`` with NO match in ``right`` (Ray native left_anti)."""
+    return left.join(
+        right,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+    )
+
+
+def _topn_partial(t: pa.Table, group_col: str, order_col: str, n: int,
+                  descending: bool, tiebreak_col: str) -> pa.Table:
+    """Vectorized top-n per group within one table: one lexsort + segment
+    rank, no per-group Python. Emits a ``rank`` column (1-based)."""
+    if t.num_rows == 0:
+        return t.append_column("rank", pa.array([], type=pa.int64()))
+    keys = t.column(group_col).combine_chunks()
+    codes = pc.dictionary_encode(keys).indices
+    g = np.asarray(codes, dtype=np.int64)
+    v = np.asarray(t.column(order_col).combine_chunks(), dtype=np.float64)
+    tb = np.asarray(t.column(tiebreak_col).combine_chunks(), dtype=np.int64)
+    order = np.lexsort((tb, -v if descending else v, g))
+    gs = g[order]
+    starts = np.concatenate([[0], np.flatnonzero(gs[1:] != gs[:-1]) + 1])
+    seg_of = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(gs))))
+    rank = np.arange(len(gs)) - starts[seg_of]
+    keep = rank < n
+    out = t.take(pa.array(order[keep], type=pa.int64()))
+    return out.append_column("rank", pa.array(rank[keep] + 1, type=pa.int64()))
+
+
+def top_n_per_group(ds, group_col: str, order_col: str, n: int,
+                    tiebreak_col: str, descending: bool = True):
+    """Top-``n`` rows per group by ``order_col`` (ties broken ascending by
+    ``tiebreak_col`` for determinism), with a 1-based ``rank`` column.
+
+    Map-side combiner first: each batch keeps only its own top-n per group,
+    so at most ``n × distinct_groups`` rows per batch enter the shuffle —
+    the groupby that follows is over a dataset bounded by
+    ``n × groups × num_batches`` regardless of input size.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _topn_partial(t, group_col, order_col, n, descending, tiebreak_col).drop_columns(["rank"])
+
+    def final(t: pa.Table) -> pa.Table:
+        return _topn_partial(t, group_col, order_col, n, descending, tiebreak_col)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def pivot_counts(ds, index_col: str, pivot_col: str, categories: list[str],
+                 prefix: str = "n_"):
+    """Pivot counts of ``pivot_col`` categories into columns per ``index_col``.
+
+    Expressed as conditional 0/1 projections + Sum aggregates: map-side
+    partials make the shuffle carry only ``groups × (1 + categories)``
+    integers. Categories must be known up front (compose with a distinct
+    pre-pass otherwise); unknown category values are counted in none of the
+    output columns by design.
+    """
+    from ray.data.aggregate import Sum
+
+    names = [prefix + c.lower().replace(" ", "_").replace("-", "_") for c in categories]
+
+    def proj(t: pa.Table) -> pa.Table:
+        cols = {index_col: t.column(index_col)}
+        piv = t.column(pivot_col)
+        for cat, name in zip(categories, names):
+            cols[name] = pc.cast(pc.equal(piv, pa.scalar(cat)), pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(index_col)
+        .aggregate(*[Sum(n) for n in names])
+    )
+    return agg.rename_columns({f"sum({n})": n for n in names})
+
+
+def value_histogram(ds, col: str):
+    """(value, cnt) dataset — per-batch ``np.unique`` partials, then one
+    tiny groupby over distinct values only."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(col).combine_chunks(), dtype=np.float64)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"value": pa.array(vals, type=pa.float64()),
+             "cnt": pa.array(cnts.astype(np.int64), type=pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value")
+        .aggregate(Sum("cnt"))
+    )
+    return agg.rename_columns({"sum(cnt)": "cnt"})
+
+
+def exact_quantiles(ds, col: str, qs: list[float]):
+    """One-row table of exact discrete quantiles of ``col``.
+
+    DuckDB ``quantile_disc`` semantics: the element at 0-based sorted index
+    ``ceil(q·n) − 1``. The full sort is avoided: only the value histogram
+    shuffles (distinct values, not rows), and the final cumsum walk runs on
+    that tiny table. Exact whenever the column's distinct-value count is
+    bounded (prices in cents, quantities, sizes); for genuinely continuous
+    columns project a rounded copy first so the error bound is explicit.
+    """
+    hist = value_histogram(ds, col)
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("value").combine_chunks(), dtype=np.float64)
+        c = np.asarray(t.column("cnt").combine_chunks(), dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = cum[-1] if len(cum) else 0
+        cols = {}
+        for q in qs:
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            pos = int(np.searchsorted(cum, idx + 1))
+            cols[f"q{int(round(q * 100)):02d}"] = pa.array(
+                [v[min(pos, len(v) - 1)]] if n else [None], type=pa.float64()
+            )
+        return pa.table(cols)
+
+    # histogram is tiny (distinct values); one repartition → single picker task
+    return hist.repartition(1).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def hash_sample(ds, id_col: str, modulus: int = 1000, keep: int = 100):
+    """Deterministic ``keep/modulus`` sample: rows where
+    ``(id · SAMPLE_MIX) mod modulus < keep``.
+
+    A pure stateless projection — reproducible across runs, engines
+    (``(id * 2654435761) % m`` in SQL) and cluster sizes, and consistent
+    for the same id everywhere (so joined tables stay aligned when sampled
+    by the same key). int64 math: ids must stay below 2^63 / SAMPLE_MIX
+    (~3.5e9); hash the id into 32 bits first for wider key spaces.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).combine_chunks(), dtype=np.int64)
+        mask = (ids * SAMPLE_MIX) % modulus < keep
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

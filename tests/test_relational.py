@@ -1,0 +1,97 @@
+"""Relational extension operators: semi/anti join, top-n, pivot, quantiles,
+hash sampling — small in-memory oracles (numpy/python recomputation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from takco_ray.stages import relational
+
+
+def _ds(tbl: dict):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(tbl))
+
+
+def test_semi_and_anti_join(ray_session):
+    left = _ds({"k": [1, 2, 3, 4, 5], "v": ["a", "b", "c", "d", "e"]})
+    right = _ds({"rk": [2, 2, 4, 9]})
+    semi = relational.semi_join(left, right, on="k", right_on="rk", num_partitions=2)
+    anti = relational.anti_join(left, right, on="k", right_on="rk", num_partitions=2)
+    semi_keys = sorted(r["k"] for r in semi.take_all())
+    anti_keys = sorted(r["k"] for r in anti.take_all())
+    assert semi_keys == [2, 4]  # duplicates on the right don't multiply rows
+    assert anti_keys == [1, 3, 5]
+
+
+def test_top_n_per_group_with_ties(ray_session):
+    n = 200
+    rng = np.random.default_rng(7)
+    groups = rng.integers(0, 5, n)
+    vals = rng.integers(0, 20, n).astype(np.float64)  # many ties
+    ids = np.arange(n, dtype=np.int64)
+    ds = _ds({"g": [f"g{i}" for i in groups], "val": vals, "id": ids})
+    out = relational.top_n_per_group(
+        ds, group_col="g", order_col="val", n=3, tiebreak_col="id"
+    ).to_pandas()
+
+    # oracle: per group sort by (-val, id), take 3
+    import pandas as pd
+
+    df = pd.DataFrame({"g": [f"g{i}" for i in groups], "val": vals, "id": ids})
+    expected = (
+        df.sort_values(["g", "val", "id"], ascending=[True, False, True])
+        .groupby("g")
+        .head(3)
+    )
+    expected["rank"] = expected.groupby("g").cumcount() + 1
+    got = out.sort_values(["g", "rank"]).reset_index(drop=True)
+    exp = expected.sort_values(["g", "rank"]).reset_index(drop=True)
+    assert got[["g", "val", "id", "rank"]].values.tolist() == exp[
+        ["g", "val", "id", "rank"]
+    ].values.tolist()
+
+
+def test_pivot_counts(ray_session):
+    ds = _ds(
+        {
+            "seg": ["x", "x", "y", "y", "y", "x"],
+            "status": ["A", "B", "A", "A", "C", "A"],
+        }
+    )
+    out = (
+        relational.pivot_counts(ds, "seg", "status", ["A", "B", "C"])
+        .to_pandas()
+        .set_index("seg")
+        .sort_index()
+    )
+    assert out.loc["x"].to_dict() == {"n_a": 2, "n_b": 1, "n_c": 0}
+    assert out.loc["y"].to_dict() == {"n_a": 2, "n_b": 0, "n_c": 1}
+
+
+def test_exact_quantiles_matches_disc_definition(ray_session):
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 97, 5003).astype(np.float64)
+    ds = _ds({"v": vals})
+    out = relational.exact_quantiles(ds, "v", [0.25, 0.5, 0.9]).to_pandas()
+    s = np.sort(vals)
+    for q, col in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
+        idx = max(0, int(np.ceil(q * len(s))) - 1)
+        assert out[col].iloc[0] == s[idx], (q, out[col].iloc[0], s[idx])
+
+
+def test_hash_sample_deterministic_and_consistent(ray_session):
+    ids = np.arange(10_000, dtype=np.int64)
+    ds = _ds({"id": ids, "payload": ids * 2})
+    out1 = relational.hash_sample(ds, "id", modulus=1000, keep=100).to_pandas()
+    out2 = relational.hash_sample(_ds({"id": ids}), "id", modulus=1000, keep=100).to_pandas()
+    # same membership regardless of co-columns / run
+    assert sorted(out1.id) == sorted(out2.id)
+    # approximate rate
+    assert 0.07 < len(out1) / len(ids) < 0.13
+    # pure function of the id
+    expected = ids[(ids * relational.SAMPLE_MIX) % 1000 < 100]
+    assert sorted(out1.id) == expected.tolist()
