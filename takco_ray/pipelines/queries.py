@@ -29,6 +29,7 @@ from ..stages import textstats
 from ..stages import ann as ann_stages
 from ..stages import temporal as temporal_stages
 from ..stages import relational
+from ..stages import decontam as decontam_stages
 from ..stages.multimodal import synthesize_media, extract_media_features
 
 
@@ -817,6 +818,79 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_top_tokens(sf_dir: str):
+    """Corpus-global token frequency top-k — vocabulary-sized groupby over
+    per-batch Arrow hash-aggregate partials."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return textstats.global_token_topk(docs, text_column="text", k=20)
+
+
+SQL_TOP_TOKENS = r"""
+SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS token
+  FROM documents
+) GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
+def q_ngram_repetition_docs(sf_dir: str):
+    """Duplicate-n-gram repetition stats (Gopher-style quality signal)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.ngram_repetition(docs, text_column="text", id_column="doc_id", shingle_k=3)
+
+
+SQL_NGRAM_REPETITION = r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ts) - 1),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS s
+  FROM tok)
+SELECT doc_id AS id, CAST(len(s) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(s)) AS BIGINT) AS n_unique_ngrams
+FROM sh
+"""
+
+
+def q_decontam_docs(sf_dir: str):
+    """Benchmark decontamination: the 'benchmark' is the deterministic
+    doc_id % 97 == 0 slice (a stand-in for held-out eval sets); the corpus
+    side is a pure projection against the broadcast shingle set."""
+    import ray as _ray
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_mask(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").combine_chunks(), dtype=np.int64)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    bench_docs = docs.map_batches(bench_mask, batch_format="pyarrow", zero_copy_batch=True)
+    bench = decontam_stages.collect_benchmark_shingles(bench_docs, "text", shingle_k=3)
+    ref = _ray.put(bench)
+    return decontam_stages.decontaminate(docs, "text", "doc_id", ref, shingle_k=3)
+
+
+SQL_DECONTAM = r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+  FROM tok),
+bench AS (SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id % 97 = 0)
+SELECT doc_id AS id, CAST(len(s) AS BIGINT) AS n_shingles,
+       CAST(len(list_intersect(s, b.bs)) AS BIGINT) AS n_contaminated
+FROM sh CROSS JOIN bench b
+"""
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate COUNT(DISTINCT) per group — rows-only (approximate
+    by construction; the pytest oracle bounds relative error vs exact)."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return relational.approx_distinct(ev, key_col="user_id", group_col="event_type")
+
+
 def q_ngram_jaccard_exact(sf_dir: str):
     """EXACT shingle-set Jaccard pairs ≥ 0.5 (SURVEY §2.3 ST2 CellJacc
     analog) — candidates from shared-shingle buckets are exhaustive for any
@@ -940,6 +1014,10 @@ def build_queries() -> dict:
         "orders_pivot": q_orders_pivot,
         "quantiles_quantity": q_quantiles_quantity,
         "doc_sample": q_doc_sample,
+        "top_tokens": q_top_tokens,
+        "ngram_repetition_docs": q_ngram_repetition_docs,
+        "decontam_docs": q_decontam_docs,
+        "approx_distinct_users": q_approx_distinct_users,
         "doc_sha256": q_doc_sha256,
         "exact_dedup_docs": q_exact_dedup_docs,
         "token_counts_docs": q_token_counts_docs,
@@ -983,6 +1061,9 @@ def build_oracle_sql() -> dict:
         "orders_pivot": SQL_ORDERS_PIVOT,
         "quantiles_quantity": SQL_QUANTILES_QUANTITY,
         "doc_sample": SQL_DOC_SAMPLE,
+        "top_tokens": SQL_TOP_TOKENS,
+        "ngram_repetition_docs": SQL_NGRAM_REPETITION,
+        "decontam_docs": SQL_DECONTAM,
         "doc_sha256": SQL_DOC_SHA256,
         "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
         "token_counts_docs": SQL_TOKEN_COUNTS,

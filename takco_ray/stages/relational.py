@@ -185,6 +185,57 @@ def exact_quantiles(ds, col: str, qs: list[float]):
     )
 
 
+def approx_distinct(ds, key_col: str, group_col: str, p: int = 12):
+    """(group, approx_distinct) — HyperLogLog distinct-count per group.
+
+    Map side: ONE register array per group per batch (2^p bytes, 4 KB at
+    p=12) regardless of row count; reduce side: elementwise-max merge +
+    estimate per group. The shuffle never carries keys — this is the
+    COUNT(DISTINCT) that still works when the distinct set itself doesn't
+    fit anywhere (σ ≈ 1.04/√2^p ≈ 1.6 % at p=12).
+    """
+    from ..functions.sketch import hll_registers, hll_estimate
+
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(key_col).combine_chunks(), dtype=np.int64)
+        grp = t.column(group_col).combine_chunks()
+        codes = np.asarray(pc.dictionary_encode(grp).indices, dtype=np.int64)
+        order = np.argsort(codes, kind="stable")
+        ks, cs = keys[order], codes[order]
+        starts = np.concatenate([[0], np.flatnonzero(cs[1:] != cs[:-1]) + 1]) if len(cs) else np.zeros(0, dtype=np.int64)
+        ends = np.append(starts[1:], len(cs))
+        groups, regs = [], []
+        for s, e in zip(starts, ends):  # one iteration per DISTINCT group, not per row
+            groups.append(cs[s])
+            regs.append(hll_registers(ks[s:e], p))
+        return pa.table(
+            {
+                group_col: pc.take(grp, pa.array(order[starts], type=pa.int64())),
+                "regs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate(regs) if regs else np.zeros(0, dtype=np.uint8), type=pa.uint8()), m
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        regs = np.asarray(g.column("regs").combine_chunks().flatten(), dtype=np.uint8).reshape(-1, m)
+        merged = regs.max(axis=0)
+        return pa.table(
+            {
+                group_col: g.column(group_col).slice(0, 1),
+                "approx_distinct": pa.array([int(round(hll_estimate(merged)))], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def hash_sample(ds, id_col: str, modulus: int = 1000, keep: int = 100):
     """Deterministic ``keep/modulus`` sample: rows where
     ``(id · SAMPLE_MIX) mod modulus < keep``.

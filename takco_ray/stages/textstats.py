@@ -204,6 +204,74 @@ def language_id(ds, text_column: str, id_column: str, concurrency=None):
     )
 
 
+def global_token_topk(ds, text_column: str, k: int = 20):
+    """Top-``k`` tokens by corpus-wide count — (token, cnt), count-desc then
+    token-asc (total order, so the limit is deterministic).
+
+    Map-side combiner: each batch collapses its token stream to (token, cnt)
+    partials with Arrow's native hash aggregate, so the shuffle carries one
+    row per DISTINCT token per batch, not one per occurrence. Vocabulary
+    (not corpus) sized groupby, then a top-k sort on the tiny counts table.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(col, "")), r"\W+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        part = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return pa.table(
+            {
+                "token": part.column("token"),
+                "cnt": part.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt"))
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def ngram_repetition(ds, text_column: str, id_column: str, shingle_k: int = 3):
+    """(id, n_ngrams, n_unique_ngrams) — duplicate-n-gram quality signal
+    (the Gopher-style repetition filter): docs whose n-gram stream is mostly
+    repeats are boilerplate/spam. Pure projection over the rolled shingle
+    hashes — no shuffle, no per-row Python."""
+    from ..functions.shingle import doc_shingles
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh, par, counts = doc_shingles(batch.column(text_column), shingle_k, 41)
+        n_docs = len(counts)
+        total = np.bincount(par, minlength=n_docs).astype(np.int64)
+        if len(sh):
+            order = np.lexsort((sh, par))
+            shs, pars = sh[order], par[order]
+            first = np.concatenate(
+                [[True], (pars[1:] != pars[:-1]) | (shs[1:] != shs[:-1])]
+            )
+            uniq = np.bincount(pars[first], minlength=n_docs).astype(np.int64)
+        else:
+            uniq = np.zeros(n_docs, dtype=np.int64)
+        return pa.table(
+            {
+                "id": batch.column(id_column).cast(pa.int64()),
+                "n_ngrams": pa.array(total, type=pa.int64()),
+                "n_unique_ngrams": pa.array(uniq, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def fingerprints(ds, text_column: str, id_column: str, window: int = 16):
     """(id, fingerprint) — winnowed rolling-hash document fingerprint.
 

@@ -1,0 +1,112 @@
+"""Token top-k, n-gram repetition, decontamination, HLL sketch — small
+in-memory oracles (python Counter / brute-force recomputation)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from takco_ray.functions import sketch
+from takco_ray.stages import decontam, relational, textstats
+
+
+def _ds(tbl: dict):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(tbl))
+
+
+TEXTS = [
+    "the cat sat on the mat the cat sat",
+    "a b c a b c a b c a b c",
+    "unique words only here today",
+    "",
+    "the the the the",
+]
+
+
+def test_global_token_topk_matches_counter(ray_session):
+    out = textstats.global_token_topk(_ds({"text": TEXTS}), "text", k=5).to_pandas()
+    cnt = Counter(t for s in TEXTS for t in re.findall(r"\w+", s.lower()))
+    expected = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(out.token, out.cnt)) == expected
+
+
+def test_ngram_repetition_brute_force(ray_session):
+    ids = list(range(len(TEXTS)))
+    out = (
+        textstats.ngram_repetition(_ds({"doc_id": ids, "text": TEXTS}), "text", "doc_id", shingle_k=3)
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    for i, s in enumerate(TEXTS):
+        toks = re.findall(r"\w+", s.lower())
+        grams = [tuple(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        assert out.loc[i, "n_ngrams"] == len(grams)
+        assert out.loc[i, "n_unique_ngrams"] == len(set(grams))
+
+
+def test_decontaminate_counts(ray_session):
+    import ray
+
+    docs = _ds({"doc_id": [0, 1, 2], "text": [
+        "alpha beta gamma delta",        # benchmark doc
+        "alpha beta gamma epsilon",      # shares shingle "alpha beta gamma"
+        "zeta eta theta iota",           # clean
+    ]})
+    bench_docs = _ds({"doc_id": [0], "text": ["alpha beta gamma delta"]})
+    bench = decontam.collect_benchmark_shingles(bench_docs, "text", shingle_k=3)
+    assert len(bench) == 2  # "alpha beta gamma", "beta gamma delta"
+    out = (
+        decontam.decontaminate(docs, "text", "doc_id", ray.put(bench), shingle_k=3)
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert out.loc[0].to_dict() == {"n_shingles": 2, "n_contaminated": 2}
+    assert out.loc[1].to_dict() == {"n_shingles": 2, "n_contaminated": 1}
+    assert out.loc[2].to_dict() == {"n_shingles": 2, "n_contaminated": 0}
+
+
+def test_hll_error_and_merge_associativity():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**62, 50_000).astype(np.int64)
+    exact = len(np.unique(keys))
+    regs = sketch.hll_registers(keys, p=12)
+    est = sketch.hll_estimate(regs)
+    assert abs(est - exact) / exact < 0.05
+    # merge(a,b) == registers(a ∪ b); order-independent and idempotent
+    a, b = keys[:30_000], keys[25_000:]  # overlapping halves
+    merged = sketch.hll_merge(sketch.hll_registers(a), sketch.hll_registers(b))
+    assert np.array_equal(merged, regs)
+    assert np.array_equal(sketch.hll_merge(merged, merged), merged)
+
+
+def test_hll_small_range_linear_counting():
+    keys = np.arange(40, dtype=np.int64)
+    est = sketch.hll_estimate(sketch.hll_registers(keys, p=12))
+    assert abs(est - 40) < 2
+
+
+def test_approx_distinct_grouped(ray_session):
+    rng = np.random.default_rng(5)
+    n = 20_000
+    groups = np.where(rng.random(n) < 0.5, "x", "y")
+    keys = np.where(groups == "x", rng.integers(0, 500, n), rng.integers(0, 3000, n))
+    out = (
+        relational.approx_distinct(
+            _ds({"user_id": keys.astype(np.int64), "event_type": groups}),
+            key_col="user_id", group_col="event_type",
+        )
+        .to_pandas()
+        .set_index("event_type")
+    )
+    import pandas as pd
+
+    exact = pd.DataFrame({"g": groups, "k": keys}).groupby("g").k.nunique()
+    for g in ["x", "y"]:
+        assert abs(out.loc[g, "approx_distinct"] - exact[g]) / exact[g] < 0.05
