@@ -71,6 +71,11 @@ class ERConfig:
     # cap cluster sizes the way the reference re-chunks oversized partitions
     # (takco/__init__.py:385-397); None = transitive components unaltered
     max_cluster_size: int | None = None
+    # score-weighted sharpening (reference Louvain edge_exp analog,
+    # takco/cluster/cluster.py:74-106): re-run CC inside each cluster over
+    # edges with score >= refine_threshold, splitting weak transitive
+    # chains; None = plain transitive components (the north-rule default)
+    refine_threshold: float | None = None
 
 
 def er_pipeline(
@@ -212,8 +217,17 @@ def er_pipeline(
             driver_limit=cfg.broadcast_label_limit,
         )
         side = sigs.select_columns(["file_id", "sha256", "repo", "path"])
+        if cfg.refine_threshold is not None:
+            from ..stages.components import refine_clusters
+
+            # refinement reads edges a second time (scores are gone after
+            # CC) — the edge stage is re-executed lazily for this consumer
+            raw = refine_clusters(
+                label_rows(star), edges, cfg.refine_threshold, num_parts
+            )
+            labels = _merge_labels(raw, side, num_parts)
         # star is materialized by the CC loop, so count() is metadata-cheap
-        if star.count() <= cfg.broadcast_label_limit:
+        elif star.count() <= cfg.broadcast_label_limit:
             labels = _broadcast_labels(star, side)
         else:
             raw = label_rows(star)  # (file_id, cluster_id), dup roots possible

@@ -205,6 +205,120 @@ def _union(ctx, cfg):
     return _ds(ctx, cfg).union(_ds(ctx, cfg, "other"))
 
 
+@op("refine_clusters")
+def _refine_clusters(ctx, cfg):
+    from ..stages.components import refine_clusters
+
+    return refine_clusters(
+        _ds(ctx, cfg), _ds(ctx, cfg, "edges"),
+        min_score=float(cfg["min_score"]),
+        num_partitions=int(cfg.get("num_partitions", 64)),
+    )
+
+
+@op("semi_join")
+def _semi_join(ctx, cfg):
+    from ..stages.relational import semi_join
+
+    return semi_join(
+        _ds(ctx, cfg), _ds(ctx, cfg, "right"), on=cfg["on"],
+        right_on=cfg.get("right_on"),
+        num_partitions=int(cfg.get("num_partitions", 8)),
+    )
+
+
+@op("anti_join")
+def _anti_join(ctx, cfg):
+    from ..stages.relational import anti_join
+
+    return anti_join(
+        _ds(ctx, cfg), _ds(ctx, cfg, "right"), on=cfg["on"],
+        right_on=cfg.get("right_on"),
+        num_partitions=int(cfg.get("num_partitions", 8)),
+    )
+
+
+@op("top_n_per_group")
+def _top_n_per_group(ctx, cfg):
+    from ..stages.relational import top_n_per_group
+
+    return top_n_per_group(
+        _ds(ctx, cfg), group_col=cfg["group_col"], order_col=cfg["order_col"],
+        n=int(cfg.get("n", 10)), tiebreak_col=cfg["tiebreak_col"],
+        descending=bool(cfg.get("descending", True)),
+    )
+
+
+@op("pivot_counts")
+def _pivot_counts(ctx, cfg):
+    from ..stages.relational import pivot_counts
+
+    return pivot_counts(
+        _ds(ctx, cfg), index_col=cfg["index_col"], pivot_col=cfg["pivot_col"],
+        categories=list(cfg["categories"]),
+    )
+
+
+@op("exact_quantiles")
+def _exact_quantiles(ctx, cfg):
+    from ..stages.relational import exact_quantiles
+
+    return exact_quantiles(_ds(ctx, cfg), cfg["column"], [float(q) for q in cfg["qs"]])
+
+
+@op("hash_sample")
+def _hash_sample(ctx, cfg):
+    from ..stages.relational import hash_sample
+
+    return hash_sample(
+        _ds(ctx, cfg), cfg["id_column"],
+        modulus=int(cfg.get("modulus", 1000)), keep=int(cfg.get("keep", 100)),
+    )
+
+
+@op("approx_distinct")
+def _approx_distinct(ctx, cfg):
+    from ..stages.relational import approx_distinct
+
+    return approx_distinct(
+        _ds(ctx, cfg), key_col=cfg["key_column"], group_col=cfg["group_column"],
+        p=int(cfg.get("p", 12)),
+    )
+
+
+@op("global_token_topk")
+def _global_token_topk(ctx, cfg):
+    return textstats.global_token_topk(
+        _ds(ctx, cfg), cfg.get("text_column", "text"), k=int(cfg.get("k", 20))
+    )
+
+
+@op("ngram_repetition")
+def _ngram_repetition(ctx, cfg):
+    return textstats.ngram_repetition(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"), shingle_k=int(cfg.get("shingle_k", 3)),
+    )
+
+
+@op("decontaminate")
+def _decontaminate(ctx, cfg):
+    """Benchmark side = another named dataset in the pipeline (tiny by
+    contract); its shingle set is collected once and broadcast."""
+    import ray as _ray
+
+    from ..stages.decontam import collect_benchmark_shingles, decontaminate
+
+    k = int(cfg.get("shingle_k", 3))
+    bench = collect_benchmark_shingles(
+        _ds(ctx, cfg, "benchmark"), cfg.get("text_column", "text"), shingle_k=k
+    )
+    return decontaminate(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"), _ray.put(bench), shingle_k=k,
+    )
+
+
 @op("sessionize")
 def _sessionize(ctx, cfg):
     from ..stages.temporal import sessionize

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .groupmap import partitioned_group_map, segment_boundaries
 
@@ -346,6 +347,112 @@ def rechunk_clusters(labels, max_cluster_size: int, num_partitions: int = 64):
         return out.set_column(idx, "cluster_id", pa.array(new_label, type=pa.int64()))
 
     return partitioned_group_map(labels, "cluster_id", split, num_partitions)
+
+
+def refine_clusters(labels, edges, min_score: float, num_partitions: int = 64):
+    """Score-weighted cluster sharpening: within each transitive cluster,
+    re-run CC over only STRONG edges (``score >= min_score``); members held
+    together only by weak near-threshold chains split apart.
+
+    The Ray-Data analog of the reference's Louvain ``edge_exp`` sharpening
+    (``takco/cluster/cluster.py:74-106``), which the reference runs
+    driver-side on the whole graph. Two grouped exchanges, nothing
+    driver-side:
+
+    1. group by NODE: strong edges meet their u-side label row (u and v
+       share a cluster by CC construction, so tagging u's side suffices)
+       — a grouped pass instead of a hash join so an all-empty strong-edge
+       side (over-tight threshold) degrades to all-singletons instead of
+       tripping the join operator on schemaless empty partitions;
+    2. group by CLUSTER: clusters are disjoint node sets, so all edges of
+       a partition feed a single :func:`_vec_cc` call.
+
+    Refinement can only split, never merge; labels stay min-member-id
+    canonical (cluster ids may be arbitrary int64, hence the explicit
+    ``is_member`` flag rather than sentinel values).
+
+    ``labels``: (file_id, cluster_id); ``edges``: (u, v, score).
+    """
+
+    def strong_rows(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(
+            t.column("score").cast(pa.float64()), pa.scalar(float(min_score))
+        )
+        kept = t.filter(mask)
+        n = kept.num_rows
+        return pa.table(
+            {
+                "key": kept.column("u").cast(pa.int64()),
+                "v": kept.column("v").cast(pa.int64()),
+                "cluster_id": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+                "is_member": pa.array(np.zeros(n, dtype=bool), type=pa.bool_()),
+            }
+        )
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t.column("file_id").cast(pa.int64()),
+                "v": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+                "cluster_id": t.column("cluster_id").cast(pa.int64()),
+                "is_member": pa.array(np.ones(n, dtype=bool), type=pa.bool_()),
+            }
+        )
+
+    by_node = edges.map_batches(
+        strong_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(labels.map_batches(member_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def tag_partition(t: pa.Table) -> pa.Table:
+        """Sorted by node key: stamp each edge row with its node's cluster."""
+        key = np.asarray(t.column("key").combine_chunks(), dtype=np.int64)
+        cl = np.asarray(t.column("cluster_id").combine_chunks(), dtype=np.int64)
+        mem = np.asarray(t.column("is_member").combine_chunks(), dtype=bool)
+        starts = segment_boundaries(key)
+        n_segs = len(starts)
+        seg_id = np.repeat(
+            np.arange(n_segs, dtype=np.int64), np.diff(np.append(starts, len(key)))
+        )
+        seg_cluster = np.zeros(n_segs, dtype=np.int64)
+        seg_valid = np.zeros(n_segs, dtype=bool)
+        mpos = np.flatnonzero(mem)
+        seg_cluster[seg_id[mpos]] = cl[mpos]
+        seg_valid[seg_id[mpos]] = True
+        # edges whose u never appears in labels are dropped (shouldn't occur)
+        keep = mem | seg_valid[seg_id]
+        out = t.filter(pa.array(keep))
+        stamped = np.where(mem, cl, seg_cluster[seg_id])[keep]
+        return pa.table(
+            {
+                "u": out.column("key"),
+                "v": out.column("v"),
+                "cluster_id": pa.array(stamped, type=pa.int64()),
+                "is_member": out.column("is_member"),
+            }
+        )
+
+    tagged = partitioned_group_map(by_node, "key", tag_partition, num_partitions)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u").combine_chunks(), dtype=np.int64)
+        v = np.asarray(t.column("v").combine_chunks(), dtype=np.int64)
+        mem = np.asarray(t.column("is_member").combine_chunks(), dtype=bool)
+        # label inputs may carry duplicate root rows — dedup membership
+        members = np.unique(u[mem])
+        nodes, roots = _vec_cc(u[~mem], v[~mem])
+        pos = np.searchsorted(nodes, members) if len(nodes) else np.zeros(len(members), dtype=np.int64)
+        pos = np.minimum(pos, max(len(nodes) - 1, 0))
+        found = nodes[pos] == members if len(nodes) else np.zeros(len(members), dtype=bool)
+        new_label = np.where(found, roots[pos] if len(nodes) else 0, members)
+        return pa.table(
+            {
+                "file_id": pa.array(members, type=pa.int64()),
+                "cluster_id": pa.array(new_label, type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(tagged, "cluster_id", per_partition, num_partitions)
 
 
 def attach_singletons(labels, all_ids):

@@ -398,37 +398,13 @@ def ngram_jaccard_exact(
     use the LSH-estimated :func:`ngram_jaccard_pairs` (stop-shingles would
     need demotion/caps, which would break exactness).
     """
-    from ..functions.tokenize import token_stream
-
-    _BASE = np.uint64(0x9E3779B97F4A7C15)
+    from ..functions.shingle import distinct_doc_shingles
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        hashes, _lens, counts = token_stream(batch.column(text_column), 41)
         ids = np.asarray(batch.column(id_column).combine_chunks(), dtype=np.int64)
-        n = len(hashes)
-        n_docs = len(counts)
-        k = shingle_k
-        parents = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-        if n >= k:
-            acc = hashes[: n - k + 1].copy()
-            for j in range(1, k):
-                acc *= _BASE
-                acc += hashes[j : n - k + 1 + j]
-            valid = parents[: n - k + 1] == parents[k - 1 :]
-            sh = acc[valid]
-            par = parents[: n - k + 1][valid]
-        else:
-            sh = np.zeros(0, dtype=np.uint64)
-            par = np.zeros(0, dtype=np.int64)
-        # distinct shingles per doc
-        order = np.lexsort((sh, par))
-        sh, par = sh[order], par[order]
-        first = (
-            np.concatenate([[True], (par[1:] != par[:-1]) | (sh[1:] != sh[:-1])])
-            if len(sh)
-            else np.zeros(0, dtype=bool)
+        sh, par, n_docs = distinct_doc_shingles(
+            batch.column(text_column), shingle_k, 41
         )
-        sh, par = sh[first], par[first]
         n_sh = np.bincount(par, minlength=n_docs).astype(np.int64)
         return pa.table(
             {

@@ -110,3 +110,72 @@ def test_rechunk_clusters_caps_sizes(ray_session):
     assert set(big[big.cluster_id == 8].file_id) == {8, 9}
     # small clusters unchanged
     assert set(out[out.file_id >= 100].cluster_id) == {100, 200}
+
+
+def test_refine_clusters_splits_weak_chains(ray_session):
+    """refine_clusters re-runs CC over strong edges only inside each
+    cluster: a weak bridge splits, strong components persist, singletons
+    of refinement keep min-member-id labels, untouched clusters keep
+    theirs (reference Louvain edge_exp sharpening analog)."""
+    import ray.data
+    from takco_ray.stages.components import connected_components, refine_clusters
+
+    # chain 1-2 (0.9), 2-3 (0.55), 3-4 (0.9): transitive cluster {1,2,3,4};
+    # separate strong pair {10,11}; weak-only pair {20,21}
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([1, 2, 3, 10, 20], type=pa.int64()),
+                "v": pa.array([2, 3, 4, 11, 21], type=pa.int64()),
+                "score": pa.array([0.9, 0.55, 0.9, 0.95, 0.51], type=pa.float64()),
+            }
+        )
+    )
+    base = connected_components(edges.select_columns(["u", "v"]))
+    got_base = {int(r["file_id"]): int(r["cluster_id"]) for r in base.take_all()}
+    assert got_base == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    refined = refine_clusters(base, edges, min_score=0.7, num_partitions=4)
+    got = {int(r["file_id"]): int(r["cluster_id"]) for r in refined.take_all()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 10: 10, 11: 10, 20: 20, 21: 21}
+    # duplicate label rows must not duplicate output
+    dup = base.union(base.limit(2))
+    refined_dup = refine_clusters(dup, edges, min_score=0.7, num_partitions=4)
+    assert len(refined_dup.take_all()) == 8
+
+
+def test_refine_threshold_in_er_pipeline(ray_session, tmp_path):
+    """ERConfig.refine_threshold end-to-end: near-identical files stay
+    clustered at a high refinement bar (their pair scores are ~1.0)."""
+    import pyarrow.parquet as pq
+    from takco_ray.pipelines.er import ERConfig, er_pipeline
+
+    corpus = tmp_path / "files"
+    corpus.mkdir()
+    base_text = " ".join(f"tok{i}" for i in range(200))
+    pq.write_table(
+        pa.table(
+            {
+                "repo": [f"r/{i}" for i in range(6)],
+                "path": [f"p/{i}.py" for i in range(6)],
+                "commit": [f"c{i}" for i in range(6)],
+                "lang": ["py"] * 6,
+                "content": pa.array(
+                    [base_text, base_text, base_text + "one tail token"]
+                    + [f"unrelated {i} " + "iota kappa " * (20 + i) for i in range(3)],
+                    type=pa.large_string(),
+                ),
+            }
+        ),
+        str(corpus / "shard_00000.parquet"),
+    )
+    out = er_pipeline(str(corpus), ERConfig(threshold=0.5, refine_threshold=0.6))
+    labels = out["labels"].to_pandas()
+    assert len(labels) == 6
+    sizes = labels.groupby("cluster_id").size().sort_values(ascending=False)
+    assert sizes.iloc[0] == 3  # the clone trio survives refinement
+    # at an impossible bar everything splits to singletons — still total
+    out_hi = er_pipeline(str(corpus), ERConfig(threshold=0.5, refine_threshold=2.0))
+    labels_hi = out_hi["labels"].to_pandas()
+    assert len(labels_hi) == 6
+    assert labels_hi.groupby("cluster_id").size().max() == 1

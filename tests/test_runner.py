@@ -211,3 +211,45 @@ def test_generic_stage_pipeline_with_resume(ray_session, tmp_path):
     m2 = run_config(str(cfg))
     produced = {k: v for k, v in m2.items() if isinstance(v, dict) and not v.get("sink")}
     assert produced and all(v.get("skipped") for v in produced.values())
+
+
+def test_stage_pipeline_relational_and_decontam_ops(ray_session, tmp_path):
+    """[[stage]] TOML exercising the round-2 relational/text ops:
+    hash_sample → decontaminate (benchmark = sampled slice) → anti_join of
+    contaminated docs out → top-n longest per language."""
+    import pyarrow.parquet as pq
+    from takco_ray.run import run_config
+
+    outdir = str(tmp_path / "out")
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        f'workdir = "{tmp_path / "ckpt"}"\n'
+        "[[stage]]\n"
+        'op = "read_parquet"\npath = "/root/testdata/sf0.001/documents.parquet"\n'
+        'columns = ["doc_id", "text", "lang", "n_chars"]\noutput = "docs"\n'
+        "[[stage]]\n"
+        'op = "hash_sample"\ninput = "docs"\nid_column = "doc_id"\nmodulus = 1000\nkeep = 50\noutput = "bench"\n'
+        "[[stage]]\n"
+        'op = "decontaminate"\ninput = "docs"\nbenchmark = "bench"\ntext_column = "text"\nid_column = "doc_id"\noutput = "contam"\n'
+        "[[stage]]\n"
+        'op = "filter"\ninput = "contam"\nexpr = "n_contaminated > 0"\noutput = "dirty"\n'
+        "[[stage]]\n"
+        'op = "anti_join"\ninput = "docs"\nright = "dirty"\non = "doc_id"\nright_on = "id"\noutput = "clean"\n'
+        "[[stage]]\n"
+        'op = "top_n_per_group"\ninput = "clean"\ngroup_col = "lang"\norder_col = "n_chars"\nn = 2\ntiebreak_col = "doc_id"\noutput = "tops"\n'
+        "[[stage]]\n"
+        'op = "write_parquet"\ninput = "tops"\npath = "' + outdir + '"\n'
+    )
+    run_config(str(cfg))
+    out = pq.read_table(outdir)
+    df = out.to_pandas()
+    assert set(df.columns) >= {"lang", "doc_id", "n_chars", "rank"}
+    assert (df.groupby("lang").size() <= 2).all()
+    # the benchmark docs themselves are contaminated by construction,
+    # so none of them survive the anti-join
+    bench_ids = set(
+        pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_pylist()
+    )
+    bench_ids = {i for i in bench_ids if (i * 2654435761) % 1000 < 50}
+    assert bench_ids and not (set(df.doc_id) & bench_ids)
