@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     "token_counts_docs",
     "minhash_dedup_docs",
     "embedding_topk",
+    "semi_join_orders",
+    "top_orders_per_priority",
+    "quantiles_quantity",
+    "top_tokens",
+    "decontam_docs",
+    "approx_distinct_users",
 ]
 
 

@@ -277,9 +277,12 @@ def fingerprints(ds, text_column: str, id_column: str, window: int = 16):
 
     Rolling polynomial hash (4-token windows) over the token-hash stream,
     min-sampled per ``window`` (winnowing): near-identical docs share
-    fingerprints, any edit changes only nearby windows. Roll computation is
-    one global pass; window minima are one ``minimum.reduceat``; only the
-    final tiny per-doc combine (≈ n_tokens/window values) loops.
+    fingerprints, any edit changes only nearby windows. Fully vectorized:
+    one global roll pass, a flat gather of the kept window values, ONE
+    ``minimum.reduceat`` across every window of every doc, and a Horner
+    combine that iterates ``max_windows_per_doc`` times over the doc axis
+    (≈ n_tokens/window iterations, each a vectorized step) — no per-doc
+    Python.
     """
     base = np.uint64(0x100000001B3)
 
@@ -299,22 +302,41 @@ def fingerprints(ds, text_column: str, id_column: str, window: int = 16):
         else:
             roll = np.zeros(0, dtype=np.uint64)
         starts = _seg_starts(counts)
-        for d in range(n_docs):
-            c = counts[d]
-            if c == 0:
-                continue
-            s = starts[d]
-            if c >= k:
-                r = roll[s : s + c - k + 1]
-            else:
-                r = hashes[s : s + c]
-            n_win = max(1, len(r) // window)
-            w_starts = np.arange(n_win, dtype=np.int64) * window
-            mins = np.minimum.reduceat(r[: n_win * window] if n_win * window <= len(r) else r, w_starts)
-            acc = np.uint64(0)
-            for m in mins:
-                acc = acc * base + np.uint64(m)
-            out[d] = acc
+        c = counts.astype(np.int64)
+        live = c > 0
+        if not live.any():
+            return pa.table(
+                {
+                    "id": batch.column(id_column).cast(pa.int64()),
+                    "fingerprint": pa.array(out, type=pa.uint64()),
+                }
+            )
+        # per-doc roll segment: length L from `roll` (c>=k) or `hashes` (c<k)
+        use_hash = c < k
+        L = np.where(use_hash, c, c - k + 1)
+        n_win = np.maximum(L // window, 1)
+        kept = np.where(L >= window, n_win * window, L)  # dropped tails excluded
+        kept[~live] = 0
+        n_win = np.where(live, n_win, 0)
+        # flat gather of every kept value from the unified [roll | hashes] pool
+        pool = np.concatenate([roll, hashes]) if len(hashes) else roll
+        src_base = np.where(use_hash, starts + len(roll), starts)
+        doc_off = np.concatenate([[0], np.cumsum(kept)[:-1]])
+        total = int(kept.sum())
+        intra = np.arange(total, dtype=np.int64) - np.repeat(doc_off, kept)
+        flat = pool[np.repeat(src_base, kept) + intra]
+        # global window starts: doc_off[d] + i*window for i < n_win[d]
+        win_off = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        w_total = int(n_win.sum())
+        w_intra = np.arange(w_total, dtype=np.int64) - np.repeat(win_off[live], n_win[live])
+        w_starts = np.repeat(doc_off[live], n_win[live]) + w_intra * window
+        mins = np.minimum.reduceat(flat, w_starts) if w_total else np.zeros(0, dtype=np.uint64)
+        # Horner combine per doc: max(n_win) vectorized steps over the doc axis
+        acc = np.zeros(n_docs, dtype=np.uint64)
+        for j in range(int(n_win.max(initial=0))):
+            active = n_win > j
+            acc[active] = acc[active] * base + mins[win_off[active] + j]
+        out = acc
         return pa.table(
             {
                 "id": batch.column(id_column).cast(pa.int64()),
