@@ -45,7 +45,8 @@ def levenshtein_ratio(a: str, b: str) -> float:
     return 1.0 - prev[lb] / la
 
 
-def levenshtein_ratio_batch(a_list, b_list, chunk: int = 262_144):
+def levenshtein_ratio_batch(a_list, b_list, chunk: int = 262_144,
+                            return_distance: bool = False):
     """Vectorized normalized Levenshtein over pairs of short strings.
 
     Full-matrix DP run simultaneously for every pair with numpy row updates
@@ -53,11 +54,14 @@ def levenshtein_ratio_batch(a_list, b_list, chunk: int = 262_144):
     this). Strings are padded into uint32 code matrices; each pair's answer
     is gathered at its own (len(a), len(b)) cell, so padding never corrupts
     results. Memory is bounded by ``chunk`` pairs per DP sweep.
+
+    ``return_distance=True`` yields the raw edit distance (int64, DuckDB
+    ``levenshtein()`` semantics) instead of the 1 − dist/max ratio.
     """
     import numpy as np
 
     n = len(a_list)
-    out = np.empty(n, dtype=np.float64)
+    out = np.empty(n, dtype=np.int64 if return_distance else np.float64)
     for c0 in range(0, n, chunk):
         c1 = min(c0 + chunk, n)
         aa = a_list[c0:c1]
@@ -68,7 +72,10 @@ def levenshtein_ratio_batch(a_list, b_list, chunk: int = 262_144):
         maxa = int(la.max()) if m else 0
         maxb = int(lb.max()) if m else 0
         if maxa == 0 or maxb == 0:
-            out[c0:c1] = np.where((la == 0) & (lb == 0), 1.0, 0.0)
+            if return_distance:
+                out[c0:c1] = np.maximum(la, lb)
+            else:
+                out[c0:c1] = np.where((la == 0) & (lb == 0), 1.0, 0.0)
             continue
         A = np.zeros((m, maxa), dtype=np.uint32)
         B = np.zeros((m, maxb), dtype=np.uint32)
@@ -95,10 +102,13 @@ def levenshtein_ratio_batch(a_list, b_list, chunk: int = 262_144):
                 final[hit] = cur[hit]
             prev = cur
         dist = final[np.arange(m), lb]
-        denom = np.maximum(np.maximum(la, lb), 1)
-        out[c0:c1] = np.where(
-            (la == 0) & (lb == 0), 1.0, 1.0 - dist / denom
-        )
+        if return_distance:
+            out[c0:c1] = dist
+        else:
+            denom = np.maximum(np.maximum(la, lb), 1)
+            out[c0:c1] = np.where(
+                (la == 0) & (lb == 0), 1.0, 1.0 - dist / denom
+            )
     return out
 
 

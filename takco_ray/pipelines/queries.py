@@ -511,6 +511,135 @@ WHERE (doc_id * 2654435761) % 1000 < 100
 """
 
 
+def q_events_running_sum(sf_dir: str):
+    """Per-key running total (SQL window ROWS UNBOUNDED PRECEDING) — one
+    hash shuffle + one cumsum per partition; integer micro-units so the
+    accumulation is associative and engine-exact."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return temporal_stages.grouped_running_sum(
+        ev, key_column="user_id", ts_column="ts", id_column="event_id",
+        value_column="value", units=1_000_000,
+    )
+
+
+SQL_EVENTS_RUNNING_SUM = """
+SELECT event_id, CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER (
+  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+) AS BIGINT) AS running_sum
+FROM events
+"""
+
+
+def q_customer_f_order_counts(sf_dir: str):
+    """LEFT OUTER join with null semantics: per-customer count of finished
+    orders, zero for customers with none (71 such at sf0.01)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    f_orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        # the join coalesces the right key column away; an explicit marker
+        # column survives as NULL on unmatched left rows
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "matched": pa.array(np.ones(t.num_rows, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    joined = cust.join(
+        f_orders.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "hit": pc.cast(t.column("matched").is_valid(), pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Sum("hit"))
+    )
+    return agg.rename_columns({"sum(hit)": "n_f_orders"})
+
+
+SQL_CUSTOMER_F_ORDER_COUNTS = """
+SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS n_f_orders
+FROM customer c LEFT JOIN (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+) o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+
+def q_name_distances(sf_dir: str):
+    """String-distance scalar functions (SURVEY §2.8 lev/JW) SQL-verified:
+    edit distance + Jaro-Winkler between consecutive customer names.
+    Levenshtein runs the vectorized batch DP; JW is the scalar kernel over
+    short key strings (bounded per batch — the flagship path never calls
+    it on content)."""
+    from ..functions.strings import levenshtein_ratio_batch, jaro_winkler
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def as_right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"rkey": t.column("c_custkey").cast(pa.int64()), "rname": t.column("c_name")}
+        )
+
+    def add_next(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id1": t.column("c_custkey").cast(pa.int64()),
+                "lname": t.column("c_name"),
+                "next_key": pc.add(t.column("c_custkey").cast(pa.int64()), pa.scalar(1)),
+            }
+        )
+
+    joined = cust.map_batches(add_next, batch_format="pyarrow", zero_copy_batch=True).join(
+        cust.map_batches(as_right, batch_format="pyarrow", zero_copy_batch=True),
+        join_type="inner",
+        num_partitions=8,
+        on=("next_key",),
+        right_on=("rkey",),
+    )
+
+    def dists(t: pa.Table) -> pa.Table:
+        a = t.column("lname").to_pylist()
+        b = t.column("rname").to_pylist()
+        lev = levenshtein_ratio_batch(a, b, return_distance=True)
+        jw = np.array(
+            [np.floor(jaro_winkler(x, y) * 1e6 + 0.5) for x, y in zip(a, b)],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "id1": t.column("id1").cast(pa.int64()),
+                "lev": pa.array(lev, type=pa.int64()),
+                "jw_u": pa.array(jw, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(dists, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_NAME_DISTANCES = """
+SELECT a.c_custkey AS id1,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev,
+       CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name) * 1000000 + 0.5) AS BIGINT) AS jw_u
+FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+"""
+
+
 def q_distinct_segments(sf_dir: str):
     """Distinct values (SURVEY §2.7 D6)."""
     ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
@@ -1014,6 +1143,9 @@ def build_queries() -> dict:
         "orders_pivot": q_orders_pivot,
         "quantiles_quantity": q_quantiles_quantity,
         "doc_sample": q_doc_sample,
+        "events_running_sum": q_events_running_sum,
+        "customer_f_order_counts": q_customer_f_order_counts,
+        "name_distances": q_name_distances,
         "top_tokens": q_top_tokens,
         "ngram_repetition_docs": q_ngram_repetition_docs,
         "decontam_docs": q_decontam_docs,
@@ -1061,6 +1193,9 @@ def build_oracle_sql() -> dict:
         "orders_pivot": SQL_ORDERS_PIVOT,
         "quantiles_quantity": SQL_QUANTILES_QUANTITY,
         "doc_sample": SQL_DOC_SAMPLE,
+        "events_running_sum": SQL_EVENTS_RUNNING_SUM,
+        "customer_f_order_counts": SQL_CUSTOMER_F_ORDER_COUNTS,
+        "name_distances": SQL_NAME_DISTANCES,
         "top_tokens": SQL_TOP_TOKENS,
         "ngram_repetition_docs": SQL_NGRAM_REPETITION,
         "decontam_docs": SQL_DECONTAM,

@@ -370,6 +370,18 @@ def _range_join(ctx, cfg):
     )
 
 
+@op("grouped_running_sum")
+def _grouped_running_sum(ctx, cfg):
+    from ..stages.temporal import grouped_running_sum
+
+    return grouped_running_sum(
+        _ds(ctx, cfg), cfg["key_column"], cfg["ts_column"], cfg["id_column"],
+        cfg["value_column"], out_column=cfg.get("out_column", "running_sum"),
+        units=int(cfg["units"]) if "units" in cfg else None,
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
 @op("rolling_window_count")
 def _rolling_window_count(ctx, cfg):
     from ..stages.temporal import rolling_window_count

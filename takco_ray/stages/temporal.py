@@ -345,3 +345,70 @@ def rolling_window_count(
     return partitioned_group_map(
         ds, key_column, per_partition, num_partitions or _parts()
     )
+
+
+def grouped_running_sum(
+    ds,
+    key_column: str,
+    ts_column: str,
+    id_column: str,
+    value_column: str,
+    out_column: str = "running_sum",
+    units: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Per-key running total ordered by ``(ts, id)`` — exactly
+    ``sum(value) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS UNBOUNDED PRECEDING)``.
+
+    One hash shuffle on the key, then per partition: ONE lexsort + ONE
+    global ``np.cumsum`` with the previous segment's total subtracted at
+    each segment start (no per-key loop). ``units`` integerizes the value
+    (``round(value × units)`` as int64) before summing so the running
+    totals are associative and engine-exact; ``None`` keeps float64 (same
+    left-to-right accumulation order as the SQL window, but float sums are
+    only comparable within one engine).
+    """
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], type=pa.int64()),
+                    out_column: pa.array(
+                        [], type=pa.int64() if units else pa.float64()
+                    ),
+                }
+            )
+        k = _i64(t.column(key_column))
+        ts = _i64(t.column(ts_column))
+        ids = _i64(t.column(id_column))
+        v = np.asarray(
+            t.column(value_column).cast(pa.float64()).combine_chunks(),
+            dtype=np.float64,
+        )
+        if units:
+            v = np.round(v * units).astype(np.int64)
+        order = np.lexsort((ids, ts, k))
+        k, ids, v = k[order], ids[order], v[order]
+        cum = np.cumsum(v)
+        seg_start = np.concatenate([[True], k[1:] != k[:-1]])
+        starts = np.flatnonzero(seg_start)
+        seg_id = np.cumsum(seg_start) - 1
+        # subtract the total accumulated before each segment; exact on the
+        # int64 path, and the float path is cumsum-minus-offset (NOT bit
+        # equal to summing each segment alone — use `units` for oracles)
+        seg_base = np.concatenate([v[:1] * 0, cum[starts[1:] - 1]])
+        run = cum - seg_base[seg_id]
+        return pa.table(
+            {
+                id_column: pa.array(ids, type=pa.int64()),
+                out_column: pa.array(
+                    run, type=pa.int64() if units else pa.float64()
+                ),
+            }
+        )
+
+    return partitioned_group_map(
+        ds, key_column, per_partition, num_partitions or _parts()
+    )

@@ -110,3 +110,55 @@ def test_approx_distinct_grouped(ray_session):
     exact = pd.DataFrame({"g": groups, "k": keys}).groupby("g").k.nunique()
     for g in ["x", "y"]:
         assert abs(out.loc[g, "approx_distinct"] - exact[g]) / exact[g] < 0.05
+
+
+def test_grouped_running_sum_matches_pandas(ray_session):
+    import pandas as pd
+    from takco_ray.stages.temporal import grouped_running_sum
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": rng.integers(0, 10_000, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": rng.normal(10, 3, n),
+        }
+    )
+    shuffled = df.sample(frac=1.0, random_state=1).reset_index(drop=True)
+    out = (
+        grouped_running_sum(
+            _ds(shuffled.to_dict("list")), "user_id", "ts", "event_id", "value",
+            units=1_000_000, num_partitions=8,
+        )
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    df["v_u"] = np.round(df.value * 1e6).astype(np.int64)
+    exp = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id").v_u.cumsum()
+    )
+    exp = df.assign(run=exp).set_index("event_id").sort_index().run
+    assert (out.running_sum.to_numpy() == exp.to_numpy()).all()
+
+
+def test_levenshtein_distance_mode():
+    from takco_ray.functions.strings import levenshtein_ratio_batch
+
+    def ref(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    pairs = [("kitten", "sitting"), ("", ""), ("", "abc"), ("abc", ""),
+             ("same", "same"), ("Customer#01", "Customer#10"), ("a", "ba")]
+    a, b = zip(*pairs)
+    got = levenshtein_ratio_batch(list(a), list(b), return_distance=True)
+    assert got.tolist() == [ref(x, y) for x, y in pairs]
