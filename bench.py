@@ -113,6 +113,10 @@ def run_bench(sf_dir: str, num_cpus: int, er_only: bool = False) -> dict:
 
         timings: dict = {}
 
+        # warm the page cache the same way --scaling does, so per-round
+        # bench numbers measure the engine, not first-touch disk reads
+        _warm_page_cache(corpus_dir)
+
         t0 = time.monotonic()
         result = er_pipeline(os.path.join(corpus_dir, "files"))
         # (corpus_dir is the generator output root; files/ holds the shards)
