@@ -498,6 +498,24 @@ FROM lineitem
 """
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-group exact quantiles (distribution stats per key) — only
+    distinct (group, value) pairs shuffle."""
+    li = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return relational.grouped_quantiles(
+        li, col="l_quantity", group_col="l_returnflag", qs=[0.25, 0.5, 0.9]
+    )
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS q25,
+       quantile_disc(l_quantity, 0.50) AS q50,
+       quantile_disc(l_quantity, 0.90) AS q90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic 10% hash sample of documents — stateless projection,
     identical membership on any engine / cluster size."""
@@ -962,6 +980,31 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
 """
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Per-doc salient terms by tf/df (TF-IDF core with exact ranking)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.tfidf_top_terms(docs, text_column="text", id_column="doc_id", k=3)
+
+
+SQL_TFIDF_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_extract_all(lower(text), '\w+'), x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token
+         ) AS rank
+  FROM tf JOIN df USING (token))
+SELECT doc_id AS id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM scored WHERE rank <= 3
+"""
+
+
 def q_ngram_repetition_docs(sf_dir: str):
     """Duplicate-n-gram repetition stats (Gopher-style quality signal)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1142,11 +1185,13 @@ def build_queries() -> dict:
         "top_orders_per_priority": q_top_orders_per_priority,
         "orders_pivot": q_orders_pivot,
         "quantiles_quantity": q_quantiles_quantity,
+        "grouped_quantiles": q_grouped_quantiles,
         "doc_sample": q_doc_sample,
         "events_running_sum": q_events_running_sum,
         "customer_f_order_counts": q_customer_f_order_counts,
         "name_distances": q_name_distances,
         "top_tokens": q_top_tokens,
+        "tfidf_terms": q_tfidf_terms,
         "ngram_repetition_docs": q_ngram_repetition_docs,
         "decontam_docs": q_decontam_docs,
         "approx_distinct_users": q_approx_distinct_users,
@@ -1192,11 +1237,13 @@ def build_oracle_sql() -> dict:
         "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
         "orders_pivot": SQL_ORDERS_PIVOT,
         "quantiles_quantity": SQL_QUANTILES_QUANTITY,
+        "grouped_quantiles": SQL_GROUPED_QUANTILES,
         "doc_sample": SQL_DOC_SAMPLE,
         "events_running_sum": SQL_EVENTS_RUNNING_SUM,
         "customer_f_order_counts": SQL_CUSTOMER_F_ORDER_COUNTS,
         "name_distances": SQL_NAME_DISTANCES,
         "top_tokens": SQL_TOP_TOKENS,
+        "tfidf_terms": SQL_TFIDF_TERMS,
         "ngram_repetition_docs": SQL_NGRAM_REPETITION,
         "decontam_docs": SQL_DECONTAM,
         "doc_sha256": SQL_DOC_SHA256,

@@ -276,6 +276,23 @@ def _hash_sample(ctx, cfg):
     )
 
 
+@op("grouped_quantiles")
+def _grouped_quantiles(ctx, cfg):
+    from ..stages.relational import grouped_quantiles
+
+    return grouped_quantiles(
+        _ds(ctx, cfg), cfg["column"], cfg["group_col"], [float(q) for q in cfg["qs"]]
+    )
+
+
+@op("tfidf_top_terms")
+def _tfidf_top_terms(ctx, cfg):
+    return textstats.tfidf_top_terms(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"), k=int(cfg.get("k", 5)),
+    )
+
+
 @op("approx_distinct")
 def _approx_distinct(ctx, cfg):
     from ..stages.relational import approx_distinct

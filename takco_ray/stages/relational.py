@@ -185,6 +185,65 @@ def exact_quantiles(ds, col: str, qs: list[float]):
     )
 
 
+def grouped_quantiles(ds, col: str, group_col: str, qs: list[float]):
+    """Per-group exact discrete quantiles — one row per group with a
+    ``qNN`` column per requested quantile.
+
+    Same histogram route as :func:`exact_quantiles`, keyed by (group,
+    value): the shuffle carries one row per DISTINCT (group, value) pair,
+    and the per-group cumsum walk runs on each group's tiny histogram.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = t.column(group_col).combine_chunks()
+        enc = pc.dictionary_encode(grp)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        v = np.asarray(t.column(col).combine_chunks(), dtype=np.float64)
+        # unique (group, value) pairs with counts, one lexsort
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        first = (
+            np.concatenate([[True], (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])])
+            if len(cs)
+            else np.zeros(0, dtype=bool)
+        )
+        starts = np.flatnonzero(first)
+        cnts = np.diff(np.append(starts, len(cs)))
+        return pa.table(
+            {
+                group_col: pc.take(grp, pa.array(order[starts], type=pa.int64())),
+                "value": pa.array(vs[starts], type=pa.float64()),
+                "cnt": pa.array(cnts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "value"])
+        .aggregate(Sum("cnt"))
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        v = np.asarray(g.column("value").combine_chunks(), dtype=np.float64)
+        c = np.asarray(g.column("cnt").combine_chunks(), dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = cum[-1]
+        cols = {group_col: g.column(group_col).slice(0, 1)}
+        for q in qs:
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            pos = int(np.searchsorted(cum, idx + 1))
+            cols[f"q{int(round(q * 100)):02d}"] = pa.array(
+                [v[min(pos, len(v) - 1)]], type=pa.float64()
+            )
+        return pa.table(cols)
+
+    return hist.groupby(group_col).map_groups(pick, batch_format="pyarrow")
+
+
 def approx_distinct(ds, key_col: str, group_col: str, p: int = 12):
     """(group, approx_distinct) — HyperLogLog distinct-count per group.
 

@@ -241,6 +241,82 @@ def global_token_topk(ds, text_column: str, k: int = 20):
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def tfidf_top_terms(ds, text_column: str, id_column: str, k: int = 5):
+    """Per-document top-``k`` salient terms ranked by tf/df — the exactness-
+    preserving core of TF-IDF (the reference's TfidfMatcher,
+    ``docs/benchmarks/snow_pipeline.py``): for a fixed corpus size N,
+    ranking by ``tf · idf`` with any monotone idf(df) equals ranking by
+    ``tf / df``, and the single IEEE division is bit-identical across
+    engines where a ``log`` would not be.
+
+    Plan shape: ONE tokenization pass emits final (doc, token, tf) rows
+    (a document never spans batches, so per-batch Arrow hash aggregates are
+    already global); df is a vocabulary-sized groupby over those rows; a
+    hash join tags each row with its df; per-doc top-k runs in one grouped
+    pass with a vectorized segment ranking. Output:
+    ``(id, token, tf, df, rank)``, rank 1-based by (tf/df desc, token asc).
+    """
+    from .groupmap import partitioned_group_map
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        col = t.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), r"\W+")
+        flat = pc.list_flatten(toks)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.asarray(t.column(id_column).combine_chunks(), dtype=np.int64)
+        parents = np.repeat(ids, counts)
+        tbl = pa.table({"id": pa.array(parents, type=pa.int64()), "token": flat})
+        tbl = tbl.filter(pc.not_equal(tbl.column("token"), pa.scalar("")))
+        agg = tbl.group_by(["id", "token"]).aggregate([("token", "count")])
+        return pa.table(
+            {
+                "id": agg.column("id"),
+                "token": agg.column("token"),
+                "tf": agg.column("token_count").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+    df = (
+        tf.groupby("token")
+        .aggregate(Count())
+        .rename_columns({"count()": "df"})
+    )
+    joined = tf.join(df, join_type="inner", num_partitions=16, on=("token",))
+
+    def topk_partition(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("id").combine_chunks(), dtype=np.int64)
+        tfv = np.asarray(t.column("tf").combine_chunks(), dtype=np.int64)
+        dfv = np.asarray(t.column("df").combine_chunks(), dtype=np.int64)
+        toks = t.column("token").combine_chunks()
+        # np.unique gives lexicographically sorted uniques → codes preserve
+        # string order, so the int lexsort tiebreak equals token-asc
+        tok_sorted, tok_codes = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+        score = tfv.astype(np.float64) / dfv.astype(np.float64)
+        order = np.lexsort((tok_codes, -score, ids))
+        gs = ids[order]
+        starts = np.concatenate([[0], np.flatnonzero(gs[1:] != gs[:-1]) + 1]) if len(gs) else np.zeros(0, dtype=np.int64)
+        seg_of = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(gs))))
+        rank = np.arange(len(gs)) - starts[seg_of]
+        keep = rank < k
+        sel = order[keep]
+        return pa.table(
+            {
+                "id": pa.array(ids[sel], type=pa.int64()),
+                "token": pc.take(toks, pa.array(sel, type=pa.int64())),
+                "tf": pa.array(tfv[sel], type=pa.int64()),
+                "df": pa.array(dfv[sel], type=pa.int64()),
+                "rank": pa.array(rank[keep] + 1, type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(joined, "id", topk_partition)
+
+
 def ngram_repetition(ds, text_column: str, id_column: str, shingle_k: int = 3):
     """(id, n_ngrams, n_unique_ngrams) — duplicate-n-gram quality signal
     (the Gopher-style repetition filter): docs whose n-gram stream is mostly

@@ -162,3 +162,56 @@ def test_levenshtein_distance_mode():
     a, b = zip(*pairs)
     got = levenshtein_ratio_batch(list(a), list(b), return_distance=True)
     assert got.tolist() == [ref(x, y) for x, y in pairs]
+
+
+def test_grouped_quantiles_matches_disc(ray_session):
+    from takco_ray.stages.relational import grouped_quantiles
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    vals = rng.integers(0, 50, n).astype(np.float64)
+    out = (
+        grouped_quantiles(_ds({"g": groups.tolist(), "v": vals}), "v", "g", [0.5, 0.9])
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for g in ["a", "b", "c"]:
+        s = np.sort(vals[groups == g])
+        for q, col in [(0.5, "q50"), (0.9, "q90")]:
+            idx = max(0, int(np.ceil(q * len(s))) - 1)
+            assert out.loc[g, col] == s[idx]
+
+
+def test_tfidf_top_terms_small_oracle(ray_session):
+    docs = {
+        0: "apple apple banana shared shared shared",
+        1: "banana cherry shared",
+        2: "cherry cherry cherry apple shared",
+    }
+    out = (
+        textstats.tfidf_top_terms(
+            _ds({"doc_id": list(docs), "text": list(docs.values())}), "text", "doc_id", k=2
+        )
+        .to_pandas()
+        .sort_values(["id", "rank"])
+        .reset_index(drop=True)
+    )
+    # brute-force oracle
+    import re
+    from collections import Counter
+
+    dfc = Counter()
+    tfs = {}
+    for i, t in docs.items():
+        tf = Counter(re.findall(r"\w+", t.lower()))
+        tfs[i] = tf
+        dfc.update(tf.keys())
+    rows = []
+    for i, tf in tfs.items():
+        ranked = sorted(tf.items(), key=lambda kv: (-(kv[1] / dfc[kv[0]]), kv[0]))[:2]
+        for r, (tok, f) in enumerate(ranked, 1):
+            rows.append((i, tok, f, dfc[tok], r))
+    got = list(map(tuple, out[["id", "token", "tf", "df", "rank"]].values))
+    assert got == rows
