@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "top_orders_per_priority",
     "quantiles_quantity",
     "top_tokens",
+    "tfidf_terms",
     "decontam_docs",
     "approx_distinct_users",
 ]

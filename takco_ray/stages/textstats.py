@@ -251,14 +251,18 @@ def tfidf_top_terms(ds, text_column: str, id_column: str, k: int = 5):
 
     Plan shape: ONE tokenization pass emits final (doc, token, tf) rows
     (a document never spans batches, so per-batch Arrow hash aggregates are
-    already global); df is a vocabulary-sized groupby over those rows; a
-    hash join tags each row with its df; per-doc top-k runs in one grouped
-    pass with a vectorized segment ranking. Output:
-    ``(id, token, tf, df, rank)``, rank 1-based by (tf/df desc, token asc).
+    already global); df comes from ONE token-keyed grouped pass over those
+    same rows — since tf rows are distinct per (doc, token), a token's df
+    is simply its row count, so no separate vocabulary aggregate or join
+    exists; per-doc top-k runs in a second grouped pass with vectorized
+    segment ranking. Output: ``(id, token, tf, df, rank)``, rank 1-based
+    by (tf/df desc, token asc).
     """
     from .groupmap import partitioned_group_map
 
     def tf_rows(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
         col = t.column(text_column)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -270,23 +274,36 @@ def tfidf_top_terms(ds, text_column: str, id_column: str, k: int = 5):
         tbl = pa.table({"id": pa.array(parents, type=pa.int64()), "token": flat})
         tbl = tbl.filter(pc.not_equal(tbl.column("token"), pa.scalar("")))
         agg = tbl.group_by(["id", "token"]).aggregate([("token", "count")])
+        # routing key only (partition assignment) — exactness never depends
+        # on it: the df pass re-groups by the actual token strings
+        tok_pk = pd.util.hash_array(
+            np.asarray(agg.column("token").combine_chunks(), dtype=object)
+        ).astype(np.int64)
         return pa.table(
             {
                 "id": agg.column("id"),
                 "token": agg.column("token"),
                 "tf": agg.column("token_count").cast(pa.int64()),
+                "tok_pk": pa.array(tok_pk, type=pa.int64()),
             }
         )
 
-    from ray.data.aggregate import Count
-
     tf = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
-    df = (
-        tf.groupby("token")
-        .aggregate(Count())
-        .rename_columns({"count()": "df"})
-    )
-    joined = tf.join(df, join_type="inner", num_partitions=16, on=("token",))
+
+    def attach_df(part: pa.Table) -> pa.Table:
+        toks = np.asarray(part.column("token").combine_chunks(), dtype=object)
+        _uniq, inv = np.unique(toks, return_inverse=True)
+        dfs = np.bincount(inv)
+        return pa.table(
+            {
+                "id": part.column("id"),
+                "token": part.column("token"),
+                "tf": part.column("tf"),
+                "df": pa.array(dfs[inv].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    joined = partitioned_group_map(tf, "tok_pk", attach_df)
 
     def topk_partition(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("id").combine_chunks(), dtype=np.int64)
