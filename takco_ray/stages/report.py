@@ -104,6 +104,15 @@ def score_clusters(
         if (precision + recall) > 0
         else 0.0
     )
+    # Adjusted Rand Index from the same pair counts (Hubert & Arabie 1985):
+    # (tp − E[tp]) / (max_index − E[tp]) with E[tp] = pred·gold / C(n,2)
+    total_pairs = n_items * (n_items - 1) / 2
+    if total_pairs > 0:
+        expected = pred * gold_pairs / total_pairs
+        max_index = (pred + gold_pairs) / 2
+        ari = (tp - expected) / (max_index - expected) if max_index != expected else 1.0
+    else:
+        ari = 1.0
     import ray.data as _rd
 
     return _rd.from_arrow(
@@ -116,6 +125,7 @@ def score_clusters(
                 "precision": pa.array([round(precision, 6)], type=pa.float64()),
                 "recall": pa.array([round(recall, 6)], type=pa.float64()),
                 "f1": pa.array([round(f1, 6)], type=pa.float64()),
+                "ari": pa.array([round(ari, 6)], type=pa.float64()),
             }
         )
     )

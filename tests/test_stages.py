@@ -227,6 +227,16 @@ def test_score_clusters_report(ray_session):
     assert abs(out["precision"] - prec) < 1e-9
     assert abs(out["recall"] - rec) < 1e-9
     assert abs(out["f1"] - 2 * prec * rec / (prec + rec)) < 1e-9
+    # ARI vs the standard contingency formula
+    n = len(ids)
+    total = n * (n - 1) / 2
+    expected = len(pp) * len(gp) / total
+    ari = (len(tp) - expected) / ((len(pp) + len(gp)) / 2 - expected)
+    assert abs(out["ari"] - ari) < 1e-6
+    # identical partitions → ARI 1
+    self_gold = ray.data.from_arrow(pa.table({"file_id": ids, "entity_id": pred}))
+    perfect = score_clusters(labels, self_gold).take_all()[0]
+    assert perfect["ari"] == 1.0 and perfect["f1"] == 1.0
 
 
 def test_simhash_neardup_matches_bruteforce(ray_session):
