@@ -78,6 +78,42 @@ class ERConfig:
     refine_threshold: float | None = None
 
 
+def signatures_for_paths(paths, cfg: ERConfig):
+    """Corpus shard paths (or a directory) → signature Dataset: fingerprint
+    (sha256 / file_id / size), optional normalization, MinHash bands + 16-bit
+    signature; content dropped after the signature stage.
+
+    Task-based (not actor-pool): minhash state is ~2 KB and cached per
+    worker process, so the elastic task pool saturates all CPUs.
+    ``batch_size`` bounds per-task content in memory (~2048 × file size);
+    a whole 100 MB read block per batch starves concurrent workers.
+    """
+    import ray as _ray
+
+    n_blocks = cfg.read_num_blocks or 4 * int(_ray.cluster_resources().get("CPU", 8))
+    files = read_files_corpus(paths, override_num_blocks=n_blocks)
+    fp = fingerprint_stage(files, batch_size=2048)
+    src_col = "content"
+    if cfg.normalize:
+        fp = normalize_content(fp).map_batches(
+            lambda t: t.drop_columns(["content"]),
+            batch_format="pyarrow",
+        )
+        src_col = "content_norm"
+    return fp.map_batches(
+        make_signature_fn(
+            num_perm=cfg.num_perm,
+            num_bands=cfg.num_bands,
+            shingle_k=cfg.shingle_k,
+            seed=cfg.seed,
+            content_column=src_col,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+    )
+
+
 def er_pipeline(
     corpus_dir: str,
     cfg: ERConfig | None = None,
@@ -110,36 +146,7 @@ def er_pipeline(
     fp_fp = stage_fingerprint("signatures", params)
 
     def build_signatures_from(paths):
-        import ray as _ray
-
-        n_blocks = cfg.read_num_blocks or 4 * int(
-            _ray.cluster_resources().get("CPU", 8)
-        )
-        files = read_files_corpus(paths, override_num_blocks=n_blocks)
-        fp = fingerprint_stage(files, batch_size=2048)
-        src_col = "content"
-        if cfg.normalize:
-            fp = normalize_content(fp).map_batches(
-                lambda t: t.drop_columns(["content"]),
-                batch_format="pyarrow",
-            )
-            src_col = "content_norm"
-        # task-based (not actor-pool): minhash state is ~2 KB and cached per
-        # worker process, so the elastic task pool saturates all CPUs.
-        # batch_size bounds per-task content in memory (~2048 × file size);
-        # a whole 100 MB read block per batch starves concurrent workers.
-        return fp.map_batches(
-            make_signature_fn(
-                num_perm=cfg.num_perm,
-                num_bands=cfg.num_bands,
-                shingle_k=cfg.shingle_k,
-                seed=cfg.seed,
-                content_column=src_col,
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=2048,
-        )
+        return signatures_for_paths(paths, cfg)
 
     # materialized: consumed by the count pre-pass, the blocking shuffle AND
     # the label merge — three readers of one object-store copy. With a
@@ -239,7 +246,205 @@ def er_pipeline(
         return labels
 
     labels = runner.run("clusters", labels_fp, build_labels, materialize=False)
-    return {"labels": labels, "edges": edges, "metrics": runner.metrics}
+    return {
+        "labels": labels,
+        "edges": edges,
+        "signatures": sigs,
+        "metrics": runner.metrics,
+    }
+
+
+def incremental_er(
+    new_corpus_dir: str,
+    base_labels,
+    base_signatures,
+    cfg: ERConfig | None = None,
+) -> dict:
+    """Attach a NEW batch of files to an existing run's clusters without
+    re-clustering the base corpus (continuous-ingest ER — beyond the
+    reference, which always re-clusters from scratch,
+    ``takco/__init__.py:231-430``).
+
+    Labels are min-member-id canonical, so each base cluster's
+    REPRESENTATIVE is exactly the member with ``file_id == cluster_id`` —
+    the rep set needs no extra index. The match runs the normal blocking +
+    fused-scoring + CC machinery over (rep signatures ∪ new signatures):
+    a component containing rep R maps its new members to base cluster R
+    (min R on multi-rep bridges — a merge signal worth auditing);
+    rep-free components become new clusters labeled by their min file id
+    (globally unique content-hash ids, so no collision with base labels).
+
+    Every step is a hash-partitioned grouped pass — no broadcast of the
+    (cluster-count-sized) rep set, no driver materialization. Semantics =
+    the transitive closure a full rerun would produce restricted to reps +
+    new files; periodic full reruns remain the consolidation path.
+
+    ``base_signatures`` / ``base_labels``: the ``signatures`` / ``labels``
+    datasets of the base run (same ``cfg`` — signatures must be
+    hash-compatible). Returns ``{"labels": Dataset(file_id, cluster_id)}``
+    covering exactly the new files.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.groupmap import partitioned_group_map
+
+    cfg = cfg or ERConfig()
+    import ray as _ray
+
+    num_parts = cfg.num_partitions or max(16, int(_ray.cluster_resources().get("CPU", 16)))
+
+    # ---- rep signatures: base sig rows whose file_id is a cluster id ------
+    sig_schema = base_signatures.schema()
+    sig_names = list(sig_schema.names)
+    sig_types = dict(zip(sig_schema.names, sig_schema.types))
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__marker", pa.array(np.zeros(t.num_rows, dtype=np.int64), type=pa.int64())
+        )
+
+    def marker_rows(t: pa.Table) -> pa.Table:
+        # one row per distinct cluster id in the batch, null payload
+        cl = pc.unique(t.column("cluster_id").combine_chunks()).cast(pa.int64())
+        cols = {}
+        for name in sig_names:
+            if name == "file_id":
+                cols[name] = cl
+            else:
+                cols[name] = pa.nulls(len(cl), sig_types[name])
+        cols["__marker"] = pa.array(np.ones(len(cl), dtype=np.int64), type=pa.int64())
+        return pa.table(cols)
+
+    tagged = base_signatures.map_batches(
+        sig_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        base_labels.select_columns(["cluster_id"]).map_batches(
+            marker_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def keep_reps(part: pa.Table) -> pa.Table:
+        fid = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
+        mark = np.asarray(part.column("__marker").combine_chunks(), dtype=np.int64)
+        order = np.argsort(fid, kind="stable")
+        fs, ms = fid[order], mark[order]
+        starts = np.concatenate([[0], np.flatnonzero(fs[1:] != fs[:-1]) + 1]) if len(fs) else np.zeros(0, dtype=np.int64)
+        seg_of = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(fs))))
+        has_marker = np.zeros(len(starts), dtype=bool)
+        np.logical_or.at(has_marker, seg_of, ms == 1)
+        keep = (ms == 0) & has_marker[seg_of]
+        return part.take(pa.array(order[keep], type=pa.int64())).drop_columns(["__marker"])
+
+    rep_sigs = partitioned_group_map(tagged, "file_id", keep_reps, num_parts)
+
+    # ---- match: normal machinery over rep ∪ new signatures ----------------
+    new_sigs = signatures_for_paths([new_corpus_dir], cfg)
+    combined = rep_sigs.union(new_sigs)
+    edges = candidate_pairs(
+        combined,
+        num_bands=cfg.num_bands,
+        seed=cfg.seed,
+        hot_threshold=cfg.hot_threshold,
+        salt_target=cfg.salt_target,
+        max_block_size=cfg.max_block_size,
+        min_size_ratio=cfg.min_size_ratio,
+        num_partitions=num_parts,
+        scorer_kwargs=dict(agg_expr=cfg.agg_expr, threshold=cfg.threshold),
+    )
+    comp_labels = label_rows(
+        cc_forest(edges, num_partitions=num_parts, driver_limit=cfg.broadcast_label_limit)
+    )
+
+    # ---- relabel: comp → base cluster if a rep is a member ----------------
+    def lab_tag(t: pa.Table) -> pa.Table:  # (file_id, comp, kind=0)
+        n = t.num_rows
+        return pa.table(
+            {
+                "file_id": t.column("file_id").cast(pa.int64()),
+                "comp": t.column("cluster_id").cast(pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    def rep_tag(t: pa.Table) -> pa.Table:  # marker: file is a rep
+        fid = t.column("file_id").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {
+                "file_id": fid,
+                "comp": fid,  # self-comp fallback (rep never matched anything)
+                "kind": pa.array(np.full(n, 1, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    def new_tag(t: pa.Table) -> pa.Table:  # marker: file is new (self fallback)
+        fid = t.column("file_id").cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {
+                "file_id": fid,
+                "comp": fid,
+                "kind": pa.array(np.full(n, 2, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    tag_rows = (
+        comp_labels.map_batches(lab_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rep_sigs.select_columns(["file_id"]).map_batches(rep_tag, batch_format="pyarrow"))
+        .union(new_sigs.select_columns(["file_id"]).map_batches(new_tag, batch_format="pyarrow"))
+    )
+
+    def per_file(part: pa.Table) -> pa.Table:
+        """min comp per file + rep/new flags → (comp, file_id, is_rep, is_new)."""
+        fid = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
+        comp = np.asarray(part.column("comp").combine_chunks(), dtype=np.int64)
+        kind = np.asarray(part.column("kind").combine_chunks(), dtype=np.int64)
+        order = np.argsort(fid, kind="stable")
+        fs, cs, ks = fid[order], comp[order], kind[order]
+        starts = np.concatenate([[0], np.flatnonzero(fs[1:] != fs[:-1]) + 1]) if len(fs) else np.zeros(0, dtype=np.int64)
+        seg_of = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(fs))))
+        n_seg = len(starts)
+        min_comp = np.full(n_seg, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(min_comp, seg_of, cs)
+        is_rep = np.zeros(n_seg, dtype=bool)
+        np.logical_or.at(is_rep, seg_of, ks == 1)
+        is_new = np.zeros(n_seg, dtype=bool)
+        np.logical_or.at(is_new, seg_of, ks == 2)
+        return pa.table(
+            {
+                "comp": pa.array(min_comp, type=pa.int64()),
+                "file_id": pa.array(fs[starts], type=pa.int64()),
+                "is_rep": pa.array(is_rep),
+                "is_new": pa.array(is_new),
+            }
+        )
+
+    per_file_rows = partitioned_group_map(tag_rows, "file_id", per_file, num_parts)
+
+    def relabel(part: pa.Table) -> pa.Table:
+        comp = np.asarray(part.column("comp").combine_chunks(), dtype=np.int64)
+        fid = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
+        is_rep = np.asarray(part.column("is_rep").combine_chunks(), dtype=bool)
+        is_new = np.asarray(part.column("is_new").combine_chunks(), dtype=bool)
+        order = np.argsort(comp, kind="stable")
+        cs, fs, rs, ns = comp[order], fid[order], is_rep[order], is_new[order]
+        starts = np.concatenate([[0], np.flatnonzero(cs[1:] != cs[:-1]) + 1]) if len(cs) else np.zeros(0, dtype=np.int64)
+        seg_of = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(cs))))
+        n_seg = len(starts)
+        base = np.full(n_seg, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(base, seg_of, np.where(rs, fs, np.iinfo(np.int64).max))
+        label = np.where(base[seg_of] != np.iinfo(np.int64).max, base[seg_of], cs)
+        keep = ns
+        return pa.table(
+            {
+                "file_id": pa.array(fs[keep], type=pa.int64()),
+                "cluster_id": pa.array(label[keep], type=pa.int64()),
+            }
+        )
+
+    labels = partitioned_group_map(per_file_rows, "comp", relabel, num_parts)
+    return {"labels": labels}
 
 
 def _broadcast_labels(star, side):

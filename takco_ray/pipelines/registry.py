@@ -205,6 +205,23 @@ def _union(ctx, cfg):
     return _ds(ctx, cfg).union(_ds(ctx, cfg, "other"))
 
 
+@op("incremental_er")
+def _incremental_er(ctx, cfg):
+    """Attach new files to an existing run's clusters: `input` = the new
+    corpus path is given via `corpus`; `base_labels` / `base_signatures`
+    name earlier-stage datasets (e.g. read from a prior run's checkpoints)."""
+    from .er import ERConfig, incremental_er
+
+    er_kwargs = {k: v for k, v in cfg.items() if k in ERConfig.__dataclass_fields__}
+    out = incremental_er(
+        cfg["corpus"],
+        _ds(ctx, {"input": cfg["base_labels"]}),
+        _ds(ctx, {"input": cfg["base_signatures"]}),
+        ERConfig(**er_kwargs) if er_kwargs else None,
+    )
+    return out["labels"]
+
+
 @op("refine_clusters")
 def _refine_clusters(ctx, cfg):
     from ..stages.components import refine_clusters

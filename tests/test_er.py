@@ -110,3 +110,66 @@ def test_scoring_modes_agree(ray_session, test_corpus):
     a = fused["labels"].to_pandas().sort_values("file_id").reset_index(drop=True)
     b = pool["labels"].to_pandas().sort_values("file_id").reset_index(drop=True)
     assert a[["file_id", "cluster_id"]].equals(b[["file_id", "cluster_id"]])
+
+
+def test_incremental_er_attach_and_new_clusters(ray_session, tmp_path):
+    """incremental_er: a new near-dup joins its base cluster, mutual new
+    near-dups form a new cluster labeled by a new file id, a unique new
+    file stays a singleton — base corpus never re-clustered."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from takco_ray.pipelines.er import (
+        ERConfig,
+        er_pipeline,
+        incremental_er,
+        signatures_for_paths,
+    )
+
+    def text(i, n=150):
+        return " ".join(f"w{i}x{j}" for j in range(n))
+
+    def write(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": [f"r/{k}" for k in rows],
+                    "path": [f"{k}.py" for k in rows],
+                    "commit": ["c"] * len(rows),
+                    "lang": ["py"] * len(rows),
+                    "content": pa.array(list(rows.values()), type=pa.large_string()),
+                }
+            ),
+            str(d / "shard_00000.parquet"),
+        )
+        return str(d)
+
+    base_dir = write(
+        "base",
+        {"a0": text(1), "a1": text(1) + " tail", "b0": text(2), "b1": text(2) + " tail", "s0": text(3)},
+    )
+    new_dir = write(
+        "new",
+        {"n0": text(1) + " extra", "n1": text(9), "n2": text(9) + " tail", "n3": text(7)},
+    )
+
+    cfg = ERConfig(threshold=0.5)
+    base = er_pipeline(base_dir, cfg)
+    out = incremental_er(new_dir, base["labels"], base["signatures"], cfg)
+    lab = out["labels"].to_pandas()
+    assert len(lab) == 4
+
+    ns = signatures_for_paths([new_dir], cfg).to_pandas()[["file_id", "path"]]
+    bs = base["signatures"].to_pandas()[["file_id", "path"]]
+    new_id = dict(zip(ns.path, ns.file_id))
+    base_id = dict(zip(bs.path, bs.file_id))
+    got = dict(zip(lab.file_id, lab.cluster_id))
+
+    base_lab = base["labels"].to_pandas().set_index("file_id").cluster_id
+    assert got[new_id["n0.py"]] == base_lab[base_id["a0.py"]]
+    assert got[new_id["n1.py"]] == got[new_id["n2.py"]]
+    assert got[new_id["n1.py"]] in set(ns.file_id)  # new cluster, new id
+    assert got[new_id["n3.py"]] == new_id["n3.py"]  # singleton self-label
