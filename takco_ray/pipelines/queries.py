@@ -1166,6 +1166,30 @@ def q_er_clusters(sf_dir: str):
     return result["labels"]
 
 
+def q_incremental_er_labels(sf_dir: str):
+    """Continuous-ingest ER: flagship run over the fixture corpus, then a
+    deterministic second batch (different seed, ~10 % of base size) attached
+    with ``incremental_er`` — base corpus never re-clustered (rows-only;
+    attach / new-cluster / singleton semantics are gated by the pytest
+    oracle in ``tests/test_er.py``)."""
+    from ..corpus import CorpusConfig, generate_corpus, SCALES
+    from .er import er_pipeline, incremental_er
+
+    scale = _corpus_scale_for(sf_dir)
+    base_dir = f"/tmp/takco_fixtures/{scale}"
+    generate_corpus(base_dir, CorpusConfig(n_files=SCALES[scale]))
+    inc_dir = f"/tmp/takco_fixtures/{scale}_inc"
+    generate_corpus(
+        inc_dir,
+        CorpusConfig(n_files=max(200, SCALES[scale] // 10), seed=1043),
+    )
+    base = er_pipeline(os.path.join(base_dir, "files"))
+    out = incremental_er(
+        os.path.join(inc_dir, "files"), base["labels"], base["signatures"]
+    )
+    return out["labels"]
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1219,6 +1243,7 @@ def build_queries() -> dict:
         "event_pairs_range": q_event_pairs_range,
         "media_features": q_media_features,
         "er_clusters": q_er_clusters,
+        "incremental_er_labels": q_incremental_er_labels,
     }
 
 
