@@ -443,6 +443,17 @@ def _er(ctx, cfg):
     return result["labels"]
 
 
+@op("er_signatures")
+def _er_signatures(ctx, cfg):
+    """Signature stage only (fingerprint + MinHash bands) over `corpus` —
+    checkpoint it under a workdir to feed later `incremental_er` stages
+    without re-reading content."""
+    from .er import ERConfig, signatures_for_paths
+
+    er_kwargs = {k: v for k, v in cfg.items() if k in ERConfig.__dataclass_fields__}
+    return signatures_for_paths([cfg["corpus"]], ERConfig(**er_kwargs))
+
+
 @op("rechunk_clusters")
 def _rechunk_clusters(ctx, cfg):
     from ..stages.components import rechunk_clusters
@@ -486,7 +497,11 @@ def run_pipeline(cfg: dict) -> dict:
         if op_name not in OPS:
             raise KeyError(f"unknown op {op_name!r}; known: {sorted(OPS)}")
         out_name = st.pop("output", None)
-        upstream = [fps[st[k]] for k in ("input", "right", "other", "gold") if k in st and st[k] in fps]
+        upstream = [
+            fps[st[k]]
+            for k in ("input", "right", "other", "gold", "base_labels", "base_signatures")
+            if k in st and st[k] in fps
+        ]
         extra = {}
         if op_name.startswith("read_") and "path" in st:
             p = st["path"]
@@ -496,7 +511,7 @@ def run_pipeline(cfg: dict) -> dict:
                 )
             except OSError:
                 pass
-        if op_name == "er" and "corpus" in st:
+        if "corpus" in st:
             try:
                 extra["manifest"] = manifest_for_dir(st["corpus"])
             except OSError:

@@ -253,3 +253,69 @@ def test_stage_pipeline_relational_and_decontam_ops(ray_session, tmp_path):
     )
     bench_ids = {i for i in bench_ids if (i * 2654435761) % 1000 < 50}
     assert bench_ids and not (set(df.doc_id) & bench_ids)
+
+
+def test_incremental_er_toml_stage_pipeline(ray_session, tmp_path):
+    """[[stage]] TOML: er (base labels) + er_signatures → incremental_er over
+    a second corpus batch — the continuous-ingest path composed from config."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from takco_ray.run import run_config
+
+    def text(i, n=150):
+        return " ".join(f"w{i}x{j}" for j in range(n))
+
+    def write(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": [f"r/{k}" for k in rows],
+                    "path": [f"{k}.py" for k in rows],
+                    "commit": ["c"] * len(rows),
+                    "lang": ["py"] * len(rows),
+                    "content": pa.array(list(rows.values()), type=pa.large_string()),
+                }
+            ),
+            str(d / "shard_00000.parquet"),
+        )
+        return str(d)
+
+    base_dir = write(
+        "base", {"a0": text(1), "a1": text(1) + " tail", "s0": text(3)}
+    )
+    new_dir = write(
+        "new", {"n0": text(1) + " extra", "n1": text(9), "n2": text(9) + " tail"}
+    )
+    base_out = str(tmp_path / "base_labels")
+    inc_out = str(tmp_path / "inc_labels")
+    cfg = tmp_path / "inc.toml"
+    cfg.write_text(
+        "[[stage]]\n"
+        f'op = "er"\ncorpus = "{base_dir}"\nthreshold = 0.5\noutput = "base_labels"\n'
+        "[[stage]]\n"
+        f'op = "er_signatures"\ncorpus = "{base_dir}"\nthreshold = 0.5\noutput = "base_sigs"\n'
+        "[[stage]]\n"
+        f'op = "incremental_er"\ncorpus = "{new_dir}"\nthreshold = 0.5\n'
+        'base_labels = "base_labels"\nbase_signatures = "base_sigs"\noutput = "inc"\n'
+        "[[stage]]\n"
+        f'op = "write_parquet"\ninput = "base_labels"\npath = "{base_out}"\n'
+        "[[stage]]\n"
+        f'op = "write_parquet"\ninput = "inc"\npath = "{inc_out}"\n'
+    )
+    run_config(str(cfg))
+    base = pq.read_table(base_out).to_pandas()
+    inc = pq.read_table(inc_out).to_pandas()
+    assert len(inc) == 3
+    base_by_path = base.set_index("path")
+    got = dict(zip(inc.file_id, inc.cluster_id))
+    new_ids = set(inc.file_id)
+    # n0 attaches to the a0/a1 base cluster; n1+n2 form a NEW cluster
+    assert got[min(new_ids)] is not None  # schema sanity
+    a_cluster = base_by_path.loc["a0.py", "cluster_id"]
+    attached = [cid for cid in inc.cluster_id if cid == a_cluster]
+    assert len(attached) == 1
+    fresh = inc[inc.cluster_id != a_cluster]
+    assert fresh.cluster_id.nunique() == 1 and len(fresh) == 2
+    assert fresh.cluster_id.iloc[0] in new_ids
