@@ -7,12 +7,11 @@ Re-implements the reference's matcher-aggregation mini-language
 
 combine named per-pair score channels. Here channels are numpy arrays
 (one value per candidate pair in a batch), so the compiled expression is
-fully vectorized. Missing channels evaluate as 0 (the reference fills
-absent matcher scores with NaN→mean-skip; we use 0, documented, since
-every configured channel is always computed).
-
-Grammar:  expr := NUMBER | NAME | '@' FUNC '(' expr (',' expr)* ')'
-          FUNC := max | min | mean | sum | pow | prod
+fully vectorized. Missing channels evaluate as NaN and every reducer
+SKIPS NaN — exactly the reference's semantics (absent matcher scores are
+NaN-filled and ``mean`` skips them, ``cluster.py:214-243``), so a TOML
+user adding an optional channel doesn't bias scores toward 0. A pair
+with NO present channel anywhere scores 0.
 """
 
 from __future__ import annotations
@@ -23,13 +22,27 @@ import numpy as np
 
 _TOKEN = re.compile(r"@\w+|[\w.]+|[(),]")
 
+
+def _nanmean(args) -> np.ndarray:
+    """Mean over channels skipping NaN entries, NaN where all are NaN —
+    computed manually so all-NaN positions don't emit RuntimeWarnings."""
+    a = np.asarray(args, dtype=np.float64)
+    present = ~np.isnan(a)
+    cnt = present.sum(axis=0)
+    s = np.where(present, a, 0.0).sum(axis=0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = s / cnt
+    return np.where(cnt > 0, out, np.nan)
+
+
 _FUNCS = {
-    "@max": lambda args: np.maximum.reduce(args),
-    "@min": lambda args: np.minimum.reduce(args),
-    "@mean": lambda args: np.mean(args, axis=0),
-    "@sum": lambda args: np.sum(args, axis=0),
-    "@prod": lambda args: np.prod(args, axis=0),
-    "@pow": lambda args: np.power(args[0], args[1]),
+    # fmax/fmin/nansum/nanprod ignore NaN operands (NaN only when ALL are)
+    "@max": lambda args: np.fmax.reduce(args),
+    "@min": lambda args: np.fmin.reduce(args),
+    "@mean": _nanmean,
+    "@sum": lambda args: np.nansum(args, axis=0),
+    "@prod": lambda args: np.nanprod(args, axis=0),
+    "@pow": lambda args: np.power(args[0], args[1]),  # NaN propagates → skipped above
 }
 
 
@@ -65,7 +78,7 @@ def _eval(node, channels, n):
         return np.full(n, node[1])
     if kind == "name":
         arr = channels.get(node[1])
-        return np.zeros(n) if arr is None else np.asarray(arr, dtype=np.float64)
+        return np.full(n, np.nan) if arr is None else np.asarray(arr, dtype=np.float64)
     _, fn, args = node
     return fn([_eval(a, channels, n) for a in args])
 
@@ -82,6 +95,10 @@ def compile_agg_expr(expr: str):
     def run(channels):
         arrays = [v for v in channels.values() if v is not None]
         n = len(arrays[0]) if arrays else 0
-        return _eval(tree, channels, n)
+        out = np.asarray(_eval(tree, channels, n), dtype=np.float64)
+        # a pair with no present channel at all scores 0, not NaN (NaN would
+        # silently fail every >= threshold comparison, which happens to be
+        # the same decision but poisons downstream arithmetic)
+        return np.nan_to_num(out, nan=0.0)
 
     return run

@@ -28,10 +28,12 @@ def hll_registers(keys: np.ndarray, p: int = 12) -> np.ndarray:
     """Dense uint8 register array (length 2^p) for a key batch.
 
     Register index = top ``p`` hash bits; rank = leading zeros of the
-    remaining ``64-p`` bits + 1. With p ≤ 12 the remainder fits float64's
-    53-bit mantissa exactly, so the log2-based rank is exact (no clz
-    primitive needed in numpy).
+    remaining ``64-p`` bits + 1. The remainder has ``64-p`` bits, so it fits
+    float64's 53-bit mantissa exactly when ``p >= 11`` — below that the
+    log2-based rank can round up near powers of two, so p is validated.
     """
+    if p < 11 or p > 16:
+        raise ValueError(f"p must be in [11, 16] (float64-exact rank), got {p}")
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     if len(keys) == 0:

@@ -113,7 +113,15 @@ def levenshtein_ratio_batch(a_list, b_list, chunk: int = 262_144,
 
 
 def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
-    """Jaro-Winkler similarity (standard definition, prefix cap 4)."""
+    """Jaro-Winkler similarity (standard definition, prefix cap 4).
+
+    The Winkler prefix bonus applies only when the Jaro similarity exceeds
+    the standard 0.7 boost threshold — matching DuckDB's
+    ``jaro_winkler_similarity`` and RapidFuzz (below the threshold the
+    function IS Jaro). An unconditional bonus diverges on low-similarity
+    prefix-sharing pairs, e.g. ('aXXXXX','aYYYYY'): 0.5 unconditional vs
+    0.444 gated.
+    """
     if a == b:
         return 1.0
     la, lb = len(a), len(b)
@@ -146,6 +154,8 @@ def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
     jaro = (
         matches / la + matches / lb + (matches - transpositions) / matches
     ) / 3.0
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for ca, cb in zip(a[:4], b[:4]):
         if ca != cb:

@@ -303,11 +303,20 @@ def hash_sample(ds, id_col: str, modulus: int = 1000, keep: int = 100):
     (``(id * 2654435761) % m`` in SQL) and cluster sizes, and consistent
     for the same id everywhere (so joined tables stay aligned when sampled
     by the same key). int64 math: ids must stay below 2^63 / SAMPLE_MIX
-    (~3.5e9); hash the id into 32 bits first for wider key spaces.
+    (~3.5e9) — ENFORCED per batch, because past that bound numpy int64
+    multiply wraps (and numpy ``%`` stays non-negative) while DuckDB promotes
+    to HUGEINT, silently breaking the cross-engine determinism contract.
+    Hash the id into 32 bits first for wider key spaces.
     """
+    id_limit = (2**63) // SAMPLE_MIX
 
     def fn(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(id_col).combine_chunks(), dtype=np.int64)
+        if len(ids) and (ids.max() >= id_limit or ids.min() < 0):
+            raise ValueError(
+                f"hash_sample ids must be in [0, {id_limit}) for exact int64 "
+                "math matching the SQL oracle; pre-hash wider keys into 32 bits"
+            )
         mask = (ids * SAMPLE_MIX) % modulus < keep
         return t.filter(pa.array(mask))
 

@@ -83,9 +83,29 @@ def test_agg_dsl_matches_numpy():
     assert np.allclose(fn({"a": a, "b": b}), expect)
 
 
-def test_agg_dsl_missing_channel_is_zero():
+def test_agg_dsl_missing_channel_is_skipped():
     fn = compile_agg_expr("@max(a, nosuch)")
     assert np.allclose(fn({"a": np.array([0.3])}), [0.3])
+
+
+def test_agg_dsl_nan_skip_mean():
+    # reference semantics (cluster.py:214-243): absent matcher scores are
+    # NaN-filled and @mean SKIPS them — a missing optional channel must not
+    # drag the mean toward 0
+    fn = compile_agg_expr("@mean(a, optional)")
+    assert np.allclose(fn({"a": np.array([0.8, 0.4])}), [0.8, 0.4])
+    # present channel: plain mean
+    assert np.allclose(
+        fn({"a": np.array([0.8]), "optional": np.array([0.4])}), [0.6]
+    )
+    # per-row NaN (not whole-channel) is skipped too
+    assert np.allclose(
+        fn({"a": np.array([0.8, 0.8]), "optional": np.array([np.nan, 0.4])}),
+        [0.8, 0.6],
+    )
+    # every channel missing → 0, not NaN
+    fn2 = compile_agg_expr("@mean(nosuch, other)")
+    assert np.allclose(fn2({"a": np.array([0.5])}), [0.0])
 
 
 def test_string_similarities():
@@ -94,6 +114,16 @@ def test_string_similarities():
     assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
     assert jaro_winkler("abc", "abc") == 1.0
     assert levenshtein_ratio("", "x") == 0.0
+
+
+def test_jaro_winkler_prefix_bonus_gated_on_boost_threshold():
+    # DuckDB/RapidFuzz semantics: the Winkler prefix bonus applies only when
+    # jaro > 0.7; below that the function IS Jaro. ('aXXXXX','aYYYYY') has
+    # jaro = (1/6 + 1/6 + 1)/3 = 4/9 ≈ 0.444 — an unconditional bonus would
+    # report 0.5 and diverge from the DuckDB oracle.
+    assert jaro_winkler("aXXXXX", "aYYYYY") == pytest.approx(4 / 9, abs=1e-9)
+    # above the threshold the bonus still applies (standard example)
+    assert jaro_winkler("dixon", "dicksonx") == pytest.approx(0.8133, abs=1e-3)
 
 
 def test_arrow_and_python_signature_paths_agree():
@@ -126,3 +156,40 @@ def test_arrow_and_python_signature_paths_agree():
         a = mh.signatures_arrow(pa.array(docs, type=pa.large_string()))
         b = mh.signatures_from_shingles(mh._shingles_from_tokens(tokenize_many(docs)))
         assert np.array_equal(a, b)
+
+
+def test_segment_pairs_matches_per_block_loop():
+    # the batched-by-size pair generator must emit exactly the same pair SET
+    # as the per-block reference loop, for every oversize policy
+    from takco_ray.stages.groupmap import segment_pairs
+
+    rng = np.random.default_rng(7)
+    counts = rng.integers(1, 10, size=500).astype(np.int64)
+    counts[::71] = 100  # some oversized blocks
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    def naive(max_block_size, oversize):
+        out = set()
+        for s, m in zip(starts[counts >= 2], counts[counts >= 2]):
+            if max_block_size is None or m <= max_block_size:
+                li, lj = np.triu_indices(m, k=1)
+            else:
+                ring = np.arange(m - 1)
+                if oversize == "ring_spoke":
+                    spokes = np.arange(0, m, 8)[1:]
+                    li = np.concatenate([ring, np.zeros(len(spokes), dtype=np.int64)])
+                    lj = np.concatenate([ring + 1, spokes])
+                else:
+                    li, lj = ring, ring + 1
+            out.update(zip((li + s).tolist(), (lj + s).tolist()))
+        return out
+
+    for mbs, ov in [(64, "ring"), (64, "ring_spoke"), (None, "ring"), (8, "ring")]:
+        ii, jj = segment_pairs(starts, counts, mbs, oversize=ov)
+        got = set(zip(ii.tolist(), jj.tolist()))
+        assert got == naive(mbs, ov)
+        assert (ii < jj).all()
+
+    # empty / all-singleton inputs
+    ii, jj = segment_pairs(np.array([0, 1], dtype=np.int64), np.array([1, 1], dtype=np.int64), 64)
+    assert len(ii) == 0 and len(jj) == 0

@@ -95,3 +95,13 @@ def test_hash_sample_deterministic_and_consistent(ray_session):
     # pure function of the id
     expected = ids[(ids * relational.SAMPLE_MIX) % 1000 < 100]
     assert sorted(out1.id) == expected.tolist()
+
+
+def test_hash_sample_rejects_overflowing_ids(ray_session):
+    import pytest as _pytest
+
+    # past 2^63 // SAMPLE_MIX numpy int64 multiply wraps while DuckDB
+    # promotes to HUGEINT — membership would silently diverge, so it raises
+    big = _ds({"id": np.array([2**62], dtype=np.int64)})
+    with _pytest.raises(Exception):
+        relational.hash_sample(big, "id").to_pandas()

@@ -8,6 +8,7 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from takco_ray.functions import sketch
 from takco_ray.stages import decontam, relational, textstats
@@ -84,6 +85,13 @@ def test_hll_error_and_merge_associativity():
     merged = sketch.hll_merge(sketch.hll_registers(a), sketch.hll_registers(b))
     assert np.array_equal(merged, regs)
     assert np.array_equal(sketch.hll_merge(merged, merged), merged)
+
+
+def test_hll_rejects_float_inexact_precision():
+    # p < 11 leaves > 53 remainder bits — the float64 log2 rank can be off by
+    # one near powers of two, so the precision is validated instead
+    with pytest.raises(ValueError):
+        sketch.hll_registers(np.arange(10, dtype=np.int64), p=10)
 
 
 def test_hll_small_range_linear_counting():
