@@ -6,7 +6,13 @@ Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
 print ONE JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-     "sf": ..., "num_cpus": N}
+     "spread": {...}, "sf": ..., "num_cpus": N}
+
+Every query is timed ``$GRAFT_BENCH_REPEATS`` times (default 2) in one
+session; ``queries`` holds the per-query MIN and ``spread`` all samples —
+this host is co-tenanted and single samples swing 3-30× (round-2 driver
+bench vs builder same-day snapshots), so the minimum is the least-contended
+estimate of the engine and the spread makes contamination visible.
 
 ``--scaling``: run the flagship ER pipeline twice in FRESH processes at two
 CPU levels on the same input (the sandbox surrogate for the north rule's N
@@ -112,18 +118,30 @@ def run_bench(sf_dir: str, num_cpus: int, er_only: bool = False) -> dict:
         from takco_ray.pipelines.er import er_pipeline
         from takco_ray.pipelines.queries import build_queries
 
+        # this sandbox shares a host with other tenants: single samples swing
+        # 3-30× (round-2 driver bench vs same-day builder snapshots). Every
+        # query is timed ``repeats`` times in one session; ``queries`` carries
+        # the MIN (least-contended engine estimate) and ``spread`` carries all
+        # samples so a noisy window is visible instead of silently distorting.
+        repeats = max(1, int(os.environ.get("GRAFT_BENCH_REPEATS", "2")))
         timings: dict = {}
+        spread: dict = {}
 
         # warm the page cache the same way --scaling does, so per-round
         # bench numbers measure the engine, not first-touch disk reads
         _warm_page_cache(corpus_dir)
 
-        t0 = time.monotonic()
-        result = er_pipeline(os.path.join(corpus_dir, "files"))
-        # (corpus_dir is the generator output root; files/ holds the shards)
-        n_labels = result["labels"].count()
-        er_sec = time.monotonic() - t0
-        timings["er_pipeline"] = round(er_sec, 3)
+        er_samples: list = []
+        n_labels = 0
+        for _rep in range(repeats):
+            t0 = time.monotonic()
+            result = er_pipeline(os.path.join(corpus_dir, "files"))
+            # (corpus_dir is the generator output root; files/ holds the shards)
+            n_labels = result["labels"].count()
+            er_samples.append(round(time.monotonic() - t0, 3))
+        er_sec = min(er_samples)
+        timings["er_pipeline"] = er_sec
+        spread["er_pipeline"] = er_samples
 
         # pairwise F1 vs the generator's gold entity labels — reported with
         # every bench run (outside the timed window) so throughput numbers
@@ -142,12 +160,16 @@ def run_bench(sf_dir: str, num_cpus: int, er_only: bool = False) -> dict:
         if not er_only:
             queries = build_queries()
             for name in BENCH_QUERIES:
-                t0 = time.monotonic()
-                out = queries[name](sf_dir)
-                # consume the stream without pulling data to the driver
-                if hasattr(out, "count"):
-                    out.count()
-                timings[name] = round(time.monotonic() - t0, 3)
+                samples = []
+                for _rep in range(repeats):
+                    t0 = time.monotonic()
+                    out = queries[name](sf_dir)
+                    # consume the stream without pulling data to the driver
+                    if hasattr(out, "count"):
+                        out.count()
+                    samples.append(round(time.monotonic() - t0, 3))
+                timings[name] = min(samples)
+                spread[name] = samples
 
         total = round(sum(timings.values()), 3)
         return {
@@ -155,6 +177,8 @@ def run_bench(sf_dir: str, num_cpus: int, er_only: bool = False) -> dict:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "spread": spread,
+            "repeats": repeats,
             "sf": os.path.basename(os.path.normpath(sf_dir)),
             "num_cpus": num_cpus,
             "er_files": manifest["n_files"],
@@ -299,7 +323,14 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
             # tenants (loadavg >10 observed), so single samples swing ±70%;
             # the minimum is the least-contended estimate of the engine
             _warm_page_cache(corpus_dir)
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+            # one ER run per subprocess: the min-over-repeats happens HERE
+            # (across fresh sessions), not inside run_bench
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(cpus),
+                GRAFT_SF_DIR=sf_dir,
+                GRAFT_BENCH_REPEATS="1",
+            )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--er-only"],
                 capture_output=True,

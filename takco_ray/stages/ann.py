@@ -259,7 +259,7 @@ def lsh_bucket_neighbors(
                 "cosine": pa.array([], type=pa.float64()),
             }
         )
-        from .groupmap import segment_boundaries
+        from .groupmap import segment_boundaries, segment_pairs
 
         bkt = np.asarray(part.column("bucket").combine_chunks(), dtype=np.int64)
         ids_all = np.asarray(part.column("id").combine_chunks(), dtype=np.int64)
@@ -269,23 +269,25 @@ def lsh_bucket_neighbors(
         starts = segment_boundaries(bkt)
         counts = np.diff(np.append(starts, len(bkt)))
         mat = _normalize(_emb_matrix(part, "embedding").astype(np.float64))
-        p1: list = []
-        p2: list = []
-        cs: list = []
-        for s, m in zip(starts[counts >= 2], counts[counts >= 2]):
-            sub = mat[s : s + m]
-            sims = sub @ sub.T
-            ii, jj = np.triu_indices(m, k=1)
-            keep = sims[ii, jj] >= threshold
-            if keep.any():
-                p1.append(ids_all[s + ii[keep]])
-                p2.append(ids_all[s + jj[keep]])
-                cs.append(np.round(sims[ii[keep], jj[keep]], 6))
-        if not p1:
+        # batched pair indices across all buckets, then chunked row-wise dot
+        # products — no per-bucket Python loop or tiny-matmul dispatch; the
+        # chunk bounds gather memory at ~chunk × dim × 16 B
+        ii, jj = segment_pairs(starts, counts, max_block_size=None)
+        if len(ii) == 0:
             return empty
-        id1 = np.concatenate(p1)
-        id2 = np.concatenate(p2)
-        cos = np.concatenate(cs)
+        sims = np.empty(len(ii), dtype=np.float64)
+        chunk = 1 << 18
+        for c0 in range(0, len(ii), chunk):
+            c1 = min(c0 + chunk, len(ii))
+            sims[c0:c1] = np.einsum(
+                "ij,ij->i", mat[ii[c0:c1]], mat[jj[c0:c1]]
+            )
+        keep = sims >= threshold
+        if not keep.any():
+            return empty
+        id1 = ids_all[ii[keep]]
+        id2 = ids_all[jj[keep]]
+        cos = np.round(sims[keep], 6)
         o = np.lexsort((id2, id1))
         id1, id2, cos = id1[o], id2[o], cos[o]
         first = np.concatenate(

@@ -32,7 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .groupmap import partitioned_group_map, segment_boundaries
+from .groupmap import partitioned_group_map, segment_boundaries, segment_pairs
 from .minhash import DEFAULT_NUM_BANDS, DEFAULT_SEED, signatures_to_numpy
 
 # Columns carried through blocking into scoring (content stays behind).
@@ -355,22 +355,11 @@ class _PartitionPairEmitter:
         starts = segment_boundaries(keys)
         counts = np.diff(np.append(starts, n))
 
-        ii_parts: list = []
-        jj_parts: list = []
-        for s, m in zip(starts[counts >= 2], counts[counts >= 2]):
-            if m <= self.max_block_size:
-                li, lj = np.triu_indices(m, k=1)
-            else:
-                ring = np.arange(m - 1)
-                spokes = np.arange(0, m, 8)[1:]
-                li = np.concatenate([ring, np.zeros(len(spokes), dtype=np.int64)])
-                lj = np.concatenate([ring + 1, spokes])
-            ii_parts.append(li + s)
-            jj_parts.append(lj + s)
-        if not ii_parts:
+        # batched by distinct size — no per-block Python iteration for the
+        # millions-of-tiny-blocks LSH regime (oversized blocks: O(m) pairs)
+        ii, jj = segment_pairs(starts, counts, self.max_block_size, oversize="ring_spoke")
+        if len(ii) == 0:
             return self._empty(sig_type)
-        ii = np.concatenate(ii_parts)
-        jj = np.concatenate(jj_parts)
 
         part = part.take(pa.array(order, type=pa.int64()))
         sizes = np.asarray(part.column("size").combine_chunks(), dtype=np.float64)

@@ -24,7 +24,7 @@ from ..functions.hashing import hash64_strings, sha256_hex
 from ..functions.minhash import MinHasher, band_keys, jaccard_from_signatures
 from ..functions.tokenize import tokenize_many
 from .components import connected_components, attach_singletons
-from .groupmap import partitioned_group_map, segment_boundaries
+from .groupmap import partitioned_group_map, segment_boundaries, segment_pairs
 from ..util import default_concurrency
 
 _PAIR_MIX = np.uint64(0xBF58476D1CE4E5B9)
@@ -160,19 +160,9 @@ def _band_pairs_partition(threshold, max_block_size, with_score):
         k = k[order]
         starts = segment_boundaries(k)
         counts = np.diff(np.append(starts, len(k)))
-        ii_parts, jj_parts = [], []
-        for s, m in zip(starts[counts >= 2], counts[counts >= 2]):
-            if m <= max_block_size:
-                li, lj = np.triu_indices(m, k=1)
-            else:
-                ring = np.arange(m - 1)
-                li, lj = ring, ring + 1
-            ii_parts.append(li + s)
-            jj_parts.append(lj + s)
-        if not ii_parts:
+        ii, jj = segment_pairs(starts, counts, max_block_size, oversize="ring")
+        if len(ii) == 0:
             return pa.table(empty_cols)
-        ii = np.concatenate(ii_parts)
-        jj = np.concatenate(jj_parts)
         part = part.take(pa.array(order, type=pa.int64()))
         sigs = signatures_to_numpy(part.column("sig"))
         est = jaccard_from_signatures(sigs[ii], sigs[jj])
@@ -424,13 +414,10 @@ def ngram_jaccard_exact(
         sh, ids, nsh = sh[order], ids[order], nsh[order]
         starts = segment_boundaries(sh)
         cnts = np.diff(np.append(starts, len(sh)))
-        ii_p: list = []
-        jj_p: list = []
-        for s, m in zip(starts[cnts >= 2], cnts[cnts >= 2]):
-            li, lj = np.triu_indices(m, k=1)
-            ii_p.append(li + s)
-            jj_p.append(lj + s)
-        if not ii_p:
+        # exactness needs EVERY in-bucket pair: no max_block_size (documented
+        # audit-operator quadratic bound), but pair-gen is still batched
+        ii, jj = segment_pairs(starts, cnts, max_block_size=None)
+        if len(ii) == 0:
             return pa.table(
                 {
                     "id1": pa.array([], type=pa.int64()),
@@ -440,8 +427,6 @@ def ngram_jaccard_exact(
                     "pair_key": pa.array([], type=pa.int64()),
                 }
             )
-        ii = np.concatenate(ii_p)
-        jj = np.concatenate(jj_p)
         pk = (ids[ii].view(np.uint64) * _PAIR_MIX + ids[jj].view(np.uint64)).view(np.int64)
         return pa.table(
             {
@@ -557,23 +542,12 @@ def simhash_neardup(
         b, ids, h = b[order], ids[order], h[order]
         starts = segment_boundaries(b)
         cnts = np.diff(np.append(starts, len(b)))
-        uu: list = []
-        vv: list = []
-        for s, m in zip(starts[cnts >= 2], cnts[cnts >= 2]):
-            li, lj = np.triu_indices(m, k=1)
-            d = _hamming64(h[s + li], h[s + lj])
-            keep = d <= max_hamming
-            if keep.any():
-                uu.append(ids[s + li[keep]])
-                vv.append(ids[s + lj[keep]])
-        if not uu:
-            return pa.table(
-                {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
-            )
+        ii, jj = segment_pairs(starts, cnts, max_block_size=None)
+        keep = _hamming64(h[ii], h[jj]) <= max_hamming if len(ii) else np.zeros(0, bool)
         return pa.table(
             {
-                "u": pa.array(np.concatenate(uu), type=pa.int64()),
-                "v": pa.array(np.concatenate(vv), type=pa.int64()),
+                "u": pa.array(ids[ii[keep]] if len(ii) else np.zeros(0, np.int64), type=pa.int64()),
+                "v": pa.array(ids[jj[keep]] if len(ii) else np.zeros(0, np.int64), type=pa.int64()),
             }
         )
 

@@ -58,3 +58,78 @@ def segment_boundaries(sorted_keys: np.ndarray) -> np.ndarray:
     return np.concatenate(
         [[0], np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1]
     ).astype(np.int64)
+
+
+# triu templates for the most common tiny block sizes are cached; larger
+# templates are rebuilt per call (a 512-wide template is ~2 MB — caching
+# every size would hold ~350 MB per worker for no measurable win)
+_TRIU_CACHE_MAX = 64
+_TRIU_CACHE: dict = {}
+
+
+def _triu_template(m: int) -> tuple:
+    tpl = _TRIU_CACHE.get(m)
+    if tpl is None:
+        li, lj = np.triu_indices(m, k=1)
+        tpl = (li.astype(np.int64), lj.astype(np.int64))
+        if m <= _TRIU_CACHE_MAX:
+            _TRIU_CACHE[m] = tpl
+    return tpl
+
+
+def segment_pairs(
+    starts: np.ndarray,
+    counts: np.ndarray,
+    max_block_size: int | None = None,
+    oversize: str = "ring",
+) -> tuple:
+    """Vectorized i<j pair indices across ALL equal-key segments at once.
+
+    The naive ``for (start, size) in segments`` loop costs one Python
+    iteration per block — with millions of 2-member LSH blocks per partition
+    that loop IS the hot path. Here same-size segments are batched: segments
+    are sorted by size and each distinct size present gets ONE broadcast-add
+    of its triu template over all its segment starts, so Python iteration
+    count is ≤ number of distinct sizes (≤ max_block_size), independent of
+    block count.
+
+    Segments larger than ``max_block_size`` (when given) emit O(m)
+    connectivity pairs instead of the O(m²) triangle: ``"ring"`` chains
+    consecutive members; ``"ring_spoke"`` adds every-8th spokes to member 0
+    (faster transitive collapse for hot blocks). Returns ``(ii, jj)`` int64
+    arrays of global row indices with ii < jj within each segment.
+    """
+    sel = counts >= 2
+    st = starts[sel]
+    cn = counts[sel]
+    if len(st) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    ii_parts: list = []
+    jj_parts: list = []
+    small = cn <= max_block_size if max_block_size is not None else np.ones(len(cn), dtype=bool)
+    st_s, cn_s = st[small], cn[small]
+    if len(st_s):
+        order = np.argsort(cn_s, kind="stable")
+        st_s, cn_s = st_s[order], cn_s[order]
+        size_bounds = segment_boundaries(cn_s)
+        size_ends = np.append(size_bounds[1:], len(cn_s))
+        for b0, b1 in zip(size_bounds, size_ends):
+            m = int(cn_s[b0])
+            li, lj = _triu_template(m)
+            seg = st_s[b0:b1, None]
+            ii_parts.append((seg + li[None, :]).reshape(-1))
+            jj_parts.append((seg + lj[None, :]).reshape(-1))
+    # oversized blocks are rare by construction (hot keys are salted before
+    # this point) — a per-block loop over them is fine
+    for s, m in zip(st[~small], cn[~small]):
+        ring = np.arange(m - 1, dtype=np.int64)
+        if oversize == "ring_spoke":
+            spokes = np.arange(0, m, 8, dtype=np.int64)[1:]
+            li = np.concatenate([ring, np.zeros(len(spokes), dtype=np.int64)])
+            lj = np.concatenate([ring + 1, spokes])
+        else:
+            li, lj = ring, ring + 1
+        ii_parts.append(li + s)
+        jj_parts.append(lj + s)
+    return np.concatenate(ii_parts), np.concatenate(jj_parts)

@@ -52,16 +52,15 @@ def fingerprint(ds, **map_kwargs):
     )
 
 
-_COMMENT_RES = {
-    # line comments per language family; conservative (no string-literal
-    # awareness — normalization feeds similarity, not compilation)
-    "hash": __import__("re").compile(r"(?m)#[^\n]*$"),
-    "slash": __import__("re").compile(r"(?m)//[^\n]*$"),
-    "block": __import__("re").compile(r"/\*.*?\*/", __import__("re").DOTALL),
-}
-_WS_RE = __import__("re").compile(r"[ \t]+")
-_EOL_WS_RE = __import__("re").compile(r"(?m)[ \t]+$")
-_BLANK_RE = __import__("re").compile(r"\n{2,}")
+# comment patterns per language family; conservative (no string-literal
+# awareness — normalization feeds similarity, not compilation). Applied with
+# Arrow's re2 kernel (`pc.replace_substring_regex`) — the whole normalization
+# chain is C-vectorized over the column, no per-row Python. re2 equivalence
+# notes: `(?s)` replaces Python's DOTALL for block comments; `//[^\n]*`
+# without an anchor equals `(?m)//[^\n]*$` because the greedy `[^\n]*`
+# always reaches the line boundary.
+_COMMENT_PATTERNS = [r"(?s)/\*.*?\*/", r"//[^\n]*", r"#[^\n]*"]
+_WS_PATTERNS = [(r"[ \t]+", " "), (r"(?m)[ \t]+$", ""), (r"\n{2,}", "\n")]
 
 
 def normalize_content(
@@ -76,24 +75,21 @@ def normalize_content(
     The code-corpus analog of the reference's ``reshape.restructure``
     cleaning chain (``takco/reshape/clean.py:18-70``): deterministic textual
     canonicalization before shingling, so cosmetic edits don't perturb
-    similarity. Compiled patterns are module-level (compiled once per worker
-    process at import).
+    similarity.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(content_column).to_pylist()
-        out = []
-        for t in texts:
-            t = t or ""
-            if strip_comments:
-                t = _COMMENT_RES["block"].sub("", t)
-                t = _COMMENT_RES["slash"].sub("", t)
-                t = _COMMENT_RES["hash"].sub("", t)
-            if collapse_whitespace:
-                t = _WS_RE.sub(" ", t)
-                t = _EOL_WS_RE.sub("", t)
-                t = _BLANK_RE.sub("\n", t)
-            out.append(t.strip())
-        return batch.append_column(out_column, pa.array(out, type=pa.large_string()))
+        col = batch.column(content_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = pc.fill_null(col, "")
+        if strip_comments:
+            for pat in _COMMENT_PATTERNS:
+                out = pc.replace_substring_regex(out, pat, "")
+        if collapse_whitespace:
+            for pat, repl in _WS_PATTERNS:
+                out = pc.replace_substring_regex(out, pat, repl)
+        out = pc.utf8_trim_whitespace(out)
+        return batch.append_column(out_column, out.cast(pa.large_string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -19,3 +19,14 @@ def default_concurrency(reserve: int = 1, floor: int = 2) -> tuple:
     except Exception:
         n = 4
     return (1, max(floor, n - reserve))
+
+
+def default_join_partitions(floor: int = 8) -> int:
+    """Hash-join partition count derived from the cluster CPU total.
+
+    A literal constant is a straggler factory at 100× scale — a 256-node
+    cluster funneling a join through 8 partitions leaves 97 % of the
+    cluster idle. One partition per CPU keeps join tasks at worker
+    granularity and grows with the cluster without config changes.
+    """
+    return max(floor, default_concurrency()[1])
