@@ -259,192 +259,365 @@ def incremental_er(
     base_labels,
     base_signatures,
     cfg: ERConfig | None = None,
+    max_new_band_keys: int = 50_000_000,
 ) -> dict:
     """Attach a NEW batch of files to an existing run's clusters without
     re-clustering the base corpus (continuous-ingest ER — beyond the
     reference, which always re-clusters from scratch,
     ``takco/__init__.py:231-430``).
 
-    Labels are min-member-id canonical, so each base cluster's
-    REPRESENTATIVE is exactly the member with ``file_id == cluster_id`` —
-    the rep set needs no extra index. The match runs the normal blocking +
-    fused-scoring + CC machinery over (rep signatures ∪ new signatures):
-    a component containing rep R maps its new members to base cluster R
-    (min R on multi-rep bridges — a merge signal worth auditing);
-    rep-free components become new clusters labeled by their min file id
-    (globally unique content-hash ids, so no collision with base labels).
+    Full-member recall: new files block against the band keys of EVERY
+    member of every base cluster — not only the min-id representative — so a
+    new file similar to any member attaches (the reference's cluster step
+    always re-blocks all tables, ``takco/cluster/cluster.py:348-431``; this
+    matches that recall on the new-vs-base frontier at incremental cost).
 
-    Every step is a hash-partitioned grouped pass — no broadcast of the
-    (cluster-count-sized) rep set, no driver materialization. Semantics =
-    the transitive closure a full rerun would produce restricted to reps +
-    new files; periodic full reruns remain the consolidation path.
+    Shape:
+
+    1. new signatures → the distinct new band-key set, ``ray.put`` once
+       (the "small side" — the new batch is small by the definition of
+       incremental ingest; above ``max_new_band_keys`` (~400 MB) this
+       raises: run the full pipeline instead).
+    2. base signatures stream through the band exploder with that key set
+       as the active filter — a map-only pass; ONLY base members sharing a
+       band with some new file emit band rows. No base-base pair is ever
+       generated or scored.
+    3. one grouped pass per band key scores (new × new) and (new × base)
+       pairs with the standard fused PairScorer → edges; oversized blocks
+       cap at O(m_new) pairs (ring over new members + each new member to
+       ``max_block_size`` nearest base members).
+    4. CC over the edges; each component labels its new members with the
+       MINIMUM base cluster id among its base members, else (all-new
+       component) its min new file id. Components spanning ≥2 base clusters
+       emit ``merges`` audit rows — the incremental view cannot merge base
+       clusters in place, so the implied merge is surfaced as data instead
+       of silently picking one side.
+
+    Every wide step is a hash-partitioned grouped pass; content never
+    shuffles; the only driver materialization is the new band-key set.
+    Periodic full reruns remain the consolidation path (new-vs-new clusters
+    formed here don't extend the base index until consolidated).
 
     ``base_signatures`` / ``base_labels``: the ``signatures`` / ``labels``
     datasets of the base run (same ``cfg`` — signatures must be
     hash-compatible). Returns ``{"labels": Dataset(file_id, cluster_id)}``
-    covering exactly the new files.
+    covering exactly the new files, plus ``{"merges": Dataset(base_cluster_id,
+    merged_into)}`` naming base clusters bridged by new evidence.
     """
     import numpy as np
-    import pyarrow.compute as pc
 
-    from ..stages.groupmap import partitioned_group_map
+    from ..stages.blocking import emit_band_rows
+    from ..stages.groupmap import partitioned_group_map, segment_boundaries
 
     cfg = cfg or ERConfig()
     import ray as _ray
 
     num_parts = cfg.num_partitions or max(16, int(_ray.cluster_resources().get("CPU", 16)))
 
-    # ---- rep signatures: base sig rows whose file_id is a cluster id ------
-    sig_schema = base_signatures.schema()
-    sig_names = list(sig_schema.names)
-    sig_types = dict(zip(sig_schema.names, sig_schema.types))
+    # materialized: consumed by the key collection, the band explosion AND
+    # the new-marker rows — without it the corpus read + fingerprint +
+    # MinHash would re-execute per consumer (ADVICE r2)
+    new_sigs = signatures_for_paths([new_corpus_dir], cfg).materialize()
 
-    def sig_rows(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "__marker", pa.array(np.zeros(t.num_rows, dtype=np.int64), type=pa.int64())
-        )
+    # ---- 1. distinct new band keys, broadcast once ------------------------
+    from ..stages.minhash import signatures_to_numpy
 
-    def marker_rows(t: pa.Table) -> pa.Table:
-        # one row per distinct cluster id in the batch, null payload
-        cl = pc.unique(t.column("cluster_id").combine_chunks()).cast(pa.int64())
-        cols = {}
-        for name in sig_names:
-            if name == "file_id":
-                cols[name] = cl
-            else:
-                cols[name] = pa.nulls(len(cl), sig_types[name])
-        cols["__marker"] = pa.array(np.ones(len(cl), dtype=np.int64), type=pa.int64())
-        return pa.table(cols)
-
-    tagged = base_signatures.map_batches(
-        sig_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        base_labels.select_columns(["cluster_id"]).map_batches(
-            marker_rows, batch_format="pyarrow", zero_copy_batch=True
-        )
+    key_parts: list = []
+    for b in new_sigs.select_columns(["bands"]).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        key_parts.append(np.unique(signatures_to_numpy(b.column("bands")).reshape(-1)))
+    new_keys = (
+        np.unique(np.concatenate(key_parts)) if key_parts else np.zeros(0, dtype=np.int64)
     )
+    if len(new_keys) > max_new_band_keys:
+        raise ValueError(
+            f"incremental batch produces {len(new_keys)} distinct band keys "
+            f"(> {max_new_band_keys}); at that scale run the full er_pipeline "
+            "over base ∪ new instead of the incremental path"
+        )
+    if len(new_keys) == 0:  # degenerate: nothing to ingest
+        import ray.data as _rd
 
-    def keep_reps(part: pa.Table) -> pa.Table:
-        fid = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
-        mark = np.asarray(part.column("__marker").combine_chunks(), dtype=np.int64)
-        order = np.argsort(fid, kind="stable")
-        fs, ms = fid[order], mark[order]
-        starts = np.concatenate([[0], np.flatnonzero(fs[1:] != fs[:-1]) + 1]) if len(fs) else np.zeros(0, dtype=np.int64)
-        seg_of = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(fs))))
-        has_marker = np.zeros(len(starts), dtype=bool)
-        np.logical_or.at(has_marker, seg_of, ms == 1)
-        keep = (ms == 0) & has_marker[seg_of]
-        return part.take(pa.array(order[keep], type=pa.int64())).drop_columns(["__marker"])
+        empty = _rd.from_arrow(
+            pa.table(
+                {
+                    "file_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        return {
+            "labels": empty,
+            "merges": empty.rename_columns(
+                {"file_id": "base_cluster_id", "cluster_id": "merged_into"}
+            ),
+        }
+    new_keys_ref = _ray.put(new_keys)
 
-    rep_sigs = partitioned_group_map(tagged, "file_id", keep_reps, num_parts)
+    # ---- 2. band rows: base filtered by new keys, new exploded fully ------
+    def tag_side(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8), type=pa.int8())
+            )
 
-    # ---- match: normal machinery over rep ∪ new signatures ----------------
-    new_sigs = signatures_for_paths([new_corpus_dir], cfg)
-    combined = rep_sigs.union(new_sigs)
-    edges = candidate_pairs(
-        combined,
-        num_bands=cfg.num_bands,
-        seed=cfg.seed,
-        hot_threshold=cfg.hot_threshold,
-        salt_target=cfg.salt_target,
-        max_block_size=cfg.max_block_size,
-        min_size_ratio=cfg.min_size_ratio,
+        return fn
+
+    base_bands = emit_band_rows(
+        base_signatures, None, num_bands=cfg.num_bands, seed=cfg.seed,
+        active_ref=new_keys_ref,
+    ).map_batches(tag_side(0), batch_format="pyarrow", zero_copy_batch=True)
+    new_bands = emit_band_rows(
+        new_sigs, None, num_bands=cfg.num_bands, seed=cfg.seed
+    ).map_batches(tag_side(1), batch_format="pyarrow", zero_copy_batch=True)
+    # materialized: feeds BOTH the pair shuffle and the member→cluster tag
+    # rows; small (only band-colliding base members survive the filter)
+    base_bands = base_bands.materialize()
+
+    # ---- 3. grouped pair-gen (≥1 new side) + fused scoring → edges --------
+    edges = partitioned_group_map(
+        new_bands.union(base_bands),
+        "block_key",
+        _IncrementalPairEmitter(
+            max_block_size=cfg.max_block_size,
+            min_size_ratio=cfg.min_size_ratio,
+            scorer_kwargs=dict(agg_expr=cfg.agg_expr, threshold=cfg.threshold),
+        ),
         num_partitions=num_parts,
-        scorer_kwargs=dict(agg_expr=cfg.agg_expr, threshold=cfg.threshold),
     )
     comp_labels = label_rows(
         cc_forest(edges, num_partitions=num_parts, driver_limit=cfg.broadcast_label_limit)
     )
 
-    # ---- relabel: comp → base cluster if a rep is a member ----------------
-    def lab_tag(t: pa.Table) -> pa.Table:  # (file_id, comp, kind=0)
+    # ---- 4. relabel by min base cluster + merge audit ----------------------
+    # tag rows on file_id: kind 0 = CC component, kind 1 = base member's
+    # cluster (from base_labels, restricted to surviving members), kind 2 =
+    # new-file marker. base_labels is a 16 B/row stream — the grouped pass
+    # replaces any broadcast of the (corpus-sized) label map.
+    def lab_tag(t: pa.Table) -> pa.Table:
         n = t.num_rows
         return pa.table(
             {
                 "file_id": t.column("file_id").cast(pa.int64()),
-                "comp": t.column("cluster_id").cast(pa.int64()),
+                "val": t.column("cluster_id").cast(pa.int64()),
                 "kind": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
             }
         )
 
-    def rep_tag(t: pa.Table) -> pa.Table:  # marker: file is a rep
+    def member_marker(t: pa.Table) -> pa.Table:  # surviving base member
         fid = t.column("file_id").cast(pa.int64())
-        n = t.num_rows
         return pa.table(
             {
                 "file_id": fid,
-                "comp": fid,  # self-comp fallback (rep never matched anything)
-                "kind": pa.array(np.full(n, 1, dtype=np.int64), type=pa.int64()),
+                "val": fid,
+                "kind": pa.array(np.full(t.num_rows, 1, dtype=np.int64), type=pa.int64()),
             }
         )
 
-    def new_tag(t: pa.Table) -> pa.Table:  # marker: file is new (self fallback)
+    def base_label_rows(t: pa.Table) -> pa.Table:  # cluster of any base file
+        return pa.table(
+            {
+                "file_id": t.column("file_id").cast(pa.int64()),
+                "val": t.column("cluster_id").cast(pa.int64()),
+                "kind": pa.array(np.full(t.num_rows, 3, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    def new_tag(t: pa.Table) -> pa.Table:
         fid = t.column("file_id").cast(pa.int64())
-        n = t.num_rows
         return pa.table(
             {
                 "file_id": fid,
-                "comp": fid,
-                "kind": pa.array(np.full(n, 2, dtype=np.int64), type=pa.int64()),
+                "val": fid,
+                "kind": pa.array(np.full(t.num_rows, 2, dtype=np.int64), type=pa.int64()),
             }
         )
 
     tag_rows = (
         comp_labels.map_batches(lab_tag, batch_format="pyarrow", zero_copy_batch=True)
-        .union(rep_sigs.select_columns(["file_id"]).map_batches(rep_tag, batch_format="pyarrow"))
+        .union(
+            base_bands.select_columns(["file_id"]).map_batches(
+                member_marker, batch_format="pyarrow"
+            )
+        )
+        .union(
+            base_labels.select_columns(["file_id", "cluster_id"]).map_batches(
+                base_label_rows, batch_format="pyarrow"
+            )
+        )
         .union(new_sigs.select_columns(["file_id"]).map_batches(new_tag, batch_format="pyarrow"))
     )
 
+    _MAX = np.iinfo(np.int64).max
+
     def per_file(part: pa.Table) -> pa.Table:
-        """min comp per file + rep/new flags → (comp, file_id, is_rep, is_new)."""
+        """(file_id) → (comp, file_id, base_cluster, is_new); files that are
+        neither new nor surviving base members are dropped here."""
         fid = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
-        comp = np.asarray(part.column("comp").combine_chunks(), dtype=np.int64)
+        val = np.asarray(part.column("val").combine_chunks(), dtype=np.int64)
         kind = np.asarray(part.column("kind").combine_chunks(), dtype=np.int64)
         order = np.argsort(fid, kind="stable")
-        fs, cs, ks = fid[order], comp[order], kind[order]
-        starts = np.concatenate([[0], np.flatnonzero(fs[1:] != fs[:-1]) + 1]) if len(fs) else np.zeros(0, dtype=np.int64)
+        fs, vs, ks = fid[order], val[order], kind[order]
+        starts = segment_boundaries(fs)
         seg_of = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(fs))))
         n_seg = len(starts)
-        min_comp = np.full(n_seg, np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(min_comp, seg_of, cs)
-        is_rep = np.zeros(n_seg, dtype=bool)
-        np.logical_or.at(is_rep, seg_of, ks == 1)
+        min_comp = np.full(n_seg, _MAX, dtype=np.int64)
+        np.minimum.at(min_comp, seg_of, np.where(ks == 0, vs, _MAX))
+        base_cl = np.full(n_seg, _MAX, dtype=np.int64)
+        np.minimum.at(base_cl, seg_of, np.where(ks == 3, vs, _MAX))
+        is_member = np.zeros(n_seg, dtype=bool)
+        np.logical_or.at(is_member, seg_of, ks == 1)
         is_new = np.zeros(n_seg, dtype=bool)
         np.logical_or.at(is_new, seg_of, ks == 2)
+        file_ids = fs[starts]
+        comp = np.where(min_comp != _MAX, min_comp, file_ids)  # self fallback
+        keep = is_new | is_member
+        # a surviving base member carries its cluster; a new file carries MAX
+        base_out = np.where(is_member, base_cl, _MAX)
         return pa.table(
             {
-                "comp": pa.array(min_comp, type=pa.int64()),
-                "file_id": pa.array(fs[starts], type=pa.int64()),
-                "is_rep": pa.array(is_rep),
-                "is_new": pa.array(is_new),
+                "comp": pa.array(comp[keep], type=pa.int64()),
+                "file_id": pa.array(file_ids[keep], type=pa.int64()),
+                "base_cluster": pa.array(base_out[keep], type=pa.int64()),
+                "is_new": pa.array(is_new[keep]),
             }
         )
 
     per_file_rows = partitioned_group_map(tag_rows, "file_id", per_file, num_parts)
 
     def relabel(part: pa.Table) -> pa.Table:
+        """Per component: label new members min-base-cluster (else min new
+        id); emit merge-audit rows (row_kind=1) for multi-base components."""
         comp = np.asarray(part.column("comp").combine_chunks(), dtype=np.int64)
         fid = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
-        is_rep = np.asarray(part.column("is_rep").combine_chunks(), dtype=bool)
+        base = np.asarray(part.column("base_cluster").combine_chunks(), dtype=np.int64)
         is_new = np.asarray(part.column("is_new").combine_chunks(), dtype=bool)
-        order = np.argsort(comp, kind="stable")
-        cs, fs, rs, ns = comp[order], fid[order], is_rep[order], is_new[order]
-        starts = np.concatenate([[0], np.flatnonzero(cs[1:] != cs[:-1]) + 1]) if len(cs) else np.zeros(0, dtype=np.int64)
+        order = np.lexsort((base, comp))
+        cs, fs, bs, ns = comp[order], fid[order], base[order], is_new[order]
+        starts = segment_boundaries(cs)
         seg_of = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(cs))))
         n_seg = len(starts)
-        base = np.full(n_seg, np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(base, seg_of, np.where(rs, fs, np.iinfo(np.int64).max))
-        label = np.where(base[seg_of] != np.iinfo(np.int64).max, base[seg_of], cs)
-        keep = ns
+        base_min = np.full(n_seg, _MAX, dtype=np.int64)
+        np.minimum.at(base_min, seg_of, bs)
+        new_min = np.full(n_seg, _MAX, dtype=np.int64)
+        np.minimum.at(new_min, seg_of, np.where(ns, fs, _MAX))
+        label_of = np.where(base_min != _MAX, base_min, new_min)
+        # label rows: one per NEW member
+        lab_f = fs[ns]
+        lab_c = label_of[seg_of[ns]]
+        # merge audit: distinct base clusters per segment (bs sorted within)
+        distinct = (bs != _MAX) & np.concatenate(
+            [[True], (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])]
+        ) if len(cs) else np.zeros(0, dtype=bool)
+        n_distinct = np.zeros(n_seg, dtype=np.int64)
+        np.add.at(n_distinct, seg_of, distinct.astype(np.int64))
+        audit = distinct & (n_distinct[seg_of] >= 2)
         return pa.table(
             {
-                "file_id": pa.array(fs[keep], type=pa.int64()),
-                "cluster_id": pa.array(label[keep], type=pa.int64()),
+                "file_id": pa.array(np.concatenate([lab_f, bs[audit]]), type=pa.int64()),
+                "cluster_id": pa.array(
+                    np.concatenate([lab_c, label_of[seg_of[audit]]]), type=pa.int64()
+                ),
+                "row_kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(lab_f), dtype=np.int8), np.ones(int(audit.sum()), dtype=np.int8)]
+                    ),
+                    type=pa.int8(),
+                ),
             }
         )
 
-    labels = partitioned_group_map(per_file_rows, "comp", relabel, num_parts)
-    return {"labels": labels}
+    out = partitioned_group_map(per_file_rows, "comp", relabel, num_parts).materialize()
+    labels = out.filter(expr="row_kind == 0").select_columns(["file_id", "cluster_id"])
+    merges = (
+        out.filter(expr="row_kind == 1")
+        .select_columns(["file_id", "cluster_id"])
+        .rename_columns({"file_id": "base_cluster_id", "cluster_id": "merged_into"})
+    )
+    return {"labels": labels, "merges": merges}
+
+
+class _IncrementalPairEmitter:
+    """Partition fn for incremental ER: blocks of (new ∪ filtered-base) band
+    rows → fused-scored edges, pairs restricted to ≥1 NEW side.
+
+    Small blocks emit every (new, new)/(new, base) pair; blocks over
+    ``max_block_size`` cap at O(m_new): a ring over the new members plus
+    each new member × up to ``max_block_size`` id-nearest base members
+    (base-base connectivity already lives in ``base_labels`` — re-deriving
+    it here would re-cluster the base corpus, exactly what incremental
+    ingest avoids)."""
+
+    def __init__(self, max_block_size: int, min_size_ratio: float, scorer_kwargs: dict):
+        self.max_block_size = max_block_size
+        self.min_size_ratio = min_size_ratio
+        self.scorer_kwargs = scorer_kwargs
+        self._scorer = None
+
+    def __call__(self, part: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..stages.blocking import _empty_edges_keyed, _SALT_MIX
+        from ..stages.groupmap import segment_boundaries, segment_pairs
+
+        keys = np.asarray(part.column("block_key").combine_chunks(), dtype=np.int64)
+        ids = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
+        side = np.asarray(part.column("side").combine_chunks(), dtype=np.int8)
+        n = len(keys)
+        if n == 0:
+            return _empty_edges_keyed().drop_columns(["pair_key"])
+        order = np.lexsort((ids, keys))
+        keys, side = keys[order], side[order]
+        starts = segment_boundaries(keys)
+        counts = np.diff(np.append(starts, n))
+        small = counts <= self.max_block_size
+        ii, jj = segment_pairs(starts[small], counts[small], max_block_size=None)
+        mask = (side[ii] | side[jj]).astype(bool) if len(ii) else np.zeros(0, bool)
+        ii_parts = [ii[mask]]
+        jj_parts = [jj[mask]]
+        for s, m in zip(starts[~small], counts[~small]):
+            sub_new = s + np.flatnonzero(side[s : s + m] == 1)
+            sub_base = s + np.flatnonzero(side[s : s + m] == 0)
+            if len(sub_new) >= 2:  # ring over new members
+                ii_parts.append(sub_new[:-1])
+                jj_parts.append(sub_new[1:])
+            if len(sub_new) and len(sub_base):
+                k = min(len(sub_base), self.max_block_size)
+                bi = np.repeat(sub_new, k)
+                bj = np.tile(sub_base[:k], len(sub_new))
+                lo = np.minimum(bi, bj)
+                hi = np.maximum(bi, bj)
+                ii_parts.append(lo)
+                jj_parts.append(hi)
+        ii = np.concatenate(ii_parts)
+        jj = np.concatenate(jj_parts)
+        if len(ii) == 0:
+            return _empty_edges_keyed().drop_columns(["pair_key"])
+
+        part = part.take(pa.array(order, type=pa.int64()))
+        sizes = np.asarray(part.column("size").combine_chunks(), dtype=np.float64)
+        ratio = np.minimum(sizes[ii], sizes[jj]) / np.maximum(
+            np.maximum(sizes[ii], sizes[jj]), 1.0
+        )
+        keep = ratio >= self.min_size_ratio
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return _empty_edges_keyed().drop_columns(["pair_key"])
+        left = part.take(pa.array(ii, type=pa.int64()))
+        right = part.take(pa.array(jj, type=pa.int64()))
+        cols = {
+            "id1": left.column("file_id").cast(pa.int64()),
+            "id2": right.column("file_id").cast(pa.int64()),
+        }
+        for c in ("path", "size", "lang", "sig"):
+            cols[f"{c}1"] = left.column(c)
+            cols[f"{c}2"] = right.column(c)
+        if self._scorer is None:
+            from ..stages.scoring import PairScorer
+
+            self._scorer = PairScorer(**self.scorer_kwargs)
+        return self._scorer(pa.table(cols))
 
 
 def _broadcast_labels(star, side):

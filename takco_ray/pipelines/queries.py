@@ -23,6 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..sources import read_table
+from ..util import default_join_partitions
 from ..functions.hashing import sha256_hex
 from ..stages import dedup as dedup_stages
 from ..stages import textstats
@@ -135,7 +136,7 @@ def q_nation_revenue(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=default_join_partitions(),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -179,7 +180,7 @@ def q_segment_orders(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=default_join_partitions(),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -569,7 +570,7 @@ def q_customer_f_order_counts(sf_dir: str):
     joined = cust.join(
         f_orders.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True),
         join_type="left_outer",
-        num_partitions=8,
+        num_partitions=default_join_partitions(),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -626,7 +627,7 @@ def q_name_distances(sf_dir: str):
     joined = cust.map_batches(add_next, batch_format="pyarrow", zero_copy_batch=True).join(
         cust.map_batches(as_right, batch_format="pyarrow", zero_copy_batch=True),
         join_type="inner",
-        num_partitions=8,
+        num_partitions=default_join_partitions(),
         on=("next_key",),
         right_on=("rkey",),
     )
@@ -965,6 +966,31 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF top-k at FULL probe (n_probe == n_centroids): every cell is
+    searched, so results are exactly brute force — which makes the brute
+    SQL oracle (``SQL_EMBEDDING_TOPK``) an EXACT oracle for the IVF
+    machinery (cell assignment, per-cell search, partial+final top-k)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtab = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 10")
+        .to_pandas()
+    )
+    qmat = np.stack(qtab.embedding.to_numpy())
+    out = ann_stages.ivf_topk(
+        emb,
+        qtab.vec_id.to_numpy(),
+        qmat,
+        k=5,
+        n_centroids=16,
+        n_probe=16,
+        id_column="vec_id",
+        emb_column="embedding",
+    )
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def q_top_tokens(sf_dir: str):
     """Corpus-global token frequency top-k — vocabulary-sized groupby over
     per-batch Arrow hash-aggregate partials."""
@@ -1147,6 +1173,43 @@ def q_media_features(sf_dir: str):
     return extract_media_features(media, batch_size=16)
 
 
+def q_cluster_size_report(sf_dir: str):
+    """Cluster-size audit over the MinHash near-dup labeling of documents —
+    the operator that drives the reference's ``max_cluster_size`` re-chunk
+    decision (``takco/__init__.py:385-397``). Rows-only: single summary row
+    (histogram + top clusters), gated by the dedup pytest oracles."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    labels = dedup_stages.minhash_dedup_labels(
+        docs, text_column="text", id_column="doc_id"
+    )
+    return dedup_stages.cluster_size_report(labels)
+
+
+def q_block_size_stats(sf_dir: str):
+    """LSH band-block size distribution over the documents table — the skew
+    detector feeding the hot-threshold/salting choice (SURVEY §2.5 A9).
+    Rows-only: single summary row."""
+    from ..stages import blocking as blocking_stages
+    from ..stages.dedup import _signature_ds
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sig_ds = _signature_ds(
+        docs, "text", "doc_id", num_perm=128, num_bands=16, shingle_k=5, seed=41
+    )
+    stats = blocking_stages.block_size_stats(sig_ds)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_blocks": pa.array([stats["n_blocks"]], type=pa.int64()),
+                "n_rows": pa.array([stats["n_rows"]], type=pa.int64()),
+                "mean_u": pa.array([int(round(stats["mean"] * 100))], type=pa.int64()),
+                "max": pa.array([stats["max"]], type=pa.int64()),
+                "log2_histogram": pa.array([stats["log2_histogram"]]),
+            }
+        )
+    )
+
+
 def _corpus_scale_for(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     return {"sf0.001": "test", "sf0.01": "small", "sf0.1": "bench"}.get(name, "test")
@@ -1235,7 +1298,11 @@ def build_queries() -> dict:
         "doc_quality": q_doc_quality,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_topk": q_embedding_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
+        # rows-only audit operators (single-row summaries)
+        "cluster_size_report": q_cluster_size_report,
+        "block_size_stats": q_block_size_stats,
         "embedding_neardup": q_embedding_neardup,
         "event_sessions": q_event_sessions,
         "asof_orders": q_asof_orders,
@@ -1277,6 +1344,8 @@ def build_oracle_sql() -> dict:
         "doc_char_stats": SQL_DOC_CHAR_STATS,
         "embedding_neighbors": SQL_EMBEDDING_NEIGHBORS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
+        # IVF at full probe is exactly brute force — same oracle, same result
+        "ivf_topk": SQL_EMBEDDING_TOPK,
         "ngram_jaccard_exact": SQL_NGRAM_JACCARD_EXACT,
         "doc_quality": _sql_doc_quality(),
         "language_id_docs": _sql_language_id(),

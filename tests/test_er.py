@@ -173,3 +173,116 @@ def test_incremental_er_attach_and_new_clusters(ray_session, tmp_path):
     assert got[new_id["n1.py"]] == got[new_id["n2.py"]]
     assert got[new_id["n1.py"]] in set(ns.file_id)  # new cluster, new id
     assert got[new_id["n3.py"]] == new_id["n3.py"]  # singleton self-label
+
+
+def test_incremental_er_attaches_via_non_representative_member(ray_session, tmp_path):
+    """Full-member recall: a new file similar ONLY to a non-representative
+    member of a base cluster (no shared band with the rep) must still attach
+    to that cluster — the r2 rep-only design silently left it a singleton."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from takco_ray.pipelines.er import (
+        ERConfig,
+        er_pipeline,
+        incremental_er,
+        signatures_for_paths,
+    )
+
+    def toks(lo, hi, p="t"):
+        return " ".join(f"{p}{j}" for j in range(lo, hi))
+
+    def write(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": [f"r/{k}" for k in rows],
+                    "path": [f"{k}.py" for k in rows],
+                    "commit": ["c"] * len(rows),
+                    "lang": ["py"] * len(rows),
+                    "content": pa.array(list(rows.values()), type=pa.large_string()),
+                }
+            ),
+            str(d / "shard_00000.parquet"),
+        )
+        return str(d)
+
+    # chain cluster: a0 = t[0:150), a1 = t[25:175) — deterministic (seed 41)
+    # signature-jaccard 0.688 ≥ θ, so they cluster; rep = min file_id (a hash,
+    # so either member may be it)
+    base_dir = write("base", {"a0": toks(0, 150), "a1": toks(25, 175)})
+    cfg = ERConfig(threshold=0.5, num_bands=32)
+    base = er_pipeline(base_dir, cfg)
+    blab = base["labels"].to_pandas()
+    assert blab.cluster_id.nunique() == 1  # a0 ~ a1 clustered
+    cluster_id = int(blab.cluster_id.iloc[0])
+    rep_path = blab.set_index("file_id").loc[cluster_id, "path"]
+    # build the new file against the NON-rep member. Measured with seed 41:
+    # toks(55,205) scores 0.625 vs a1 but 0.485 (< θ, zero shared bands) vs
+    # a0; the u-prefixed variant scores 0.609 vs a0 but 0.398 vs a1.
+    non_rep_is_a1 = rep_path == "a0.py"
+    new_content = (
+        toks(55, 205) if non_rep_is_a1 else toks(0, 55, "u") + " " + toks(0, 120)
+    )
+    new_dir = write("new", {"n0": new_content})
+
+    out = incremental_er(new_dir, base["labels"], base["signatures"], cfg)
+    lab = out["labels"].to_pandas()
+    assert len(lab) == 1
+    assert int(lab.cluster_id.iloc[0]) == cluster_id  # attached, not singleton
+    assert out["merges"].count() == 0
+
+
+def test_incremental_er_merge_audit(ray_session, tmp_path):
+    """A new file bridging two base clusters surfaces the implied merge as
+    audit rows instead of silently picking one side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from takco_ray.pipelines.er import ERConfig, er_pipeline, incremental_er
+
+    def toks(p, lo, hi):
+        return " ".join(f"{p}{j}" for j in range(lo, hi))
+
+    def write(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": [f"r/{k}" for k in rows],
+                    "path": [f"{k}.py" for k in rows],
+                    "commit": ["c"] * len(rows),
+                    "lang": ["py"] * len(rows),
+                    "content": pa.array(list(rows.values()), type=pa.large_string()),
+                }
+            ),
+            str(d / "shard_00000.parquet"),
+        )
+        return str(d)
+
+    base_dir = write(
+        "base",
+        {
+            "x0": toks("x", 0, 150), "x1": toks("x", 0, 150) + " xtail",
+            "y0": toks("y", 0, 150), "y1": toks("y", 0, 150) + " ytail",
+        },
+    )
+    # measured with seed 41 / num_bands=32: z scores 0.461 vs x0 and 0.531
+    # vs y0 (both ≥ θ=0.42, each with ≥1 shared band); x–y share nothing
+    cfg = ERConfig(threshold=0.42, num_bands=32)
+    base = er_pipeline(base_dir, cfg)
+    blab = base["labels"].to_pandas()
+    assert blab.cluster_id.nunique() == 2
+    cx = int(blab.set_index("path").loc["x0.py", "cluster_id"])
+    cy = int(blab.set_index("path").loc["y0.py", "cluster_id"])
+
+    # bridge: 150 x-tokens + 150 y-tokens → shingle-jaccard ≈ 0.49 both ways
+    new_dir = write("new", {"z": toks("x", 0, 150) + " " + toks("y", 0, 150)})
+    out = incremental_er(new_dir, base["labels"], base["signatures"], cfg)
+    lab = out["labels"].to_pandas()
+    assert len(lab) == 1
+    assert int(lab.cluster_id.iloc[0]) == min(cx, cy)
+    merges = out["merges"].to_pandas().sort_values("base_cluster_id")
+    assert sorted(merges.base_cluster_id) == sorted([cx, cy])
+    assert set(merges.merged_into) == {min(cx, cy)}
