@@ -49,6 +49,37 @@ for _c in range(256):
     _WORD_LUT[_c] = chr(_c).isascii() and (chr(_c).isalnum() or chr(_c) == "_")
 
 
+class _Arena:
+    """Grow-only per-process scratch buffers for the hot token path.
+
+    The scanner's multi-MB temporaries (word mask, padded hash buffer, word
+    gathers) are reallocated per batch otherwise; glibc serves >128 KB
+    blocks with mmap, and the resulting munmap + kernel page-zero traffic
+    is serialized across worker processes — measured as a multi-worker
+    scaling cost. One instance per process (map tasks in a process run
+    serially, like ``MinHasher``'s chunk buffer)."""
+
+    def __init__(self):
+        self._bufs: dict = {}
+
+    def get(self, name: str, size: int, dtype) -> np.ndarray:
+        buf = self._bufs.get(name)
+        if buf is None or buf.dtype != np.dtype(dtype) or len(buf) < size:
+            cap = size if buf is None else max(size, int(len(buf) * 3 // 2))
+            buf = np.empty(cap, dtype=dtype)
+            self._bufs[name] = buf
+        return buf[:size]
+
+
+_ARENA = _Arena()
+
+
+def _merge_sorted(base: np.ndarray, extra: np.ndarray) -> np.ndarray:
+    """Merge a sorted array with a small sorted disjoint addition — O(n)
+    insert instead of an O(n log n) re-sort."""
+    return np.insert(base, np.searchsorted(base, extra), extra)
+
+
 def ascii_token_runs(col: pa.Array) -> tuple:
     """Lowercased token runs of an all-ASCII string array.
 
@@ -71,11 +102,14 @@ def ascii_token_runs(col: pa.Array) -> tuple:
     offsets = offsets - offsets[0]
     doc_bounds = offsets[1:-1]
 
-    w = _WORD_LUT[buf]
+    w = _ARENA.get("word_mask", len(buf), bool)
+    np.take(_WORD_LUT, buf, out=w)
     # ONE transition scan: word/non-word boundaries strictly alternate, so
     # even/odd slices of the transition list are the starts/ends (half the
     # temporaries and scans of separate d==1 / d==-1 passes)
-    trans = np.flatnonzero(w[1:] != w[:-1]) + 1
+    neq = _ARENA.get("word_neq", max(len(buf) - 1, 0), bool)
+    np.not_equal(w[1:], w[:-1], out=neq)
+    trans = np.flatnonzero(neq) + 1
     if len(w) and w[0]:
         starts = np.concatenate([[0], trans[1::2]])
         ends = trans[0::2]
@@ -93,11 +127,22 @@ def ascii_token_runs(col: pa.Array) -> tuple:
         # zero-length token
         crossing = np.unique(inner[w[inner - 1] & w[inner]])
         if len(crossing):
-            starts = np.sort(np.concatenate([starts, crossing]))
-            ends = np.sort(np.concatenate([ends, crossing]))
+            # both sides stay sorted — O(n) merges, not O(n log n) re-sorts
+            starts = _merge_sorted(starts, crossing)
+            ends = _merge_sorted(ends, crossing)
     lengths = ends - starts
-    parents = np.searchsorted(doc_bounds, starts, side="right")
-    return buf, starts.astype(np.int64), lengths.astype(np.int64), parents.astype(np.int64), n_docs
+    # ONE binary search per DOC (not per token): split points of the sorted
+    # token starts at each doc boundary → parent ids by run-length repeat
+    split = np.searchsorted(starts, doc_bounds, side="left")
+    per_doc = np.diff(np.concatenate([[0], split, [len(starts)]]))
+    parents = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    return (
+        buf,
+        starts.astype(np.int64, copy=False),
+        lengths.astype(np.int64, copy=False),
+        parents,
+        n_docs,
+    )
 
 
 _FNV_PRIME = np.uint64(0x100000001B3)
@@ -122,36 +167,53 @@ def hash_token_runs(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, se
     # pad so an 8-byte window never runs off the end; the single 1-pass copy
     # replaces the per-gather (n,8) int64 index matrix (64 B/token of pure
     # DRAM churn) and its clamp pass — windows become one contiguous 8-byte
-    # row copy per token via sliding_window_view
-    bufp = np.empty(len(buf) + 16, dtype=np.uint8)
+    # row copy per token via sliding_window_view. All multi-MB temporaries
+    # come from the grow-only arena (no per-batch mmap churn).
+    bufp = _ARENA.get("hash_bufp", len(buf) + 16, np.uint8)
     bufp[: len(buf)] = buf
     bufp[len(buf) :] = 0
     win = np.lib.stride_tricks.sliding_window_view(bufp, 8)
 
     def _gather_word(st: np.ndarray, ln_clip: np.ndarray) -> np.ndarray:
-        """8 bytes at ``st`` as little-endian uint64, masked to ``ln_clip``."""
+        """8 bytes at ``st`` as little-endian uint64, masked to ``ln_clip``.
+
+        The gather itself stays a fancy index — ``np.take(..., out=)`` on a
+        strided source routes through a ~5× slower element loop (measured
+        31 vs 7 ms per 512k tokens); one fresh (n, 8) gather per chunk is
+        the cheaper trade. Masking is in place on the gathered words.
+        """
         w = win[st].view(np.uint64).reshape(-1)
-        mask = _LEN_MASK[ln_clip]
-        return w & mask
+        np.bitwise_and(w, _LEN_MASK[ln_clip], out=w)
+        return w
 
     # identifiers are almost always ≤16 bytes: hash them as TWO masked
     # uint64 words (one (n,8)-byte gather each) instead of a per-byte
     # Horner loop — ~6× less memory traffic per token, which is what lets
     # 32 concurrent workers scale instead of saturating DRAM. The rare
-    # longer tail continues per-byte on just that subset.
+    # longer tail continues per-byte on just that subset. All full-width
+    # steps run IN PLACE on arena buffers: the naive expression form
+    # allocates ~7 chunk-sized temporaries per chunk (~56 MB/1M tokens),
+    # and that alloc/free churn is serialized across worker processes.
     chunk_n = 1 << 20
     for c0 in range(0, n, chunk_n):
         c1 = min(c0 + chunk_n, n)
         st = starts[c0:c1]
         ln = lengths[c0:c1]
-        w0 = _gather_word(st, np.minimum(ln, 8))
-        hc = (h[c0:c1] ^ w0) * _FNV_PRIME
-        hc ^= hc >> np.uint64(29)
+        n_c = c1 - c0
+        tmp = _ARENA.get("hash_tmp", n_c * 8, np.uint8).view(np.uint64)
+        hc = _gather_word(st, np.minimum(ln, 8))  # becomes h in place
+        np.bitwise_xor(hc, h[c0:c1], out=hc)
+        hc *= _FNV_PRIME
+        np.right_shift(hc, np.uint64(29), out=tmp)
+        hc ^= tmp
         over8 = ln > 8
         if over8.any():
             w1 = _gather_word(st + 8, np.minimum(np.maximum(ln - 8, 0), 8))
-            hc = np.where(over8, (hc ^ w1) * _FNV_PRIME, hc)
-        hc ^= ln.view(np.uint64) * _FNV_PRIME  # length breaks prefix aliasing
+            np.bitwise_xor(w1, hc, out=w1)
+            w1 *= _FNV_PRIME
+            np.copyto(hc, w1, where=over8)
+        np.multiply(ln.view(np.uint64), _FNV_PRIME, out=tmp)
+        hc ^= tmp  # length breaks prefix aliasing
         long_idx = np.flatnonzero(ln > 16)
         if len(long_idx):
             hl = hc[long_idx]
@@ -164,12 +226,16 @@ def hash_token_runs(buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, se
                 hl = np.where(act, hb, hl)
             hc[long_idx] = hl
         h[c0:c1] = hc
-    # splitmix64-style avalanche
-    h ^= h >> np.uint64(30)
+    # splitmix64-style avalanche, in place with one arena temp
+    tmp = _ARENA.get("hash_tmp", n * 8, np.uint8).view(np.uint64)
+    np.right_shift(h, np.uint64(30), out=tmp)
+    h ^= tmp
     h *= _MIX1
-    h ^= h >> np.uint64(27)
+    np.right_shift(h, np.uint64(27), out=tmp)
+    h ^= tmp
     h *= _MIX2
-    h ^= h >> np.uint64(31)
+    np.right_shift(h, np.uint64(31), out=tmp)
+    h ^= tmp
     return h
 
 
