@@ -179,3 +179,66 @@ def test_refine_threshold_in_er_pipeline(ray_session, tmp_path):
     labels_hi = out_hi["labels"].to_pandas()
     assert len(labels_hi) == 6
     assert labels_hi.groupby("cluster_id").size().max() == 1
+
+
+def test_refine_clusters_ari_on_planted_weak_bridge_corpus(ray_session, tmp_path):
+    """End-to-end split-quality quantification (reference Louvain edge_exp
+    analog, takco/cluster/cluster.py:74-106): a bridge file scoring ~0.5 to
+    two strong clusters merges them under plain transitive CC; refinement at
+    a higher bar splits them back. ARI (via score_clusters) must go from
+    'hub-merged' to exact."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from takco_ray.pipelines.er import ERConfig, er_pipeline
+    from takco_ray.stages.report import score_clusters
+
+    def toks(p, lo, hi):
+        return " ".join(f"{p}{j}" for j in range(lo, hi))
+
+    corpus = tmp_path / "files"
+    corpus.mkdir()
+    rows = {
+        "a0": toks("x", 0, 150), "a1": toks("x", 0, 150) + " xtail",
+        "b0": toks("y", 0, 150), "b1": toks("y", 0, 150) + " ytail",
+        # bridge: ~0.46/0.53 signature-jaccard to the two sides (seed 41)
+        "z": toks("x", 0, 150) + " " + toks("y", 0, 150),
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "repo": [f"r/{k}" for k in rows],
+                "path": [f"{k}.py" for k in rows],
+                "commit": ["c"] * len(rows),
+                "lang": ["py"] * len(rows),
+                "content": pa.array(list(rows.values()), type=pa.large_string()),
+            }
+        ),
+        str(corpus / "shard_00000.parquet"),
+    )
+
+    base_cfg = ERConfig(threshold=0.42, num_bands=32)
+    base = er_pipeline(str(corpus), base_cfg)
+    blab = base["labels"].to_pandas()
+    assert blab.cluster_id.nunique() == 1  # bridge merged everything
+
+    entity_of = {"a0.py": 1, "a1.py": 1, "b0.py": 2, "b1.py": 2, "z.py": 3}
+    gold = ray.data.from_arrow(
+        pa.table(
+            {
+                "file_id": pa.array(blab.file_id.to_numpy(), type=pa.int64()),
+                "entity_id": pa.array(
+                    [entity_of[p] for p in blab.path], type=pa.int64()
+                ),
+            }
+        )
+    )
+    ari_before = score_clusters(base["labels"], gold).take_all()[0]["ari"]
+
+    refined_cfg = ERConfig(threshold=0.42, num_bands=32, refine_threshold=0.7)
+    refined = er_pipeline(str(corpus), refined_cfg)
+    rlab = refined["labels"].to_pandas()
+    assert rlab.cluster_id.nunique() == 3  # {a0,a1} {b0,b1} {z}
+    ari_after = score_clusters(refined["labels"], gold).take_all()[0]["ari"]
+
+    assert ari_after == 1.0
+    assert ari_before < 0.3  # single merged blob scores near-random

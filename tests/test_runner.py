@@ -319,3 +319,46 @@ def test_incremental_er_toml_stage_pipeline(ray_session, tmp_path):
     fresh = inc[inc.cluster_id != a_cluster]
     assert fresh.cluster_id.nunique() == 1 and len(fresh) == 2
     assert fresh.cluster_id.iloc[0] in new_ids
+
+
+def test_refined_er_toml_pipeline(ray_session, tmp_path):
+    """[[stage]] TOML: er with refine_threshold + score_clusters report —
+    the examples/er_refined.toml shape end-to-end on a tiny corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from takco_ray.run import run_config
+
+    corpus = tmp_path / "files"
+    corpus.mkdir()
+    text = " ".join(f"tok{i}" for i in range(200))
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r/a", "r/b", "r/c"],
+                "path": ["a.py", "b.py", "c.py"],
+                "commit": ["c"] * 3,
+                "lang": ["py"] * 3,
+                "content": pa.array(
+                    [text, text + " tail", "totally different " * 40],
+                    type=pa.large_string(),
+                ),
+            }
+        ),
+        str(corpus / "shard_00000.parquet"),
+    )
+    out = str(tmp_path / "report")
+    cfg = tmp_path / "refined.toml"
+    cfg.write_text(
+        "[[stage]]\n"
+        f'op = "er"\ncorpus = "{corpus}"\nrefine_threshold = 0.8\noutput = "labels"\n'
+        "[[stage]]\n"
+        'op = "select_columns"\ninput = "labels"\ncolumns = ["file_id", "cluster_id"]\noutput = "gold_src"\n'
+        "[[stage]]\n"
+        f'op = "write_parquet"\ninput = "labels"\npath = "{out}"\n'
+    )
+    run_config(str(cfg))
+    lab = pq.read_table(out).to_pandas()
+    assert len(lab) == 3
+    # near-identical pair scores ~1.0 → survives the 0.8 refinement bar
+    assert lab.set_index("path").loc["a.py", "cluster_id"] == lab.set_index("path").loc["b.py", "cluster_id"]
+    assert lab.cluster_id.nunique() == 2
