@@ -59,6 +59,12 @@ def _ds(ctx, cfg, key="input"):
     return ctx[name]
 
 
+def _join_parts() -> int:
+    from ..util import default_join_partitions
+
+    return default_join_partitions()
+
+
 # ---- sources / sinks -----------------------------------------------------
 
 @op("read_parquet")
@@ -194,7 +200,7 @@ def _join(ctx, cfg):
     return _ds(ctx, cfg).join(
         right,
         join_type=cfg.get("join_type", "inner"),
-        num_partitions=int(cfg.get("num_partitions", 16)),
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else _join_parts(),
         on=tuple(cfg["on"]),
         right_on=tuple(cfg["right_on"]) if "right_on" in cfg else None,
     )
@@ -240,7 +246,7 @@ def _semi_join(ctx, cfg):
     return semi_join(
         _ds(ctx, cfg), _ds(ctx, cfg, "right"), on=cfg["on"],
         right_on=cfg.get("right_on"),
-        num_partitions=int(cfg.get("num_partitions", 8)),
+        num_partitions=cfg.get("num_partitions"),
     )
 
 
@@ -251,7 +257,7 @@ def _anti_join(ctx, cfg):
     return anti_join(
         _ds(ctx, cfg), _ds(ctx, cfg, "right"), on=cfg["on"],
         right_on=cfg.get("right_on"),
-        num_partitions=int(cfg.get("num_partitions", 8)),
+        num_partitions=cfg.get("num_partitions"),
     )
 
 

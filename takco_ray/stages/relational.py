@@ -30,27 +30,33 @@ import pyarrow.compute as pc
 SAMPLE_MIX = 2654435761
 
 
-def semi_join(left, right, on: str, right_on: str | None = None, num_partitions: int = 8):
+def semi_join(left, right, on: str, right_on: str | None = None, num_partitions: int | None = None):
     """Rows of ``left`` with ≥1 match in ``right`` (Ray native left_semi).
 
     Prune ``right`` to its key column before calling — only the key needs
     to shuffle. One hash exchange; output carries only left columns.
+    ``num_partitions`` defaults to the cluster CPU count — a fixed constant
+    is a straggler factory once the cluster grows.
     """
+    from ..util import default_join_partitions
+
     return left.join(
         right,
         join_type="left_semi",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or default_join_partitions(),
         on=(on,),
         right_on=(right_on or on,),
     )
 
 
-def anti_join(left, right, on: str, right_on: str | None = None, num_partitions: int = 8):
+def anti_join(left, right, on: str, right_on: str | None = None, num_partitions: int | None = None):
     """Rows of ``left`` with NO match in ``right`` (Ray native left_anti)."""
+    from ..util import default_join_partitions
+
     return left.join(
         right,
         join_type="left_anti",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or default_join_partitions(),
         on=(on,),
         right_on=(right_on or on,),
     )
