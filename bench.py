@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "decontam_docs",
     "approx_distinct_users",
+    # round-3 operators
+    "redact_pii_docs",
+    "source_neardup",
+    "event_deltas",
+    "stratified_orders",
 ]
 
 

@@ -1253,6 +1253,144 @@ def q_incremental_er_labels(sf_dir: str):
     return out["labels"]
 
 
+def q_redact_pii_docs(sf_dir: str):
+    """PII redaction (email / IPv4 / hex-secret → sentinel) with per-pattern
+    hit counts. The synthetic documents carry no PII, so each text is first
+    enriched with deterministic doc_id-derived PII in BOTH engines — the
+    redaction then has real matches to find, and the redacted text itself is
+    hash-compared (both engines run RE2, so pattern semantics agree by
+    construction)."""
+    from ..stages.redact import redact_pii
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64())
+        ids_np = np.asarray(ids.combine_chunks(), dtype=np.int64)
+        octet = pc.cast(pa.array(ids_np % 256, type=pa.int64()), pa.string())
+        idstr = pc.cast(ids, pa.string())
+        suffix = pc.binary_join_element_wise(
+            pa.array([" contact user"] * len(t), type=pa.string()),
+            idstr,
+            pa.array(["@example.com from 10.0."] * len(t), type=pa.string()),
+            octet,
+            pa.array([".7"] * len(t), type=pa.string()),
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": pc.binary_join_element_wise(t.column("text"), suffix, ""),
+            }
+        )
+
+    enriched = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    return redact_pii(enriched, text_column="text", id_column="doc_id")
+
+
+SQL_REDACT_PII = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7' AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         regexp_replace(t0, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1,
+         len(regexp_extract_all(t0, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email
+  FROM enriched
+), s2 AS (
+  SELECT doc_id, regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2,
+         n_email,
+         len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '\b[0-9a-fA-F]{32,}\b', '<HEX>', 'g') AS text_redacted,
+       n_email, n_ipv4,
+       len(regexp_extract_all(t2, '\b[0-9a-fA-F]{32,}\b')) AS n_hexkey
+FROM s2
+"""
+
+
+def q_source_neardup(sf_dir: str):
+    """Repo-level (source-level) near-dup: exact shingle-set Jaccard between
+    sources — The Stack's repository-dedup signal as a first-class operator.
+    Integer-only output (common/size counts + integer-cross-multiplied
+    threshold), so the hash comparison is exact."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    return dedup_stages.group_set_jaccard(
+        ds, group_column="source", text_column="text",
+        shingle_k=3, threshold_millis=20,
+    )
+
+
+SQL_SOURCE_NEARDUP = r"""
+WITH tok AS (
+  SELECT source, regexp_extract_all(lower(text), '\w+') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, len(ts) - 1),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+  FROM tok
+), sz AS (
+  SELECT source, count(*) AS n FROM sh GROUP BY source
+), common AS (
+  SELECT a.source AS group_a, b.source AS group_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT group_a, group_b, n_common, sa.n AS n_a, sb.n AS n_b
+FROM common
+JOIN sz sa ON common.group_a = sa.source
+JOIN sz sb ON common.group_b = sb.source
+WHERE n_common * 1000 >= 20 * (sa.n + sb.n - n_common)
+"""
+
+
+def q_event_deltas(sf_dir: str):
+    """Per-user inter-event gaps — SQL LAG window as one hash shuffle +
+    vectorized per-partition diff (SURVEY §2.9 temporal tier)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return temporal_stages.lag_deltas(
+        ev, key_column="user_id", ts_column="ts", id_column="event_id"
+    )
+
+
+SQL_EVENT_DELTAS = """
+SELECT event_id, delta_us FROM (
+  SELECT event_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS delta_us
+  FROM events
+) WHERE delta_us IS NOT NULL
+"""
+
+
+def q_stratified_orders(sf_dir: str):
+    """Deterministic stratified sample: 20 orders per priority class by the
+    mixed-hash rank — cross-engine-reproducible downsampling (the per-group
+    analog of ``doc_sample``)."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    out = relational.stratified_sample(ds, "o_orderpriority", "o_orderkey", n=20)
+    return out.select_columns(["o_orderkey", "o_orderpriority", "rank"])
+
+
+SQL_STRATIFIED_ORDERS = """
+SELECT o_orderkey, o_orderpriority, rank FROM (
+  SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY (o_orderkey * 2654435761) % 4294967296 ASC, o_orderkey ASC
+         ) AS rank
+  FROM orders
+) WHERE rank <= 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1295,6 +1433,11 @@ def build_queries() -> dict:
         # SQL-oracled (moved up from rows-only in round 2)
         "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "language_id_docs": q_language_id_docs,
+        # round-3 additions (all SQL-oracled)
+        "redact_pii_docs": q_redact_pii_docs,
+        "source_neardup": q_source_neardup,
+        "event_deltas": q_event_deltas,
+        "stratified_orders": q_stratified_orders,
         "doc_quality": q_doc_quality,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_topk": q_embedding_topk,
@@ -1354,4 +1497,8 @@ def build_oracle_sql() -> dict:
         "asof_orders": SQL_ASOF_ORDERS,
         "events_rolling": SQL_EVENTS_ROLLING,
         "event_pairs_range": SQL_EVENT_PAIRS_RANGE,
+        "redact_pii_docs": SQL_REDACT_PII,
+        "source_neardup": SQL_SOURCE_NEARDUP,
+        "event_deltas": SQL_EVENT_DELTAS,
+        "stratified_orders": SQL_STRATIFIED_ORDERS,
     }

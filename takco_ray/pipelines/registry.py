@@ -434,6 +434,52 @@ def _rolling_window_count(ctx, cfg):
     )
 
 
+@op("lag_deltas")
+def _lag_deltas(ctx, cfg):
+    from ..stages.temporal import lag_deltas
+
+    return lag_deltas(
+        _ds(ctx, cfg), cfg["key_column"], cfg["ts_column"], cfg["id_column"],
+        delta_column=cfg.get("delta_column", "delta_us"),
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
+@op("stratified_sample")
+def _stratified_sample(ctx, cfg):
+    from ..stages.relational import stratified_sample
+
+    return stratified_sample(
+        _ds(ctx, cfg), cfg["group_col"], cfg["id_col"], n=int(cfg.get("n", 10))
+    )
+
+
+@op("redact_pii")
+def _redact_pii(ctx, cfg):
+    from ..stages.redact import DEFAULT_PATTERNS, redact_pii
+
+    pats = None
+    if "patterns" in cfg:
+        pats = [tuple(p) for p in cfg["patterns"]]  # [[name, re2, repl], ...]
+    return redact_pii(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"), patterns=pats or DEFAULT_PATTERNS,
+        out_column=cfg.get("out_column", "text_redacted"),
+    )
+
+
+@op("group_set_jaccard")
+def _group_set_jaccard(ctx, cfg):
+    from ..stages.dedup import group_set_jaccard
+
+    return group_set_jaccard(
+        _ds(ctx, cfg), cfg["group_column"], cfg.get("text_column", "text"),
+        shingle_k=int(cfg.get("shingle_k", 3)),
+        threshold_millis=int(cfg.get("threshold_millis", 300)),
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
 # ---- composite pipelines -------------------------------------------------
 
 @op("er")

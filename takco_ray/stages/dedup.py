@@ -662,6 +662,173 @@ def embedding_neardup(
     return attach_singletons(labels, ids_only)
 
 
+def group_set_jaccard(
+    ds,
+    group_column: str,
+    text_column: str,
+    shingle_k: int = 3,
+    threshold_millis: int = 300,
+    seed: int = 41,
+    num_partitions: int | None = None,
+):
+    """EXACT shingle-set Jaccard between GROUPS (repo-level near-dup).
+
+    The Stack-style source/repository dedup signal: each group (repo,
+    source, site) is the set of distinct token ``shingle_k``-grams across
+    all its documents; emit ``(group_a, group_b, n_common, n_a, n_b)`` for
+    every pair whose Jaccard ``n_common / (n_a + n_b - n_common)`` is
+    ``>= threshold_millis / 1000``. Integer-only output and an integer
+    cross-multiplied threshold test keep the result bit-exact across
+    engines (SQL-oracle-able; no float column).
+
+    Shape: per-batch distinct (group, shingle) combiner → one grouped pass
+    on shingle (global distinct + per-shingle group pairs, canonical
+    ``group_a < group_b`` by string order) → one grouped pass on pair key
+    (common counts) → broadcast size lookup. Same exactness/cost contract
+    as :func:`ngram_jaccard_exact`: a shingle shared by k groups emits
+    O(k²) pair rows, so this is the *audit* operator — at web scale run
+    MinHash over the per-group shingle sets (``minhash_dedup`` with group
+    as the id) and reserve this for candidate verification. Group
+    cardinality is assumed driver-bounded (sizes ride a broadcast dict;
+    swap for a hash join past ~1e7 groups).
+    """
+    import ray as _ray
+
+    from ..functions.shingle import distinct_doc_shingles
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        sh, par, _n = distinct_doc_shingles(batch.column(text_column), shingle_k, seed)
+        grp = batch.column(group_column).combine_chunks()
+        enc = pc.dictionary_encode(grp)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        # batch-local distinct (group, shingle): map-side combiner so the
+        # shuffle carries each (group, shingle) once per batch at most
+        g = codes[par]
+        order = np.lexsort((sh, g))
+        g, sh = g[order], sh[order]
+        if len(sh):
+            first = np.concatenate([[True], (g[1:] != g[:-1]) | (sh[1:] != sh[:-1])])
+            g, sh = g[first], sh[first]
+        return pa.table(
+            {
+                "grp": enc.dictionary.take(pa.array(g, type=pa.int64())),
+                "shingle": pa.array(sh.view(np.int64), type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+    parts = num_partitions or _parts()
+
+    def distinct_in_partition(part: pa.Table) -> pa.Table:
+        # equal shingles colocate here, so in-partition distinct is GLOBAL
+        sh = np.asarray(part.column("shingle").combine_chunks(), dtype=np.int64)
+        grp = part.column("grp").combine_chunks()
+        enc = pc.dictionary_encode(grp)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vals = enc.dictionary.to_numpy(zero_copy_only=False)
+        rank = np.empty(len(vals), dtype=np.int64)
+        rank[np.argsort(vals, kind="stable")] = np.arange(len(vals))
+        r = rank[codes]
+        order = np.lexsort((r, sh))
+        sh_s, r_s = sh[order], r[order]
+        first = (
+            np.concatenate([[True], (sh_s[1:] != sh_s[:-1]) | (r_s[1:] != r_s[:-1])])
+            if len(sh_s)
+            else np.zeros(0, dtype=bool)
+        )
+        idx = np.asarray(order)[first]
+        return part.take(pa.array(idx, type=pa.int64()))
+
+    gs = partitioned_group_map(rows, "shingle", distinct_in_partition, parts).materialize()
+
+    # per-group distinct-shingle counts — small side (one row per group)
+    sizes_tab = pa.Table.from_pylist(
+        gs.groupby("grp").count().take_all()
+    )
+    size_keys = sizes_tab.column("grp").combine_chunks()
+    size_vals = sizes_tab.column("count()").combine_chunks()
+    sizes_ref = _ray.put((size_keys, size_vals))
+
+    def pair_rows(part: pa.Table) -> pa.Table:
+        # rows arrive sorted by shingle; members of a shingle segment are
+        # ordered by group STRING rank so emitted pairs are canonical a < b
+        sh = np.asarray(part.column("shingle").combine_chunks(), dtype=np.int64)
+        grp = part.column("grp").combine_chunks()
+        enc = pc.dictionary_encode(grp)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vals = enc.dictionary.to_numpy(zero_copy_only=False)
+        rank = np.empty(len(vals), dtype=np.int64)
+        rank[np.argsort(vals, kind="stable")] = np.arange(len(vals))
+        r = rank[codes]
+        order = np.lexsort((r, sh))
+        sh_s, idx = sh[order], np.asarray(order)
+        starts = segment_boundaries(sh_s)
+        cnts = np.diff(np.append(starts, len(sh_s)))
+        ii, jj = segment_pairs(starts, cnts, max_block_size=None)
+        if len(ii) == 0:
+            return pa.table(
+                {
+                    "group_a": pa.array([], type=pa.string()),
+                    "group_b": pa.array([], type=pa.string()),
+                    "pair_key": pa.array([], type=pa.int64()),
+                }
+            )
+        ga = grp.take(pa.array(idx[ii], type=pa.int64()))
+        gb = grp.take(pa.array(idx[jj], type=pa.int64()))
+        # pair key from per-UNIQUE-group hashes (one Python-loop hash per
+        # distinct group in the partition, numeric combine per pair row)
+        hv = hash64_strings(vals)
+        pk = (hv[codes[idx[ii]]] * _PAIR_MIX + hv[codes[idx[jj]]]).view(np.int64)
+        return pa.table(
+            {
+                "group_a": ga,
+                "group_b": gb,
+                "pair_key": pa.array(pk, type=pa.int64()),
+            }
+        )
+
+    pairs = partitioned_group_map(gs, "shingle", pair_rows, parts)
+
+    def count_filter(part: pa.Table) -> pa.Table:
+        pk = np.asarray(part.column("pair_key").combine_chunks(), dtype=np.int64)
+        ga = part.column("group_a").combine_chunks()
+        gb = part.column("group_b").combine_chunks()
+        # count identical (a, b) rows: pair_key collisions are broken by the
+        # strings themselves via a secondary encode
+        ca = np.asarray(pc.dictionary_encode(ga).indices, dtype=np.int64)
+        cb = np.asarray(pc.dictionary_encode(gb).indices, dtype=np.int64)
+        order = np.lexsort((cb, ca, pk))
+        pk_s, ca_s, cb_s = pk[order], ca[order], cb[order]
+        first = (
+            np.concatenate(
+                [[True], (pk_s[1:] != pk_s[:-1]) | (ca_s[1:] != ca_s[:-1]) | (cb_s[1:] != cb_s[:-1])]
+            )
+            if len(pk_s)
+            else np.zeros(0, dtype=bool)
+        )
+        starts = np.flatnonzero(first)
+        c = np.diff(np.append(starts, len(pk_s)))
+        idx = np.asarray(order)[starts]
+        ga_u = ga.take(pa.array(idx, type=pa.int64()))
+        gb_u = gb.take(pa.array(idx, type=pa.int64()))
+        keys, vals = sizes_ref if not isinstance(sizes_ref, _ray.ObjectRef) else _ray.get(sizes_ref)
+        na = np.asarray(vals.take(pc.index_in(ga_u, value_set=keys)), dtype=np.int64)
+        nb = np.asarray(vals.take(pc.index_in(gb_u, value_set=keys)), dtype=np.int64)
+        keep = c * 1000 >= threshold_millis * (na + nb - c)
+        sel = pa.array(np.flatnonzero(keep), type=pa.int64())
+        return pa.table(
+            {
+                "group_a": ga_u.take(sel),
+                "group_b": gb_u.take(sel),
+                "n_common": pa.array(c[keep], type=pa.int64()),
+                "n_a": pa.array(na[keep], type=pa.int64()),
+                "n_b": pa.array(nb[keep], type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(pairs, "pair_key", count_filter, parts)
+
+
 def cluster_size_report(labels, label_column: str = "cluster_id", top_k: int = 20):
     """Cluster-size distribution + largest clusters (SURVEY §2.5 A9 analog;
     the reference re-chunks clusters over ``max_cluster_size``,

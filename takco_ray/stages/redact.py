@@ -1,0 +1,60 @@
+"""PII redaction — vectorized RE2 replace chains over a text column.
+
+A training-data engine has to strip personal identifiers (emails, IPs,
+credential-shaped hex blobs) before anything downstream sees the corpus.
+The reference has no redaction stage (its tables are already public
+Wikipedia dumps); this is part of the beyond-reference LLM-pipeline tier,
+same family as `stages.decontam`.
+
+Everything is a pure stateless Arrow projection: `pc.replace_substring_regex`
+and `pc.count_substring_regex` run Arrow's RE2 engine directly on the column
+buffers — no Python row loop, no actor state, nothing shuffles. At 100 TB
+this stage is embarrassingly parallel and IO-bound by construction.
+
+Patterns are applied SEQUENTIALLY and each pattern's count is taken on the
+text as of its own step (so a hit consumed by an earlier rewrite is not
+double-counted) — the same semantics as a chain of SQL
+``regexp_replace(..., 'g')`` CTEs, which is what the DuckDB oracle runs
+(both engines execute RE2, so pattern behavior is identical by
+construction).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2-safe (no backrefs / lookarounds), identical meaning in DuckDB's RE2.
+# Order matters: emails are rewritten before IPs/hex so an address whose
+# local part is hex-shaped is counted once, as an email.
+DEFAULT_PATTERNS: list = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("hexkey", r"\b[0-9a-fA-F]{32,}\b", "<HEX>"),
+]
+
+
+def redact_pii(ds, text_column: str, id_column: str, patterns=None,
+               out_column: str = "text_redacted"):
+    """(id, ``out_column``, n_<name> per pattern) — redacted text + per-
+    pattern hit counts.
+
+    ``patterns``: list of ``(name, re2_pattern, replacement)`` applied in
+    order; defaults to email / IPv4 / long-hex-secret.
+    """
+    pats = patterns or DEFAULT_PATTERNS
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_column)
+        cols = {id_column: batch.column(id_column).cast(pa.int64())}
+        counts = {}
+        for name, pat, repl in pats:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()
+            )
+            text = pc.replace_substring_regex(text, pat, repl)
+        cols[out_column] = text
+        cols.update(counts)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

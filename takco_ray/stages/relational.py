@@ -327,3 +327,36 @@ def hash_sample(ds, id_col: str, modulus: int = 1000, keep: int = 100):
         return t.filter(pa.array(mask))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(ds, group_col: str, id_col: str, n: int):
+    """Exactly ``min(n, group_size)`` rows per group, deterministic across
+    runs, engines and cluster sizes: rows ranked ascending by the mixed id
+    hash ``(id · SAMPLE_MIX) mod 2³²`` (ties by id), keep rank ≤ n.
+
+    The per-group analog of :func:`hash_sample` — a stratified downsample
+    whose membership a SQL engine reproduces exactly
+    (``row_number() OVER (PARTITION BY g ORDER BY (id*2654435761)%4294967296,
+    id)``). Built on :func:`top_n_per_group`, so each batch pre-trims to its
+    own top-n before the shuffle. Same id-range contract as ``hash_sample``
+    (enforced there, re-checked here): ids must stay below 2⁶³/SAMPLE_MIX.
+    """
+    id_limit = (2**63) // SAMPLE_MIX
+
+    def add_hk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).combine_chunks(), dtype=np.int64)
+        if len(ids) and (ids.max() >= id_limit or ids.min() < 0):
+            raise ValueError(
+                f"stratified_sample ids must be in [0, {id_limit}) for exact "
+                "int64 math matching the SQL oracle"
+            )
+        hk = (ids * SAMPLE_MIX) % (2**32)
+        return t.append_column("__hk", pa.array(hk, type=pa.int64()))
+
+    with_hk = ds.map_batches(add_hk, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_n_per_group(
+        with_hk, group_col, "__hk", n, tiebreak_col=id_col, descending=False
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -412,3 +412,47 @@ def grouped_running_sum(
     return partitioned_group_map(
         ds, key_column, per_partition, num_partitions or _parts()
     )
+
+
+def lag_deltas(
+    ds,
+    key_column: str,
+    ts_column: str,
+    id_column: str,
+    delta_column: str = "delta_us",
+    num_partitions: int | None = None,
+):
+    """Per-key inter-event gaps (SQL ``ts - LAG(ts) OVER (PARTITION BY key
+    ORDER BY ts, id)``): one row per event that HAS a predecessor in its
+    key, carrying the gap in int64 microseconds. The first event per key is
+    omitted — exactly the rows where SQL's LAG is NULL — so the output has
+    no null column and stays hash-comparable across engines.
+
+    Same one-shuffle shape as :func:`sessionize`; the per-partition body is
+    a lexsort plus one vectorized diff."""
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], type=pa.int64()),
+                    delta_column: pa.array([], type=pa.int64()),
+                }
+            )
+        k = _i64(t.column(key_column))
+        ts = _i64(t.column(ts_column))
+        ids = _i64(t.column(id_column))
+        order = np.lexsort((ids, ts, k))
+        k, ts, ids = k[order], ts[order], ids[order]
+        same = k[1:] == k[:-1]
+        delta = ts[1:] - ts[:-1]
+        return pa.table(
+            {
+                id_column: pa.array(ids[1:][same], type=pa.int64()),
+                delta_column: pa.array(delta[same], type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(
+        ds, key_column, per_partition, num_partitions or _parts()
+    )

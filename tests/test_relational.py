@@ -105,3 +105,36 @@ def test_hash_sample_rejects_overflowing_ids(ray_session):
     big = _ds({"id": np.array([2**62], dtype=np.int64)})
     with _pytest.raises(Exception):
         relational.hash_sample(big, "id").to_pandas()
+
+
+def test_stratified_sample_matches_rank_oracle(ray_session):
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    groups = [f"p{i}" for i in rng.integers(0, 4, n)]
+    ids = rng.permutation(np.arange(10_000, dtype=np.int64))[:n]
+    ds = _ds({"g": groups, "id": ids, "payload": ids * 3})
+    out = (
+        relational.stratified_sample(ds, "g", "id", n=15)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    # oracle: rank ascending by (id * SAMPLE_MIX) % 2^32, ties by id
+    df = pd.DataFrame({"g": groups, "id": ids})
+    df["hk"] = (df.id * relational.SAMPLE_MIX) % (2**32)
+    df = df.sort_values(["g", "hk", "id"])
+    df["rank"] = df.groupby("g").cumcount() + 1
+    exp = df[df["rank"] <= 15].sort_values(["g", "rank"]).reset_index(drop=True)
+    assert out[["g", "id", "rank"]].values.tolist() == exp[
+        ["g", "id", "rank"]
+    ].values.tolist()
+    # payload columns ride along
+    assert (out.payload == out.id * 3).all()
+
+
+def test_stratified_sample_rejects_overflowing_ids(ray_session):
+    big = _ds({"g": ["a"], "id": np.array([2**62], dtype=np.int64)})
+    with pytest.raises(Exception):
+        relational.stratified_sample(big, "g", "id", n=1).to_pandas()

@@ -611,3 +611,88 @@ def test_range_join_matches_bruteforce(ray_session):
     )
     assert got == want and len(want) >= 40
     assert (int(lid[0]), int(rid[0])) in got  # exact 'before' boundary included
+
+
+def test_lag_deltas_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.temporal import lag_deltas
+
+    rs = np.random.RandomState(13)
+    n, n_keys = 500, 9
+    keys = rs.randint(0, n_keys, n).astype(np.int64)
+    ts = rs.randint(0, 5_000, n).astype(np.int64)
+    ts[50] = ts[51]  # equal-ts tie inside one key → id breaks the order
+    keys[50] = keys[51]
+    ids = rs.permutation(n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"event_id": ids, "ts": ts, "user_id": keys})
+    )
+    got = {
+        r["event_id"]: r["delta_us"]
+        for r in lag_deltas(
+            ds, "user_id", "ts", "event_id", num_partitions=4
+        ).take_all()
+    }
+    df = pd.DataFrame({"event_id": ids, "ts": ts, "user_id": keys})
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["delta"] = df.groupby("user_id").ts.diff()
+    exp = df[df.delta.notna()]
+    assert got == dict(zip(exp.event_id, exp.delta.astype(np.int64)))
+
+
+def test_group_set_jaccard_matches_bruteforce(ray_session):
+    """Repo-level exact shingle Jaccard vs a Python set oracle, including
+    near-identical groups (above threshold), partial overlap (below), and a
+    disjoint group (no pair row)."""
+    import itertools
+    import re
+
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.dedup import group_set_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        ("repoA", base),
+        ("repoA", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("repoB", base + " extra trailing words"),   # ~near-dup of repoA
+        ("repoB", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("repoC", "completely different content with nothing shared at all"),
+        ("repoD", "the quick brown fox sat still"),  # small overlap with A/B
+    ]
+    k, thr = 3, 200
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([d[0] for d in docs]),
+                "text": pa.array([d[1] for d in docs]),
+            }
+        )
+    )
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in group_set_jaccard(
+            ds, "source", "text", shingle_k=k, threshold_millis=thr,
+            num_partitions=3,
+        ).take_all()
+    }
+
+    # oracle: distinct word-k-gram sets per group, exact Jaccard
+    sets: dict = {}
+    for g, t in docs:
+        ws = re.findall(r"\w+", t.lower())
+        sets.setdefault(g, set()).update(
+            " ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)
+        )
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        c = len(sets[a] & sets[b])
+        na, nb = len(sets[a]), len(sets[b])
+        if c * 1000 >= thr * (na + nb - c):
+            want[(a, b)] = (c, na, nb)
+    assert got == want
+    assert ("repoA", "repoB") in got          # planted near-dup found
+    assert all("repoC" not in p for p in got)  # disjoint group emits nothing

@@ -223,3 +223,38 @@ def test_tfidf_top_terms_small_oracle(ray_session):
             rows.append((i, tok, f, dfc[tok], r))
     got = list(map(tuple, out[["id", "token", "tf", "df", "rank"]].values))
     assert got == rows
+
+
+def test_redact_pii_counts_and_order(ray_session):
+    """Redaction chain: emails rewritten FIRST so hex-shaped local parts
+    count once (as email, not hexkey); per-pattern counts taken on the text
+    as of each step."""
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.redact import redact_pii
+
+    hex32 = "a" * 32
+    docs = [
+        (1, "reach me at bob@example.com or alice@mail.org from 10.0.0.1"),
+        (2, f"token {hex32} leaked; admin ip 192.168.1.200 and 8.8.8.8"),
+        (3, f"{hex32}@example.com is an email whose local part is hex"),
+        (4, "nothing sensitive here"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in redact_pii(ds, "text", "doc_id").take_all()}
+    assert out[1]["n_email"] == 2 and out[1]["n_ipv4"] == 1 and out[1]["n_hexkey"] == 0
+    assert out[1]["text_redacted"] == "reach me at <EMAIL> or <EMAIL> from <IP>"
+    assert out[2]["n_email"] == 0 and out[2]["n_ipv4"] == 2 and out[2]["n_hexkey"] == 1
+    assert "<HEX>" in out[2]["text_redacted"] and "<IP>" in out[2]["text_redacted"]
+    # the hex-looking local part is consumed by the email rewrite
+    assert out[3]["n_email"] == 1 and out[3]["n_hexkey"] == 0
+    assert out[3]["text_redacted"].startswith("<EMAIL> is an email")
+    assert out[4]["text_redacted"] == docs[3][1]
+    assert out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_hexkey"] == 0
