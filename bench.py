@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "source_neardup",
     "event_deltas",
     "stratified_orders",
+    "pack_docs",
+    "source_neardup_minhash",
 ]
 
 

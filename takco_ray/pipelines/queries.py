@@ -1391,6 +1391,47 @@ SELECT o_orderkey, o_orderpriority, rank FROM (
 """
 
 
+def q_pack_docs(sf_dir: str):
+    """Sequence packing: documents (ordered by doc_id) concatenated into
+    512-token training sequences — the plan rows (doc_id, seq_id, global
+    token interval). Distributed prefix scan; SQL window-cumsum oracle."""
+    from ..stages.pack import pack_sequences
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, "doc_id", "text", seq_len=512)
+
+
+SQL_PACK_DOCS = r"""
+WITH tc AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n FROM documents
+), cum AS (
+  SELECT doc_id, n,
+         CAST(coalesce(sum(n) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS prev
+  FROM tc WHERE n > 0
+), spans AS (
+  SELECT doc_id, n, prev,
+         unnest(range(prev // 512, (prev + n - 1) // 512 + 1)) AS seq_id
+  FROM cum
+)
+SELECT doc_id, seq_id,
+       greatest(prev, seq_id * 512) AS tok_begin,
+       least(prev + n, (seq_id + 1) * 512) AS tok_end
+FROM spans
+"""
+
+
+def q_source_neardup_minhash(sf_dir: str):
+    """Repo-level near-dup, MinHash scale rung (rows-only: the estimate is
+    LSH-probabilistic; pytest pins it against the exact rung)."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    return dedup_stages.group_minhash_neardup(
+        ds, group_column="source", text_column="text",
+        shingle_k=3, threshold_millis=20, num_perm=128, num_bands=64,
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1438,6 +1479,9 @@ def build_queries() -> dict:
         "source_neardup": q_source_neardup,
         "event_deltas": q_event_deltas,
         "stratified_orders": q_stratified_orders,
+        "pack_docs": q_pack_docs,
+        # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
+        "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_topk": q_embedding_topk,
@@ -1501,4 +1545,5 @@ def build_oracle_sql() -> dict:
         "source_neardup": SQL_SOURCE_NEARDUP,
         "event_deltas": SQL_EVENT_DELTAS,
         "stratified_orders": SQL_STRATIFIED_ORDERS,
+        "pack_docs": SQL_PACK_DOCS,
     }

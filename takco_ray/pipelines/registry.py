@@ -480,6 +480,31 @@ def _group_set_jaccard(ctx, cfg):
     )
 
 
+@op("group_minhash_neardup")
+def _group_minhash_neardup(ctx, cfg):
+    from ..stages.dedup import group_minhash_neardup
+
+    return group_minhash_neardup(
+        _ds(ctx, cfg), cfg["group_column"], cfg.get("text_column", "text"),
+        shingle_k=int(cfg.get("shingle_k", 3)),
+        threshold_millis=int(cfg.get("threshold_millis", 200)),
+        num_perm=int(cfg.get("num_perm", 128)),
+        num_bands=int(cfg.get("num_bands", 32)),
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
+@op("pack_sequences")
+def _pack_sequences(ctx, cfg):
+    from ..stages.pack import pack_sequences
+
+    return pack_sequences(
+        _ds(ctx, cfg), cfg.get("id_column", "doc_id"),
+        cfg.get("text_column", "text"), seq_len=int(cfg.get("seq_len", 512)),
+        num_buckets=int(cfg["num_buckets"]) if "num_buckets" in cfg else None,
+    )
+
+
 # ---- composite pipelines -------------------------------------------------
 
 @op("er")

@@ -83,7 +83,7 @@ class _TextSignature:
         self.id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = self.mh.signatures(batch.column(self.text_column).to_pylist())
+        sigs = self.mh.signatures_arrow(batch.column(self.text_column))
         bands = band_keys(sigs, self.num_bands, seed=self.seed).view(np.int64)
         band_col = pa.FixedSizeListArray.from_arrays(
             pa.array(bands.reshape(-1), type=pa.int64()), bands.shape[1]
@@ -827,6 +827,195 @@ def group_set_jaccard(
         )
 
     return partitioned_group_map(pairs, "pair_key", count_filter, parts)
+
+
+class _GroupSignaturePartial:
+    """Actor-pool batch stage for :func:`group_minhash_neardup`: per-batch
+    doc signatures → per-group elementwise-min partial. MinHash of a set
+    union is the elementwise min of the member signatures, so group partials
+    combine associatively — the shuffle carries one ``num_perm``-wide row
+    per (group, batch), never per doc."""
+
+    def __init__(self, group_column, text_column, num_perm, shingle_k, seed):
+        self.mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k, seed=seed)
+        self.group_column = group_column
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = self.mh.signatures_arrow(batch.column(self.text_column))
+        grp = batch.column(self.group_column).combine_chunks()
+        enc = pc.dictionary_encode(grp)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        order = np.argsort(codes, kind="stable")
+        starts = segment_boundaries(codes[order])
+        gmin = np.minimum.reduceat(sigs[order], starts, axis=0)
+        g_vals = enc.dictionary.take(pa.array(codes[order][starts], type=pa.int64()))
+        gh = hash64_strings(g_vals.to_numpy(zero_copy_only=False))
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(gmin.reshape(-1), type=pa.uint32()), gmin.shape[1]
+        )
+        return pa.table(
+            {
+                "gh": pa.array(gh.view(np.int64), type=pa.int64()),
+                "grp": g_vals,
+                "sig": sig_col,
+            }
+        )
+
+
+def group_minhash_neardup(
+    ds,
+    group_column: str,
+    text_column: str,
+    shingle_k: int = 3,
+    threshold_millis: int = 200,
+    num_perm: int = 128,
+    num_bands: int = 32,
+    seed: int = 41,
+    num_partitions: int | None = None,
+    max_block_size: int = 512,
+):
+    """(group_a, group_b, n_match, est_jaccard_millis) — the SCALE rung of
+    repo-level near-dup (:func:`group_set_jaccard` is the exact audit rung).
+
+    Estimates shingle-set Jaccard between groups from group-level MinHash
+    signatures: because ``minhash(A ∪ B) = elementwise_min(minhash(A),
+    minhash(B))``, a group's signature over the union of its documents'
+    shingle sets is computed with NO shingle shuffle at all — per-batch
+    group-min partials (one ``4·num_perm``-byte row per group per batch)
+    reduce to one row per group, then LSH-band like any signature table.
+    Cost is linear in corpus bytes + near-linear in groups; contrast the
+    exact operator's per-common-shingle pair rows. Short docs (< k tokens)
+    contribute a reduced-k shingle here but nothing to the exact operator —
+    at web scale that divergence is noise; pin corpora with ≥k-token docs
+    when comparing the two.
+
+    Pairs are emitted for band-colliding groups whose positional signature
+    agreement ``n_match/num_perm`` clears ``threshold_millis/1000``
+    (integer cross-multiplied; ``est_jaccard_millis`` is the floored
+    integer estimate). Oversized bands cap at ``max_block_size`` via O(m)
+    ring pairs, the same skew policy as the flagship.
+    """
+    parts = num_partitions or _parts()
+    partials = ds.map_batches(
+        _GroupSignaturePartial,
+        fn_constructor_kwargs=dict(
+            group_column=group_column,
+            text_column=text_column,
+            num_perm=num_perm,
+            shingle_k=shingle_k,
+            seed=seed,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=default_concurrency(),
+    )
+
+    def _sig_matrix(part: pa.Table) -> np.ndarray:
+        flat = part.column("sig").combine_chunks().flatten()
+        return np.asarray(flat, dtype=np.uint32).reshape(len(part), num_perm)
+
+    def final_min_and_bands(part: pa.Table) -> pa.Table:
+        # all partials of a group colocate here (keyed by gh); reduce by the
+        # STRING itself so a 64-bit gh collision cannot merge two groups
+        grp = part.column("grp").combine_chunks()
+        enc = pc.dictionary_encode(grp)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        sigs = _sig_matrix(part)
+        order = np.argsort(codes, kind="stable")
+        starts = segment_boundaries(codes[order])
+        gmin = np.minimum.reduceat(sigs[order], starts, axis=0)
+        g_vals = enc.dictionary.take(pa.array(codes[order][starts], type=pa.int64()))
+        bands = band_keys(gmin, num_bands, seed=seed).view(np.int64)
+        n_g = len(starts)
+        idx = pa.array(np.tile(np.arange(n_g, dtype=np.int64), num_bands), type=pa.int64())
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(gmin.reshape(-1), type=pa.uint32()), num_perm
+        )
+        return pa.table(
+            {
+                "band": pa.array(bands.T.reshape(-1), type=pa.int64()),
+                "grp": g_vals.take(idx),
+                "sig": sig_col.take(idx),
+            }
+        )
+
+    band_rows = partitioned_group_map(partials, "gh", final_min_and_bands, parts)
+
+    def band_pairs(part: pa.Table) -> pa.Table:
+        band = np.asarray(part.column("band").combine_chunks(), dtype=np.int64)
+        grp = part.column("grp").combine_chunks()
+        enc = pc.dictionary_encode(grp)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vals = enc.dictionary.to_numpy(zero_copy_only=False)
+        rank = np.empty(len(vals), dtype=np.int64)
+        rank[np.argsort(vals, kind="stable")] = np.arange(len(vals))
+        order = np.lexsort((rank[codes], band))
+        idx = np.asarray(order)
+        starts = segment_boundaries(band[idx])
+        cnts = np.diff(np.append(starts, len(idx)))
+        ii, jj = segment_pairs(starts, cnts, max_block_size=max_block_size)
+        empty = pa.table(
+            {
+                "group_a": pa.array([], type=pa.string()),
+                "group_b": pa.array([], type=pa.string()),
+                "n_match": pa.array([], type=pa.int64()),
+                "pair_key": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(ii) == 0:
+            return empty
+        sigs = _sig_matrix(part)
+        a_i, b_i = idx[ii], idx[jj]
+        matches = (sigs[a_i] == sigs[b_i]).sum(axis=1).astype(np.int64)
+        keep = matches * 1000 >= threshold_millis * num_perm
+        if not keep.any():
+            return empty
+        a_i, b_i, matches = a_i[keep], b_i[keep], matches[keep]
+        hv = hash64_strings(vals)
+        pk = (hv[codes[a_i]] * _PAIR_MIX + hv[codes[b_i]]).view(np.int64)
+        sel_a = pa.array(a_i, type=pa.int64())
+        sel_b = pa.array(b_i, type=pa.int64())
+        return pa.table(
+            {
+                "group_a": grp.take(sel_a),
+                "group_b": grp.take(sel_b),
+                "n_match": pa.array(matches, type=pa.int64()),
+                "pair_key": pa.array(pk, type=pa.int64()),
+            }
+        )
+
+    pairs = partitioned_group_map(band_rows, "band", band_pairs, parts)
+
+    def dedup_first(part: pa.Table) -> pa.Table:
+        pk = np.asarray(part.column("pair_key").combine_chunks(), dtype=np.int64)
+        ga = part.column("group_a").combine_chunks()
+        gb = part.column("group_b").combine_chunks()
+        nm = np.asarray(part.column("n_match").combine_chunks(), dtype=np.int64)
+        ca = np.asarray(pc.dictionary_encode(ga).indices, dtype=np.int64)
+        cb = np.asarray(pc.dictionary_encode(gb).indices, dtype=np.int64)
+        order = np.lexsort((cb, ca, pk))
+        pk_s, ca_s, cb_s = pk[order], ca[order], cb[order]
+        first = (
+            np.concatenate(
+                [[True], (pk_s[1:] != pk_s[:-1]) | (ca_s[1:] != ca_s[:-1]) | (cb_s[1:] != cb_s[:-1])]
+            )
+            if len(pk_s)
+            else np.zeros(0, dtype=bool)
+        )
+        idx = np.asarray(order)[first]
+        sel = pa.array(idx, type=pa.int64())
+        est = nm[idx] * 1000 // num_perm
+        return pa.table(
+            {
+                "group_a": ga.take(sel),
+                "group_b": gb.take(sel),
+                "n_match": pa.array(nm[idx], type=pa.int64()),
+                "est_jaccard_millis": pa.array(est, type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(pairs, "pair_key", dedup_first, parts)
 
 
 def cluster_size_report(labels, label_column: str = "cluster_id", top_k: int = 20):

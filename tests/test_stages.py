@@ -696,3 +696,62 @@ def test_group_set_jaccard_matches_bruteforce(ray_session):
     assert got == want
     assert ("repoA", "repoB") in got          # planted near-dup found
     assert all("repoC" not in p for p in got)  # disjoint group emits nothing
+
+
+def test_group_minhash_tracks_exact_group_jaccard(ray_session):
+    """The MinHash scale rung vs the exact audit rung on planted repo
+    near-dups: the high-similarity pair is found with an estimate within
+    estimator noise of the exact Jaccard; unrelated groups emit nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.dedup import group_minhash_neardup, group_set_jaccard
+
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i}" for i in range(300)]
+
+    def doc(n, seed_words=None):
+        ws = list(seed_words) if seed_words else []
+        ws += [vocab[i] for i in rng.integers(0, len(vocab), n)]
+        return " ".join(ws)
+
+    shared = [vocab[i] for i in rng.integers(0, len(vocab), 400)]
+    docs = []
+    # repoX / repoY: heavily overlapping (same 400-token backbone)
+    for g, extra in [("repoX", 30), ("repoY", 60)]:
+        docs.append((g, " ".join(shared)))
+        docs.append((g, doc(extra)))
+    # two unrelated repos
+    docs.append(("repoZ", doc(350)))
+    docs.append(("repoW", doc(350)))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([d[0] for d in docs]),
+                "text": pa.array([d[1] for d in docs]),
+            }
+        )
+    )
+
+    exact = {
+        (r["group_a"], r["group_b"]): r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"])
+        for r in group_set_jaccard(
+            ds, "source", "text", shingle_k=3, threshold_millis=1, num_partitions=3
+        ).take_all()
+    }
+    est = {
+        (r["group_a"], r["group_b"]): r["est_jaccard_millis"] / 1000
+        for r in group_minhash_neardup(
+            ds, "source", "text", shingle_k=3, threshold_millis=300,
+            num_perm=256, num_bands=64, num_partitions=3,
+        ).take_all()
+    }
+    assert ("repoX", "repoY") in est
+    j = exact[("repoX", "repoY")]
+    assert j > 0.5  # the plant is a genuine near-dup
+    # binomial noise at num_perm=256: sigma = sqrt(j(1-j)/256) ~ 0.03
+    assert abs(est[("repoX", "repoY")] - j) < 0.12
+    # nothing invented: every estimated pair exists in the exact relation
+    # with a Jaccard at least near the threshold
+    for pair, e in est.items():
+        assert exact.get(pair, 0.0) > 0.15, (pair, e, exact.get(pair))

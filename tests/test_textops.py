@@ -258,3 +258,57 @@ def test_redact_pii_counts_and_order(ray_session):
     assert out[3]["text_redacted"].startswith("<EMAIL> is an email")
     assert out[4]["text_redacted"] == docs[3][1]
     assert out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_hexkey"] == 0
+
+
+def test_pack_sequences_matches_window_oracle(ray_session):
+    """Concat-and-chunk packing vs a pandas cumsum oracle, plus the
+    structural invariants: spans partition each doc's token interval and
+    every sequence except the last is exactly seq_len tokens."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ids = rng.permutation(np.arange(1000, 1000 + n)).astype(np.int64)
+    texts = [
+        " ".join(f"w{j}" for j in range(rng.integers(0, 40)))  # some empty
+        for _ in range(n)
+    ]
+    L = 64
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    out = (
+        pack_sequences(ds, "doc_id", "text", seq_len=L, num_buckets=7)
+        .to_pandas()
+        .sort_values(["doc_id", "seq_id"])
+        .reset_index(drop=True)
+    )
+
+    ntok = np.array([len(t.split()) for t in texts], dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "n": ntok})
+    df = df[df.n > 0].sort_values("doc_id").reset_index(drop=True)
+    df["prev"] = df.n.cumsum() - df.n
+    rows = []
+    for r in df.itertuples():
+        for s in range(r.prev // L, (r.prev + r.n - 1) // L + 1):
+            rows.append(
+                (r.doc_id, s, max(r.prev, s * L), min(r.prev + r.n, (s + 1) * L))
+            )
+    exp = pd.DataFrame(rows, columns=["doc_id", "seq_id", "tok_begin", "tok_end"])
+    exp = exp.sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    assert out.values.tolist() == exp.values.tolist()
+
+    # invariants: per-doc spans are contiguous and sum to n; per-seq
+    # coverage is L except the final sequence
+    per_doc = out.groupby("doc_id").apply(
+        lambda g: (g.tok_end - g.tok_begin).sum(), include_groups=False
+    )
+    assert per_doc.to_dict() == dict(zip(df.doc_id, df.n))
+    per_seq = out.groupby("seq_id").apply(
+        lambda g: (g.tok_end - g.tok_begin).sum(), include_groups=False
+    )
+    total = df.n.sum()
+    for s, cov in per_seq.items():
+        assert cov == (L if s < total // L else total % L)
