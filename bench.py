@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "stratified_orders",
     "pack_docs",
     "source_neardup_minhash",
+    "shuffle_docs",
+    "stop_shingles",
+    "curate_docs",
 ]
 
 

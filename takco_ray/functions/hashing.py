@@ -98,3 +98,59 @@ def stable_file_id(repo, path, commit) -> np.ndarray:
     """
     keys = [f"{r}\x00{p}\x00{c}" for r, p, c in zip(repo, path, commit)]
     return hash64_strings(keys, seed=0xF11E).view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch-shuffle permutation (Feistel network)
+# ---------------------------------------------------------------------------
+
+FEISTEL_BITS = 31
+FEISTEL_MASK = (1 << FEISTEL_BITS) - 1
+FEISTEL_DOMAIN = 1 << (2 * FEISTEL_BITS)  # bijection domain [0, 2^62)
+
+
+def feistel_round_constants(rounds: int, seed: int) -> list:
+    """Per-round ``(mult, add)`` constants for :func:`feistel_permute`.
+
+    Expanded driver-side with a splitmix64-style generator so the numpy
+    kernel and a *generated* SQL oracle inline the SAME literals — the
+    engine-independence contract is the constants, not the generator.
+    ``mult`` is odd (31-bit), ``add`` 31-bit.
+    """
+    consts = []
+    mask64 = (1 << 64) - 1
+    x = (seed * 0x9E3779B97F4A7C15 + 0xBF58476D1CE4E5B9) & mask64
+    for _ in range(int(rounds)):
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask64
+        mult = ((x >> 33) | 1) & FEISTEL_MASK
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask64
+        add = (x >> 33) & FEISTEL_MASK
+        consts.append((int(mult), int(add)))
+    return consts
+
+
+def feistel_permute(ids: np.ndarray, rounds: int = 4, seed: int = 0) -> np.ndarray:
+    """Bijective pseudo-random permutation of int64 ids in ``[0, 2^62)``.
+
+    Balanced Feistel network over 31-bit halves — a bijection for ANY round
+    function by construction, so a shuffle key never collides for distinct
+    ids (unlike a hash): sorting by ``feistel_permute(id)`` is a
+    deterministic, seedable, engine-reproducible global shuffle that ships
+    no payload bytes. Round function ``F(R) = lo(R·mult + add) XOR
+    hi(R·mult + add)`` (31-bit halves of the 62-bit product) — the hi-half
+    fold matters: a plain affine ``mod 2^31`` round keeps every low bit
+    slice a closed subsystem, making ``key mod 2^k`` a function of
+    ``id mod 2^k``. All intermediates fit int64 (operands are 31-bit), so
+    numpy int64 and SQL BIGINT agree bit-exactly; the generated-SQL twin
+    lives in ``pipelines/queries.py::feistel_sql_cte``.
+    """
+    v = np.asarray(ids, dtype=np.int64)
+    if len(v) and (v.min() < 0 or v.max() >= FEISTEL_DOMAIN):
+        raise ValueError("feistel_permute ids must be in [0, 2^62)")
+    left = v >> FEISTEL_BITS
+    right = v & FEISTEL_MASK
+    for mult, add in feistel_round_constants(rounds, seed):
+        prod = right * mult + add
+        f = (prod & FEISTEL_MASK) ^ (prod >> FEISTEL_BITS)
+        left, right = right, left ^ f
+    return (left << FEISTEL_BITS) | right

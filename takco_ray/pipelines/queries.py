@@ -1006,6 +1006,28 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
 """
 
 
+def q_stop_shingles(sf_dir: str):
+    """Corpus heavy-hitter shingles by document frequency — the measured
+    input to stop-shingle demotion (hot-LSH-block mitigation)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.stop_shingles(
+        docs, text_column="text", id_column="doc_id", shingle_k=3, top_k=20
+    )
+
+
+SQL_STOP_SHINGLES = r"""
+WITH tok AS (SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\w+'), x -> x <> '') AS ts
+             FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+  FROM tok)
+SELECT shingle, CAST(count(*) AS BIGINT) AS df
+FROM sh GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20
+"""
+
+
 def q_tfidf_terms(sf_dir: str):
     """Per-doc salient terms by tf/df (TF-IDF core with exact ranking)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1079,6 +1101,74 @@ bench AS (SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id % 97
 SELECT doc_id AS id, CAST(len(s) AS BIGINT) AS n_shingles,
        CAST(len(list_intersect(s, b.bs)) AS BIGINT) AS n_contaminated
 FROM sh CROSS JOIN bench b
+"""
+
+
+def q_curate_docs(sf_dir: str):
+    """Fused curation funnel: quality + decontamination + exact-dup survivor
+    in ONE content pass → per-doc keep/drop audit relation. The benchmark is
+    the deterministic doc_id % 97 == 0 slice (as in decontam_docs)."""
+    import ray as _ray
+
+    from ..stages.curate import curate_docs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_mask(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").combine_chunks(), dtype=np.int64)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    bench_docs = docs.map_batches(bench_mask, batch_format="pyarrow", zero_copy_batch=True)
+    bench = decontam_stages.collect_benchmark_shingles(bench_docs, "text", shingle_k=3)
+    return curate_docs(
+        docs, "text", "doc_id", _ray.put(bench), quality_threshold_u=400_000, shingle_k=3
+    )
+
+
+def _sql_curate_docs() -> str:
+    from ..stages.textstats import _LANG_PROFILES
+
+    en = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"]))
+    return rf"""
+WITH tokd AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars_f,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS punct,
+         regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         CAST(floor(
+           (least(greatest(n_chars_f / 200.0, 0.0), 1.0) * 0.25
+            + least(greatest(1.0 - 4.0 * (punct / greatest(n_chars_f, 1.0)), 0.0), 1.0) * 0.25
+            + least(greatest(1.0 - abs(
+                CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+                  / greatest(CAST(len(toks) AS DOUBLE), 1.0) - 5.0) / 5.0, 0.0), 1.0) * 0.25
+            + least(greatest(CAST(len(list_filter(toks, t -> t IN ({en}))) AS DOUBLE)
+                  / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 4.0, 0.0), 1.0) * 0.25
+           ) * 1000000 + 0.5) AS BIGINT) AS quality_u
+  FROM tokd
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tokd
+), bench AS (
+  SELECT list_distinct(flatten(list(s))) AS bs FROM sh WHERE doc_id % 97 = 0
+), contam AS (
+  SELECT doc_id, CAST(len(list_intersect(s, b.bs)) AS BIGINT) AS n_contaminated
+  FROM sh CROSS JOIN bench b
+), surv AS (
+  SELECT min(doc_id) AS sid FROM documents GROUP BY text
+)
+SELECT d.doc_id, q.quality_u, c.n_contaminated,
+       CAST(CASE WHEN s.sid IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_survivor,
+       CAST(CASE WHEN s.sid IS NOT NULL AND c.n_contaminated = 0
+                  AND q.quality_u >= 400000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d
+JOIN q USING (doc_id)
+JOIN contam c ON c.doc_id = d.doc_id
+LEFT JOIN surv s ON s.sid = d.doc_id
 """
 
 
@@ -1422,6 +1512,45 @@ FROM spans
 """
 
 
+def feistel_sql_cte(table: str, id_col: str, rounds: int = 4, seed: int = 0) -> str:
+    """SQL twin of :func:`takco_ray.functions.hashing.feistel_permute`:
+    chained CTEs (one per round, distinct half names — DuckDB's lateral
+    column aliases would otherwise shadow the source halves) with the SAME
+    round constants inlined as literals. All operands are 31-bit so BIGINT
+    products never overflow; ``xor`` is DuckDB's scalar bitwise xor."""
+    from ..functions.hashing import FEISTEL_MASK, feistel_round_constants
+
+    m = FEISTEL_MASK + 1  # 2^31
+    parts = [
+        f"f0 AS (SELECT {id_col} AS id, {id_col} // {m} AS l0, "
+        f"{id_col} % {m} AS r0 FROM {table})"
+    ]
+    for i, (mult, add) in enumerate(feistel_round_constants(rounds, seed)):
+        parts.append(
+            f"f{i + 1} AS (SELECT id, r{i} AS l{i + 1}, "
+            f"xor(l{i}, xor((r{i} * {mult} + {add}) % {m}, "
+            f"(r{i} * {mult} + {add}) // {m})) AS r{i + 1} FROM f{i})"
+        )
+    final = (
+        f"fk AS (SELECT id, l{rounds} * {m} + r{rounds} AS shuffle_key FROM f{rounds})"
+    )
+    return "WITH " + ",\n".join(parts + [final])
+
+
+def q_shuffle_docs(sf_dir: str):
+    """Deterministic epoch shuffle: bijective Feistel key + shard per doc.
+    Pure projection (no payload movement); key order IS the shuffled epoch
+    order, shard is the uniform reader partition."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return relational.epoch_shuffle(ds, "doc_id", num_shards=16, rounds=4, seed=3)
+
+
+SQL_SHUFFLE_DOCS = (
+    feistel_sql_cte("documents", "doc_id", rounds=4, seed=3)
+    + "\nSELECT id AS doc_id, shuffle_key, shuffle_key % 16 AS shard FROM fk"
+)
+
+
 def q_source_neardup_minhash(sf_dir: str):
     """Repo-level near-dup, MinHash scale rung (rows-only: the estimate is
     LSH-probabilistic; pytest pins it against the exact rung)."""
@@ -1480,6 +1609,9 @@ def build_queries() -> dict:
         "event_deltas": q_event_deltas,
         "stratified_orders": q_stratified_orders,
         "pack_docs": q_pack_docs,
+        "shuffle_docs": q_shuffle_docs,
+        "stop_shingles": q_stop_shingles,
+        "curate_docs": q_curate_docs,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -1546,4 +1678,7 @@ def build_oracle_sql() -> dict:
         "event_deltas": SQL_EVENT_DELTAS,
         "stratified_orders": SQL_STRATIFIED_ORDERS,
         "pack_docs": SQL_PACK_DOCS,
+        "shuffle_docs": SQL_SHUFFLE_DOCS,
+        "stop_shingles": SQL_STOP_SHINGLES,
+        "curate_docs": _sql_curate_docs(),
     }

@@ -494,6 +494,56 @@ def _group_minhash_neardup(ctx, cfg):
     )
 
 
+@op("curate_docs")
+def _curate_docs(ctx, cfg):
+    import ray as _ray
+
+    from ..stages.curate import curate_docs
+    from ..stages.decontam import collect_benchmark_shingles
+
+    k = int(cfg.get("shingle_k", 3))
+    bench_ds = _ds(ctx, cfg, key="benchmark") if "benchmark" in cfg else None
+    if bench_ds is not None:
+        bench = collect_benchmark_shingles(
+            bench_ds, cfg.get("text_column", "text"), shingle_k=k
+        )
+    else:
+        import numpy as np
+
+        bench = np.zeros(0, dtype=np.uint64)
+    return curate_docs(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"), _ray.put(bench),
+        quality_threshold_u=int(cfg.get("quality_threshold_u", 400_000)),
+        shingle_k=k,
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
+@op("stop_shingles")
+def _stop_shingles(ctx, cfg):
+    from ..stages.textstats import stop_shingles
+
+    return stop_shingles(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"),
+        shingle_k=int(cfg.get("shingle_k", 3)),
+        top_k=int(cfg.get("top_k", 20)),
+    )
+
+
+@op("epoch_shuffle")
+def _epoch_shuffle(ctx, cfg):
+    from ..stages.relational import epoch_shuffle
+
+    return epoch_shuffle(
+        _ds(ctx, cfg), cfg.get("id_column", "doc_id"),
+        num_shards=int(cfg.get("num_shards", 64)),
+        rounds=int(cfg.get("rounds", 4)),
+        seed=int(cfg.get("seed", 0)),
+    )
+
+
 @op("pack_sequences")
 def _pack_sequences(ctx, cfg):
     from ..stages.pack import pack_sequences
@@ -576,7 +626,7 @@ def run_pipeline(cfg: dict) -> dict:
         out_name = st.pop("output", None)
         upstream = [
             fps[st[k]]
-            for k in ("input", "right", "other", "gold", "base_labels", "base_signatures")
+            for k in ("input", "right", "other", "gold", "benchmark", "base_labels", "base_signatures")
             if k in st and st[k] in fps
         ]
         extra = {}

@@ -360,3 +360,32 @@ def stratified_sample(ds, group_col: str, id_col: str, n: int):
     return out.map_batches(
         lambda t: t.drop_columns(["__hk"]), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def epoch_shuffle(ds, id_col: str, num_shards: int = 64, rounds: int = 4, seed: int = 0):
+    """Append ``shuffle_key`` (bijective Feistel permutation of the id —
+    :func:`takco_ray.functions.hashing.feistel_permute`) and ``shard``
+    (``shuffle_key mod num_shards``) columns — the deterministic epoch
+    shuffle of a training-data loader.
+
+    A pure stateless projection: no payload bytes move. Downstream either
+    writes shard-partitioned output (each shard is a uniform pseudo-random
+    sample, so readers stream shards in any order) or globally sorts by
+    ``shuffle_key`` when a single shuffled sequence is required — the sort
+    then shuffles 8-byte keys plus whatever columns the reader kept, and a
+    reseed (new epoch) costs one cheap projection, never a re-shuffle of
+    content. Bijectivity (vs a hash's collisions) makes the order stable
+    under concurrent writers and engine-reproducible: a SQL twin generated
+    from the same round constants reproduces every key bit-exactly.
+    """
+    from ..functions.hashing import feistel_permute
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col).combine_chunks(), dtype=np.int64)
+        key = feistel_permute(ids, rounds=rounds, seed=seed)
+        t = t.append_column("shuffle_key", pa.array(key, type=pa.int64()))
+        return t.append_column(
+            "shard", pa.array(key % num_shards, type=pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

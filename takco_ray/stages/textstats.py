@@ -90,6 +90,30 @@ def token_counts(ds, text_column: str, id_column: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def quality_features(col: pa.Array) -> tuple:
+    """Per-doc quality doubles for one Arrow string column: ``(n_chars,
+    punct_ratio, mean_token_len, stopword_ratio, quality)`` — the shared
+    kernel behind :func:`quality_scores` and the fused curation pass
+    (``stages/curate.py``). One identical IEEE expression on both engines;
+    callers integerize with ``floor(x·10⁶ + 0.5)`` for the typed oracle."""
+    en = _profile_hashes(_LANG_PROFILES["en"])
+    filled = pc.fill_null(col, "")
+    n_chars = np.asarray(pc.utf8_length(filled), dtype=np.float64)
+    punct = np.asarray(pc.count_substring_regex(filled, r"[^\w\s]"), dtype=np.float64)
+    hashes, lens, counts = token_stream(col, _TOKEN_SEED)
+    punct_ratio = punct / np.maximum(n_chars, 1.0)
+    tok_f = np.maximum(counts.astype(np.float64), 1.0)
+    mean_tok = _per_doc_sum(lens, counts) / tok_f
+    stop_ratio = _per_doc_sum(_member(en, hashes), counts) / tok_f
+    quality = (
+        np.clip(n_chars / 200.0, 0, 1) * 0.25
+        + np.clip(1.0 - 4.0 * punct_ratio, 0, 1) * 0.25
+        + np.clip(1.0 - np.abs(mean_tok - 5.0) / 5.0, 0, 1) * 0.25
+        + np.clip(stop_ratio * 4.0, 0, 1) * 0.25
+    )
+    return n_chars, punct_ratio, mean_tok, stop_ratio, quality
+
+
 def quality_scores(ds, text_column: str, id_column: str, units: bool = False):
     """(id, n_chars, punct_ratio, mean_token_len, stopword_ratio, quality).
 
@@ -102,28 +126,11 @@ def quality_scores(ds, text_column: str, id_column: str, units: bool = False):
     the SQL side; no round() tie-breaking enters), which is what the driver
     oracle compares.
     """
-    en = _profile_hashes(_LANG_PROFILES["en"])
-
     def fn(batch: pa.Table) -> pa.Table:
         col = batch.column(text_column)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        filled = pc.fill_null(col, "")
-        n_chars = np.asarray(pc.utf8_length(filled), dtype=np.float64)
-        punct = np.asarray(
-            pc.count_substring_regex(filled, r"[^\w\s]"), dtype=np.float64
-        )
-        hashes, lens, counts = token_stream(col, _TOKEN_SEED)
-        punct_ratio = punct / np.maximum(n_chars, 1.0)
-        tok_f = np.maximum(counts.astype(np.float64), 1.0)
-        mean_tok = _per_doc_sum(lens, counts) / tok_f
-        stop_ratio = _per_doc_sum(_member(en, hashes), counts) / tok_f
-        quality = (
-            np.clip(n_chars / 200.0, 0, 1) * 0.25
-            + np.clip(1.0 - 4.0 * punct_ratio, 0, 1) * 0.25
-            + np.clip(1.0 - np.abs(mean_tok - 5.0) / 5.0, 0, 1) * 0.25
-            + np.clip(stop_ratio * 4.0, 0, 1) * 0.25
-        )
+        n_chars, punct_ratio, mean_tok, stop_ratio, quality = quality_features(col)
         # empty docs: token-derived features are 0 by construction
         if units:
             def u(x):
@@ -239,6 +246,85 @@ def global_token_topk(ds, text_column: str, k: int = 20):
         .rename_columns({"sum(cnt)": "cnt"})
     )
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def stop_shingles(ds, text_column: str, id_column: str, shingle_k: int = 3, top_k: int = 20):
+    """Top-``top_k`` ``shingle_k``-token shingles by DOCUMENT frequency —
+    ``(shingle, df)``, df-desc then shingle-asc (total order → deterministic
+    limit).
+
+    The stop-shingle mining pass of SURVEY §7.5 #1: shingles shared by huge
+    document populations (license headers, codegen boilerplate) are exactly
+    what inflates LSH blocks, and demoting the measured heavy hitters is the
+    Scarlett-style mitigation the flagship's salting complements. df (docs
+    containing the shingle), not total frequency, because block membership
+    is per-document.
+
+    Map-side combiner: per batch, the flat token stream rolls into shingle
+    strings (vectorized object-array join, doc-boundary masked), Arrow hash
+    aggregates collapse to per-doc-DISTINCT then per-batch (shingle, df)
+    partials — the shuffle carries one row per distinct shingle per batch.
+    Then a vocabulary-sized groupby-sum and a top-k sort pre-trimmed per
+    block to ``top_k`` rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), r"\W+")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.asarray(t.column(id_column).combine_chunks(), dtype=np.int64)
+        did = np.repeat(ids, counts)
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        keep = flat != ""
+        did, flat = did[keep], flat[keep]
+        n = len(flat)
+        empty = pa.table(
+            {"shingle": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}
+        )
+        if n < shingle_k:
+            return empty
+        w = n - shingle_k + 1
+        valid = did[:w] == did[shingle_k - 1 :]
+        sh = flat[:w]
+        for i in range(1, shingle_k):
+            sh = sh + " "
+            sh = sh + flat[i : w + i]
+        tbl = pa.table(
+            {
+                "did": pa.array(did[:w][valid], type=pa.int64()),
+                "shingle": pa.array(sh[valid], type=pa.string()),
+            }
+        )
+        dist = tbl.group_by(["did", "shingle"]).aggregate([])
+        part = dist.group_by("shingle").aggregate([("did", "count")])
+        return pa.table(
+            {
+                "shingle": part.column("shingle"),
+                "df": part.column("did_count").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shingle")
+        .aggregate(Sum("df"))
+        .rename_columns({"sum(df)": "df"})
+    )
+
+    def trim(t: pa.Table) -> pa.Table:
+        # per-block pre-trim so the global sort sees ≤ top_k rows per block
+        dfv = np.asarray(t.column("df").combine_chunks(), dtype=np.int64)
+        sh = np.asarray(t.column("shingle").combine_chunks(), dtype=object)
+        # np.unique codes preserve lexicographic order → int lexsort tiebreak
+        _u, codes = np.unique(sh, return_inverse=True)
+        order = np.lexsort((codes, -dfv))[:top_k]
+        return t.take(pa.array(np.sort(order), type=pa.int64()))
+
+    trimmed = agg.map_batches(trim, batch_format="pyarrow", zero_copy_batch=True)
+    return trimmed.sort(["df", "shingle"], descending=[True, False]).limit(top_k)
 
 
 def tfidf_top_terms(ds, text_column: str, id_column: str, k: int = 5):

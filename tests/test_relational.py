@@ -138,3 +138,50 @@ def test_stratified_sample_rejects_overflowing_ids(ray_session):
     big = _ds({"g": ["a"], "id": np.array([2**62], dtype=np.int64)})
     with pytest.raises(Exception):
         relational.stratified_sample(big, "g", "id", n=1).to_pandas()
+
+
+def test_epoch_shuffle_bijective_and_sql_exact(ray_session):
+    """Feistel epoch shuffle: bijective keys, in-domain, shard = key mod n,
+    payload rides along; keys match the generated DuckDB SQL twin bit-exactly
+    (the same generator the driver oracle uses)."""
+    import duckdb
+    import pandas as pd
+
+    from takco_ray.functions.hashing import FEISTEL_DOMAIN, feistel_permute
+    from takco_ray.pipelines.queries import feistel_sql_cte
+
+    ids = np.concatenate(
+        [np.arange(5000, dtype=np.int64), np.array([FEISTEL_DOMAIN - 1], dtype=np.int64)]
+    )
+    ds = _ds({"id": ids, "payload": ids * 7})
+    out = (
+        relational.epoch_shuffle(ds, "id", num_shards=16, rounds=4, seed=3)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    keys = out.shuffle_key.to_numpy()
+    assert len(np.unique(keys)) == len(ids)               # bijection
+    assert keys.min() >= 0 and keys.max() < FEISTEL_DOMAIN
+    assert (out.shard == keys % 16).all()
+    assert (out.payload == out.id * 7).all()
+    assert (keys == feistel_permute(np.sort(ids), rounds=4, seed=3)).all()
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": ids}))
+    sql = feistel_sql_cte("t", "doc_id", rounds=4, seed=3) + (
+        "\nSELECT id, shuffle_key FROM fk ORDER BY id"
+    )
+    assert (con.sql(sql).df().shuffle_key.to_numpy() == keys).all()
+
+    # reseeding changes the permutation (new epoch order)
+    k2 = feistel_permute(ids, rounds=4, seed=4)
+    assert (k2 != keys).mean() > 0.99
+
+
+def test_epoch_shuffle_rejects_out_of_domain_ids(ray_session):
+    from takco_ray.functions.hashing import FEISTEL_DOMAIN
+
+    big = _ds({"id": np.array([FEISTEL_DOMAIN], dtype=np.int64)})
+    with pytest.raises(Exception):
+        relational.epoch_shuffle(big, "id").to_pandas()

@@ -312,3 +312,101 @@ def test_pack_sequences_matches_window_oracle(ray_session):
     total = df.n.sum()
     for s, cov in per_seq.items():
         assert cov == (L if s < total // L else total % L)
+
+
+def test_stop_shingles_matches_bruteforce(ray_session):
+    """df counting (per-doc distinct), doc-boundary masking, and the
+    (df desc, shingle asc) deterministic top-k vs a Counter oracle."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.textstats import stop_shingles
+
+    docs = [
+        (1, "MIT license header applies here; mit LICENSE header applies"),
+        (2, "mit license header for this file only"),
+        (3, "mit license header again and again and again"),
+        (4, "completely different content with no overlap tokens"),
+        (5, ""),  # empty doc
+        (6, "two words"),  # shorter than k
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+            }
+        )
+    )
+    out = [
+        (r["shingle"], r["df"])
+        for r in stop_shingles(ds, "text", "doc_id", shingle_k=3, top_k=5).take_all()
+    ]
+
+    c = Counter()
+    for _i, t in docs:
+        toks = re.findall(r"\w+", t.lower())
+        c.update({" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)})
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert out == want
+    assert out[0] == ("license header applies", 1) or out[0][1] >= 2  # sanity
+    assert ("mit license header", 3) in out  # the planted boilerplate tops df
+
+
+def test_curate_docs_planted_funnel(ray_session):
+    """Fused curation vs per-signal expectations on a planted corpus:
+    duplicate texts keep only the min-id survivor, benchmark-overlapping
+    docs are contaminated, short/garbage docs fail quality, and a clean
+    long doc is kept."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from takco_ray.stages.curate import curate_docs
+    from takco_ray.stages.decontam import collect_benchmark_shingles
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "returns to the den where it sleeps for hours while other animals "
+        "watch from the tall grass near the river bank in the late evening "
+        "light as the day slowly turns to night over the quiet valley"
+    )
+    bench_text = "held out benchmark sentence that must not leak into training"
+    docs = [
+        (10, good),                       # kept
+        (11, good),                       # exact dup of 10 -> dropped
+        (12, good + " extra tail"),       # near-dup but distinct text -> kept
+        (13, "x@@ ##"),                   # garbage -> quality fail
+        (14, good + " " + bench_text),    # contaminated
+        (15, bench_text),                 # the benchmark doc itself
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+            }
+        )
+    )
+    bench_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([15], type=pa.int64()), "text": pa.array([bench_text])})
+    )
+    bench = collect_benchmark_shingles(bench_ds, "text", shingle_k=3)
+    out = {
+        r["doc_id"]: r
+        for r in curate_docs(
+            ds, "text", "doc_id", ray.put(bench),
+            quality_threshold_u=400_000, shingle_k=3, num_partitions=3,
+        ).take_all()
+    }
+    assert len(out) == 6
+    assert out[10]["keep"] == 1 and out[10]["is_survivor"] == 1
+    assert out[11]["keep"] == 0 and out[11]["is_survivor"] == 0   # dup loser
+    assert out[11]["quality_u"] == out[10]["quality_u"]           # same text
+    assert out[12]["keep"] == 1                                   # distinct text survives
+    assert out[13]["keep"] == 0 and out[13]["quality_u"] < 400_000
+    assert out[14]["keep"] == 0 and out[14]["n_contaminated"] > 0
+    assert out[15]["keep"] == 0 and out[15]["n_contaminated"] > 0
+    assert out[10]["n_contaminated"] == 0
