@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "shuffle_docs",
     "stop_shingles",
     "curate_docs",
+    "text_neardup_clusters",
 ]
 
 

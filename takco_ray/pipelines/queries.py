@@ -1211,6 +1211,46 @@ WHERE c > 0 AND CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= 0.5
 """
 
 
+def q_text_neardup_clusters(sf_dir: str):
+    """Transitive near-dup clusters over exact n-gram-Jaccard edges ≥ 0.5 —
+    blocking + scoring + distributed CC + singleton attach, all verified by
+    one recursive-CTE oracle (the text twin of embedding_neardup)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stages.text_neardup_clusters(
+        ds, text_column="text", id_column="doc_id", shingle_k=3, threshold=0.5
+    )
+
+
+SQL_TEXT_NEARDUP_CLUSTERS = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct(
+           list_transform(
+             range(1, len(regexp_extract_all(lower(text), '\w+')) - 1),
+             i -> regexp_extract_all(lower(text), '\w+')[i] || ' ' ||
+                  regexp_extract_all(lower(text), '\w+')[i+1] || ' ' ||
+                  regexp_extract_all(lower(text), '\w+')[i+2]
+           )) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_intersect(a.s, b.s)) AS c, len(a.s) AS n1, len(b.s) AS n2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), edges AS (
+  SELECT id1 AS u, id2 AS v FROM pairs
+  WHERE c > 0 AND CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= 0.5
+  UNION ALL
+  SELECT id2, id1 FROM pairs
+  WHERE c > 0 AND CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= 0.5
+), walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT CAST(id AS BIGINT) AS file_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM walk GROUP BY id
+"""
+
+
 def q_embedding_lsh_pairs(sf_dir: str):
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     import pyarrow.parquet as pq
@@ -1612,6 +1652,7 @@ def build_queries() -> dict:
         "shuffle_docs": q_shuffle_docs,
         "stop_shingles": q_stop_shingles,
         "curate_docs": q_curate_docs,
+        "text_neardup_clusters": q_text_neardup_clusters,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -1681,4 +1722,5 @@ def build_oracle_sql() -> dict:
         "shuffle_docs": SQL_SHUFFLE_DOCS,
         "stop_shingles": SQL_STOP_SHINGLES,
         "curate_docs": _sql_curate_docs(),
+        "text_neardup_clusters": SQL_TEXT_NEARDUP_CLUSTERS,
     }

@@ -494,6 +494,19 @@ def _group_minhash_neardup(ctx, cfg):
     )
 
 
+@op("text_neardup_clusters")
+def _text_neardup_clusters(ctx, cfg):
+    from ..stages.dedup import text_neardup_clusters
+
+    return text_neardup_clusters(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"),
+        shingle_k=int(cfg.get("shingle_k", 3)),
+        threshold=float(cfg.get("threshold", 0.5)),
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
 @op("curate_docs")
 def _curate_docs(ctx, cfg):
     import ray as _ray

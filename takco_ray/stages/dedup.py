@@ -471,6 +471,44 @@ def ngram_jaccard_exact(
     return partitioned_group_map(pairs, "pair_key", count_pairs, _parts())
 
 
+def text_neardup_clusters(
+    ds,
+    text_column: str,
+    id_column: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    num_partitions: int | None = None,
+):
+    """(file_id, cluster_id) — transitive closure over EXACT n-gram-Jaccard
+    edges ≥ ``threshold``, cluster_id = component-min id, singletons total.
+
+    The end-to-end SQL-oracle-able rung of the text near-dup ladder: the
+    pair stage is :func:`ngram_jaccard_exact` (shared-shingle buckets —
+    exhaustive for any positive threshold), the clustering is the flagship's
+    distributed CC + singleton attach — so ONE recursive-CTE oracle
+    hash-verifies blocking, scoring, and transitive clustering together
+    (the north rule's shape, on a relation a SQL engine can recompute).
+    Inherits the audit-operator quadratic bucket bound; the probabilistic
+    scale rung with the same output contract is :func:`minhash_dedup`.
+    """
+    from .components import attach_singletons, connected_components
+
+    parts = num_partitions or _parts()
+    pairs = ngram_jaccard_exact(ds, text_column, id_column, shingle_k, threshold)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"u": t.column("id1"), "v": t.column("id2")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ids = ds.map_batches(
+        lambda t: pa.table({"file_id": t.column(id_column).cast(pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    labels = connected_components(edges, num_partitions=parts)
+    return attach_singletons(labels, ids)
+
+
 _POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 

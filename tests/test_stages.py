@@ -755,3 +755,50 @@ def test_group_minhash_tracks_exact_group_jaccard(ray_session):
     # with a Jaccard at least near the threshold
     for pair, e in est.items():
         assert exact.get(pair, 0.0) > 0.15, (pair, e, exact.get(pair))
+
+
+def test_text_neardup_clusters_transitive(ray_session):
+    """A~B and B~C above threshold but A~C below it must still co-cluster
+    (transitive closure), unrelated docs stay singletons, cluster_id is the
+    component min."""
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.dedup import ngram_jaccard_exact, text_neardup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    mid = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    a = base + " one two three"
+    b = base + " " + mid[:30]  # overlaps base heavily
+    c = "phi chi psi " + base  # same shingle backbone, shifted
+    docs = {
+        1: a,
+        2: b,
+        3: c,
+        4: "completely unrelated words about something else entirely here",
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), type=pa.int64()),
+                "text": pa.array([docs[i] for i in sorted(docs)]),
+            }
+        )
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_exact(ds, "text", "doc_id", 3, 0.4).take_all()
+    }
+    labels = {
+        r["file_id"]: r["cluster_id"]
+        for r in text_neardup_clusters(
+            ds, "text", "doc_id", shingle_k=3, threshold=0.4, num_partitions=3
+        ).take_all()
+    }
+    assert len(labels) == 4
+    # every edge's endpoints share a label; closure merges the chain
+    for (u, v), _j in pairs.items():
+        assert labels[u] == labels[v]
+    assert labels[1] == labels[2] == labels[3] == 1  # min id of the component
+    assert labels[4] == 4
+    # sanity: 1-3 similarity is genuinely weaker than the chain links
+    assert pairs.get((1, 2)) and pairs.get((2, 3)) or pairs.get((1, 3))
