@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "stop_shingles",
     "curate_docs",
     "text_neardup_clusters",
+    "cluster_reps",
 ]
 
 

@@ -1251,6 +1251,78 @@ FROM walk GROUP BY id
 """
 
 
+def q_cluster_reps(sf_dir: str):
+    """Merit-based survivor per near-dup cluster: highest quality_u member
+    (ties by doc_id) of each text_neardup cluster — clustering, the quality
+    signal, the hash join and the per-group top-1 all in one oracled query."""
+    from ..stages.dedup import cluster_representatives
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    labels = dedup_stages.text_neardup_clusters(
+        docs, text_column="text", id_column="doc_id", shingle_k=3, threshold=0.5
+    )
+    quality = textstats.quality_scores(
+        docs, text_column="text", id_column="doc_id", units=True
+    ).select_columns(["id", "quality_u"])
+    return cluster_representatives(labels, quality)
+
+
+def _sql_cluster_reps() -> str:
+    from ..stages.textstats import _LANG_PROFILES
+
+    en = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"]))
+    return rf"""
+WITH RECURSIVE tokd AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars_f,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS punct,
+         regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         CAST(floor(
+           (least(greatest(n_chars_f / 200.0, 0.0), 1.0) * 0.25
+            + least(greatest(1.0 - 4.0 * (punct / greatest(n_chars_f, 1.0)), 0.0), 1.0) * 0.25
+            + least(greatest(1.0 - abs(
+                CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+                  / greatest(CAST(len(toks) AS DOUBLE), 1.0) - 5.0) / 5.0, 0.0), 1.0) * 0.25
+            + least(greatest(CAST(len(list_filter(toks, t -> t IN ({en}))) AS DOUBLE)
+                  / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 4.0, 0.0), 1.0) * 0.25
+           ) * 1000000 + 0.5) AS BIGINT) AS quality_u
+  FROM tokd
+), sh AS (
+  SELECT doc_id, list_distinct(
+           list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+  FROM tokd
+), prs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_intersect(a.s, b.s)) AS c, len(a.s) AS n1, len(b.s) AS n2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), edges AS (
+  SELECT id1 AS u, id2 AS v FROM prs
+  WHERE c > 0 AND CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= 0.5
+  UNION ALL
+  SELECT id2, id1 FROM prs
+  WHERE c > 0 AND CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= 0.5
+), walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+), labels AS (
+  SELECT CAST(id AS BIGINT) AS file_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+  FROM walk GROUP BY id
+)
+SELECT cluster_id, rep_id, quality_u FROM (
+  SELECT l.cluster_id, l.file_id AS rep_id, q.quality_u,
+         row_number() OVER (
+           PARTITION BY l.cluster_id ORDER BY q.quality_u DESC, l.file_id ASC
+         ) AS rn
+  FROM labels l JOIN q ON q.doc_id = l.file_id
+) WHERE rn = 1
+"""
+
+
 def q_embedding_lsh_pairs(sf_dir: str):
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     import pyarrow.parquet as pq
@@ -1653,6 +1725,7 @@ def build_queries() -> dict:
         "stop_shingles": q_stop_shingles,
         "curate_docs": q_curate_docs,
         "text_neardup_clusters": q_text_neardup_clusters,
+        "cluster_reps": q_cluster_reps,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -1723,4 +1796,5 @@ def build_oracle_sql() -> dict:
         "stop_shingles": SQL_STOP_SHINGLES,
         "curate_docs": _sql_curate_docs(),
         "text_neardup_clusters": SQL_TEXT_NEARDUP_CLUSTERS,
+        "cluster_reps": _sql_cluster_reps(),
     }

@@ -514,6 +514,20 @@ def _group_minhash_neardup(ctx, cfg):
     )
 
 
+@op("cluster_representatives")
+def _cluster_representatives(ctx, cfg):
+    from ..stages.dedup import cluster_representatives
+
+    return cluster_representatives(
+        _ds(ctx, cfg), _ds(ctx, cfg, key="signals"),
+        label_column=cfg.get("label_column", "cluster_id"),
+        id_column=cfg.get("id_column", "file_id"),
+        signal_id_column=cfg.get("signal_id_column", "id"),
+        order_column=cfg.get("order_column", "quality_u"),
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
 @op("text_neardup_clusters")
 def _text_neardup_clusters(ctx, cfg):
     from ..stages.dedup import text_neardup_clusters
@@ -659,7 +673,7 @@ def run_pipeline(cfg: dict) -> dict:
         out_name = st.pop("output", None)
         upstream = [
             fps[st[k]]
-            for k in ("input", "right", "other", "gold", "benchmark", "base_labels", "base_signatures")
+            for k in ("input", "right", "other", "gold", "benchmark", "signals", "base_labels", "base_signatures")
             if k in st and st[k] in fps
         ]
         extra = {}

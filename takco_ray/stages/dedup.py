@@ -509,6 +509,57 @@ def text_neardup_clusters(
     return attach_singletons(labels, ids)
 
 
+def cluster_representatives(
+    labels,
+    signals,
+    label_column: str = "cluster_id",
+    id_column: str = "file_id",
+    signal_id_column: str = "id",
+    order_column: str = "quality_u",
+    num_partitions: int | None = None,
+):
+    """(cluster_id, rep_id, <order_column>) — the best-signal member per
+    cluster: the "which copy to keep" policy of a dedup pipeline when the
+    survivor should be chosen by merit (longest / highest-quality / most
+    recently committed), not by min-id.
+
+    ``labels``: (id_column, label_column) from any clustering rung;
+    ``signals``: (signal_id_column, order_column) per-doc int64 signal.
+    Hash join on id, then :func:`relational.top_n_per_group` ``n=1`` with
+    the map-side per-batch pre-trim — the shuffle after the join carries at
+    most one row per (cluster × batch). Ties break ascending by id
+    (deterministic, SQL ``row_number`` reproducible).
+    """
+    from .relational import top_n_per_group
+
+    parts = num_partitions
+    if parts is None:
+        from ..util import default_join_partitions
+
+        parts = default_join_partitions()
+    joined = labels.join(
+        signals,
+        join_type="inner",
+        num_partitions=parts,
+        on=(id_column,),
+        right_on=(signal_id_column,),
+    )
+    top = top_n_per_group(
+        joined, label_column, order_column, 1, tiebreak_col=id_column
+    )
+    return top.map_batches(
+        lambda t: pa.table(
+            {
+                "cluster_id": t.column(label_column).cast(pa.int64()),
+                "rep_id": t.column(id_column).cast(pa.int64()),
+                order_column: t.column(order_column).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 _POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 

@@ -802,3 +802,37 @@ def test_text_neardup_clusters_transitive(ray_session):
     assert labels[4] == 4
     # sanity: 1-3 similarity is genuinely weaker than the chain links
     assert pairs.get((1, 2)) and pairs.get((2, 3)) or pairs.get((1, 3))
+
+
+def test_cluster_representatives_merit_pick(ray_session):
+    """Best-signal member per cluster, ties by id; singleton clusters keep
+    their only member; the signal column rides through the join."""
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.dedup import cluster_representatives
+
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "file_id": pa.array([1, 2, 3, 10, 20, 21], type=pa.int64()),
+                "cluster_id": pa.array([1, 1, 1, 10, 20, 20], type=pa.int64()),
+            }
+        )
+    )
+    quality = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 10, 20, 21], type=pa.int64()),
+                "quality_u": pa.array([5, 9, 9, 4, 7, 7], type=pa.int64()),
+            }
+        )
+    )
+    out = {
+        r["cluster_id"]: (r["rep_id"], r["quality_u"])
+        for r in cluster_representatives(labels, quality, num_partitions=2).take_all()
+    }
+    assert out == {
+        1: (2, 9),    # merit beats min-id 1; tie 2-vs-3 breaks to lower id
+        10: (10, 4),  # singleton
+        20: (20, 7),  # tie breaks to lower id
+    }
