@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "curate_docs",
     "text_neardup_clusters",
     "cluster_reps",
+    "event_props",
 ]
 
 

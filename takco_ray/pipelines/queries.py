@@ -1172,6 +1172,27 @@ LEFT JOIN surv s ON s.sid = d.doc_id
 """
 
 
+def q_event_props(sf_dir: str):
+    """JSON field extraction from the events props column (the reference's
+    stringly-typed nested-dict model as a column op), then a grouped sum —
+    parse once, aggregate on the typed value."""
+    from ..stages.normalize import json_extract
+    from ray.data.aggregate import Count, Sum
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "props"])
+    typed = json_extract(ev, "props", {"k": ("k", "int64")})
+    agg = typed.groupby("event_type").aggregate(Sum("k"), Count())
+    return agg.rename_columns({"sum(k)": "sum_k", "count()": "n_events"})
+
+
+SQL_EVENT_PROPS = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT) per group — rows-only (approximate
     by construction; the pytest oracle bounds relative error vs exact)."""
@@ -1726,6 +1747,7 @@ def build_queries() -> dict:
         "curate_docs": q_curate_docs,
         "text_neardup_clusters": q_text_neardup_clusters,
         "cluster_reps": q_cluster_reps,
+        "event_props": q_event_props,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -1797,4 +1819,5 @@ def build_oracle_sql() -> dict:
         "curate_docs": _sql_curate_docs(),
         "text_neardup_clusters": SQL_TEXT_NEARDUP_CLUSTERS,
         "cluster_reps": _sql_cluster_reps(),
+        "event_props": SQL_EVENT_PROPS,
     }

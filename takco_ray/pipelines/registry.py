@@ -135,6 +135,18 @@ def _normalize(ctx, cfg):
     return normalize_content(_ds(ctx, cfg), **kw)
 
 
+@op("json_extract")
+def _json_extract(ctx, cfg):
+    from ..stages.normalize import json_extract
+
+    # TOML shape: [stage.fields.<out>] key = "k"; type = "int64"
+    fields = {
+        out: (spec["key"], spec.get("type", "string"))
+        for out, spec in dict(cfg["fields"]).items()
+    }
+    return json_extract(_ds(ctx, cfg), cfg.get("json_column", "props"), fields)
+
+
 @op("fingerprint")
 def _fingerprint(ctx, cfg):
     from ..stages.normalize import fingerprint

@@ -93,3 +93,79 @@ def normalize_content(
         return batch.append_column(out_column, out.cast(pa.large_string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class JsonExtract:
+    """Actor-pool stage: extract typed top-level fields from a JSON string
+    column — the engine's handle on the reference's stringly-typed nested
+    document model (every takco table IS a JSON dict,
+    ``takco/table.py:149-232``; here the nested payload is a column).
+
+    ``fields``: ``{out_column: (key, "int64" | "float64" | "string")}``.
+    Parsing is per row (JSON is inherently row-structured) but in C —
+    ``json.loads`` per string with no Python-level field walking beyond one
+    dict.get — and the decoder is constructed once per actor. Missing keys
+    / null / malformed rows yield null, never an exception: at corpus scale
+    a poison row must not kill the stage (the reference's
+    ``robust_json_loads_lines`` drops bad lines, ``takco/util.py:12-21``;
+    a column engine keeps the row and nulls the field).
+    """
+
+    _ARROW = {"int64": pa.int64(), "float64": pa.float64(), "string": pa.string()}
+    _CAST = {"int64": int, "float64": float, "string": str}
+
+    def __init__(self, json_column: str, fields: dict):
+        import json
+
+        self.json_column = json_column
+        self.fields = {
+            out: (key, str(typ)) for out, (key, typ) in dict(fields).items()
+        }
+        for _out, (_key, typ) in self.fields.items():
+            if typ not in self._ARROW:
+                raise ValueError(f"unsupported type {typ!r}")
+        self._loads = json.JSONDecoder().decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.json_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        loads = self._loads
+        parsed = []
+        for s in col.to_pylist():
+            if not s:
+                parsed.append(None)
+                continue
+            try:
+                d = loads(s)
+            except ValueError:
+                d = None
+            parsed.append(d if isinstance(d, dict) else None)
+        for out, (key, typ) in self.fields.items():
+            cast = self._CAST[typ]
+            vals = []
+            for d in parsed:
+                v = None if d is None else d.get(key)
+                if v is None:
+                    vals.append(None)
+                else:
+                    try:
+                        vals.append(cast(v))
+                    except (TypeError, ValueError):
+                        vals.append(None)
+            batch = batch.append_column(out, pa.array(vals, type=self._ARROW[typ]))
+        return batch.drop_columns([self.json_column])
+
+
+def json_extract(ds, json_column: str, fields: dict, concurrency=None):
+    """Dataset wrapper for :class:`JsonExtract` (actor pool — decoder built
+    once per actor, SURVEY §2.3 stateful-stage shape)."""
+    from ..util import default_concurrency
+
+    return ds.map_batches(
+        JsonExtract,
+        fn_constructor_kwargs=dict(json_column=json_column, fields=fields),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or default_concurrency(),
+    )

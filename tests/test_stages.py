@@ -836,3 +836,37 @@ def test_cluster_representatives_merit_pick(ray_session):
         10: (10, 4),  # singleton
         20: (20, 7),  # tie breaks to lower id
     }
+
+
+def test_json_extract_typed_and_robust(ray_session):
+    """Typed field extraction with null-not-throw on malformed/missing/empty
+    rows; string/int/float casts; json column dropped."""
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.normalize import json_extract
+
+    rows = [
+        '{"k": 7, "s": "x", "f": 1.5}',
+        '{"k": "8"}',              # numeric string casts to int
+        '{"s": 3}',                # int casts to string
+        "not json",
+        "",
+        None,
+        '[1, 2]',                  # non-dict JSON -> nulls
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(range(len(rows)), type=pa.int64()), "props": rows})
+    )
+    out = (
+        json_extract(
+            ds, "props",
+            {"k": ("k", "int64"), "s": ("s", "string"), "f": ("f", "float64")},
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert "props" not in out.columns
+    assert out.k.tolist()[:2] == [7, 8] and out.k.isna().tolist()[2:] == [True] * 5
+    assert out.s.tolist()[0] == "x" and out.s.tolist()[2] == "3"
+    assert out.f.tolist()[0] == 1.5
