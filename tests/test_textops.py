@@ -260,6 +260,30 @@ def test_redact_pii_counts_and_order(ray_session):
     assert out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_hexkey"] == 0
 
 
+def test_redact_pii_gate_paths(ray_session):
+    """The alternation gate's fast paths: an all-clean batch (no per-pattern
+    scans at all), and null text (null counts + null text, matching the
+    DuckDB-oracle NULL semantics)."""
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.redact import redact_pii
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": pa.array(["def f(): pass", None, "x = 1 + 2"]),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in redact_pii(ds, "text", "doc_id").take_all()}
+    assert out[1]["text_redacted"] == "def f(): pass"
+    assert out[1]["n_email"] == 0 and out[1]["n_hexkey"] == 0
+    assert out[2]["text_redacted"] is None
+    assert out[2]["n_email"] is None and out[2]["n_ipv4"] is None
+    assert out[3]["text_redacted"] == "x = 1 + 2"
+
+
 def test_pack_sequences_matches_window_oracle(ray_session):
     """Concat-and-chunk packing vs a pandas cumsum oracle, plus the
     structural invariants: spans partition each doc's token interval and
