@@ -41,30 +41,35 @@ def doc_shingles(col, shingle_k: int, seed: int):
     return sh, par, counts
 
 
+def distinct_per_doc(vals: np.ndarray, par: np.ndarray) -> np.ndarray:
+    """First-occurrence mask of per-doc DISTINCT ``vals`` (uint64) given a
+    parallel doc-index array — hash-based (factorize), O(n) and EXACT:
+    values map to dense codes, so the (doc, code) composite fits one int64
+    with no collision possibility; measured 3.4× over a 2-key lexsort."""
+    import pandas as pd
+
+    if len(vals) == 0:
+        return np.zeros(0, dtype=bool)
+    codes, uniq = pd.factorize(vals.view(np.int64))
+    n_codes = np.int64(len(uniq))
+    n_docs = int(par.max()) + 1 if len(par) else 0
+    if n_docs * (int(n_codes) + 1) < 2**63:
+        comb = par * n_codes + codes
+        return ~pd.Series(comb).duplicated().to_numpy()
+    # composite would overflow (≫ any real batch) — exact 2-key path
+    return ~pd.DataFrame(
+        {"p": par, "s": vals.view(np.int64)}
+    ).duplicated().to_numpy()
+
+
 def distinct_doc_shingles(col, shingle_k: int, seed: int):
     """(shingle_hashes, doc_index, n_docs) with per-doc DISTINCT shingles,
     grouped by doc in input order (shingle order within a doc unspecified —
     every consumer reduces per doc or regroups by shingle, so ordering is
-    never load-bearing).
-
-    Dedup is hash-based (factorize + first-occurrence), O(n) and EXACT:
-    shingle hashes are mapped to dense codes, so the (doc, code) composite
-    fits one int64 with no collision possibility — measured 3.4× over the
-    previous (shingle, doc) lexsort, which was the kernel's dominant cost.
-    """
-    import pandas as pd
-
+    never load-bearing)."""
     sh, par, counts = doc_shingles(col, shingle_k, seed)
     n_docs = len(counts)
     if len(sh) == 0:
         return sh, par, n_docs
-    codes, uniq = pd.factorize(sh.view(np.int64))
-    n_codes = np.int64(len(uniq))
-    if int(n_docs) * (int(n_codes) + 1) < 2**63:
-        comb = par * n_codes + codes
-        keep = ~pd.Series(comb).duplicated().to_numpy()
-    else:  # composite would overflow (≫ any real batch) — exact 2-key path
-        keep = ~pd.DataFrame(
-            {"p": par, "s": sh.view(np.int64)}
-        ).duplicated().to_numpy()
+    keep = distinct_per_doc(sh, par)
     return sh[keep], par[keep], n_docs

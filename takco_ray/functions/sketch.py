@@ -63,3 +63,69 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — space-bounded set membership (Bloom 1970, double hashing per
+# Kirsch & Mitzenmacher 2006: position_i = h1 + i·h2 mod m needs only two
+# independent 64-bit hashes for k probe positions).
+#
+# The scale path for decontamination-style membership when the reference set
+# outgrows a broadcast sorted array: at 10 bits/key the filter is ~8× smaller
+# than the int64 hash array it replaces (1e9 benchmark shingles: 1.25 GB vs
+# 8 GB), with FP rate (1 - e^{-kn/m})^k ≈ 0.9 % at k=7 — and NO false
+# negatives, so a Bloom "clean" verdict is exact and only flagged docs would
+# ever need an exact recheck.
+# ---------------------------------------------------------------------------
+
+
+def bloom_params(n_keys: int, bits_per_key: int = 10) -> tuple:
+    """(n_bits, k) sized for ``n_keys``: m = n·bits_per_key rounded up to a
+    64-bit word, k = round(m/n · ln2) clamped to [1, 16]."""
+    m = max(64, ((max(n_keys, 1) * bits_per_key + 63) // 64) * 64)
+    k = int(round(m / max(n_keys, 1) * 0.6931471805599453))
+    return m, min(max(k, 1), 16)
+
+
+def _bloom_positions(keys: np.ndarray, i: int, n_bits: np.uint64) -> tuple:
+    """Word index + bit mask of probe ``i`` for each key (double hashing)."""
+    h1 = splitmix64(keys)
+    h2 = splitmix64(h1) | np.uint64(1)  # odd → full-period stepping
+    pos = (h1 + np.uint64(i) * h2) % n_bits
+    return (pos >> np.uint64(6)).astype(np.int64), np.uint64(1) << (pos & np.uint64(63))
+
+
+def bloom_build(keys: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """uint64 bitmap (length n_bits/64) with ``k`` probes set per key.
+
+    Merging partial filters is a bitwise OR — associative and idempotent,
+    so per-partition builds combine in any order (same contract as
+    :func:`hll_merge`)."""
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    bitmap = np.zeros(n_bits // 64, dtype=np.uint64)
+    if len(keys) == 0:
+        return bitmap
+    m = np.uint64(n_bits)
+    for i in range(k):
+        word, bit = _bloom_positions(keys, i, m)
+        # np.bitwise_or.at is an element-loop ufunc: fine on the BUILD side
+        # (reference sets are the small side); the probe side stays gathers
+        np.bitwise_or.at(bitmap, word, bit)
+    return bitmap
+
+
+def bloom_probe(bitmap: np.ndarray, keys: np.ndarray, k: int) -> np.ndarray:
+    """Boolean membership per key — vectorized gathers, no per-key loop.
+
+    True may be a false positive (rate set by sizing); False is exact."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    m = np.uint64(len(bitmap) * 64)
+    hit = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        word, bit = _bloom_positions(keys, i, m)
+        np.logical_and(hit, (bitmap[word] & bit) != 0, out=hit)
+        if not hit.any():
+            break
+    return hit

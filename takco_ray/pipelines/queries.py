@@ -1090,6 +1090,41 @@ def q_decontam_docs(sf_dir: str):
     return decontam_stages.decontaminate(docs, "text", "doc_id", ref, shingle_k=3)
 
 
+def q_decontam_bloom_docs(sf_dir: str):
+    """Bloom-probe decontamination (the membership scale path): same
+    benchmark slice as ``decontam_docs``, sorted-array broadcast replaced by
+    a bits-per-key-bounded Bloom filter — n_flagged ≥ the exact count, a
+    0-flag doc is provably clean. Rows-only here; the exact-vs-bloom
+    envelope is pytest-gated (no false negatives, FP-bounded overshoot)."""
+    from ..functions.sketch import bloom_params
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_mask(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("doc_id").combine_chunks(), dtype=np.int64)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    bench_docs = docs.map_batches(bench_mask, batch_format="pyarrow", zero_copy_batch=True)
+    n_keys = len(decontam_stages.collect_benchmark_shingles(bench_docs, "text", shingle_k=3))
+    n_bits, k = bloom_params(max(n_keys, 1), bits_per_key=12)
+    bloom = decontam_stages.build_benchmark_bloom(bench_docs, "text", n_bits, k, shingle_k=3)
+    import ray as _ray
+
+    return decontam_stages.decontaminate_bloom(
+        docs, "text", "doc_id", _ray.put(bloom), k, shingle_k=3
+    )
+
+
+def q_winnow_neardup_docs(sf_dir: str):
+    """Shared winnowed-fingerprint near-dup pairs (MOSS scheme) over the
+    documents table — containment-scored, robust to length-asymmetric
+    copies. Rows-only; pytest gates the tail against local set algebra."""
+    from ..stages.dedup import winnow_neardup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_neardup(docs, "text", "doc_id", window=8, threshold=0.3)
+
+
 SQL_DECONTAM = r"""
 WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
 sh AS (
@@ -1645,6 +1680,29 @@ FROM spans
 """
 
 
+def q_chunk_docs(sf_dir: str):
+    """Overlapping character-window chunking (embedding-pipeline pre-step):
+    400-char windows every 320 chars (80 overlap); the last window is the
+    first one reaching the doc end. Codepoint semantics == SQL substr."""
+    from ..stages.pack import chunk_docs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_docs(ds, "text", "doc_id", size=400, overlap=80)
+
+
+SQL_CHUNK_DOCS = """
+WITH n AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= 400 THEN 0
+              ELSE CAST(ceil((length(text) - 400) / 320.0) AS BIGINT) END AS max_k
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id AS id, u.k AS chunk_idx,
+       substr(text, u.k * 320 + 1, 400) AS chunk
+FROM n, UNNEST(range(0, max_k + 1)) AS u(k)
+"""
+
+
 def feistel_sql_cte(table: str, id_col: str, rounds: int = 4, seed: int = 0) -> str:
     """SQL twin of :func:`takco_ray.functions.hashing.feistel_permute`:
     chained CTEs (one per round, distinct half names — DuckDB's lateral
@@ -1722,6 +1780,8 @@ def build_queries() -> dict:
         "tfidf_terms": q_tfidf_terms,
         "ngram_repetition_docs": q_ngram_repetition_docs,
         "decontam_docs": q_decontam_docs,
+        "decontam_bloom_docs": q_decontam_bloom_docs,
+        "winnow_neardup_docs": q_winnow_neardup_docs,
         "approx_distinct_users": q_approx_distinct_users,
         "doc_sha256": q_doc_sha256,
         "exact_dedup_docs": q_exact_dedup_docs,
@@ -1742,6 +1802,7 @@ def build_queries() -> dict:
         "event_deltas": q_event_deltas,
         "stratified_orders": q_stratified_orders,
         "pack_docs": q_pack_docs,
+        "chunk_docs": q_chunk_docs,
         "shuffle_docs": q_shuffle_docs,
         "stop_shingles": q_stop_shingles,
         "curate_docs": q_curate_docs,
@@ -1814,6 +1875,7 @@ def build_oracle_sql() -> dict:
         "event_deltas": SQL_EVENT_DELTAS,
         "stratified_orders": SQL_STRATIFIED_ORDERS,
         "pack_docs": SQL_PACK_DOCS,
+        "chunk_docs": SQL_CHUNK_DOCS,
         "shuffle_docs": SQL_SHUFFLE_DOCS,
         "stop_shingles": SQL_STOP_SHINGLES,
         "curate_docs": _sql_curate_docs(),

@@ -614,6 +614,28 @@ def _pack_sequences(ctx, cfg):
     )
 
 
+@op("chunk_docs")
+def _chunk_docs(ctx, cfg):
+    from ..stages.pack import chunk_docs
+
+    return chunk_docs(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"), size=int(cfg.get("size", 400)),
+        overlap=int(cfg.get("overlap", 0)),
+    )
+
+
+@op("winnow_neardup")
+def _winnow_neardup(ctx, cfg):
+    from ..stages.dedup import winnow_neardup
+
+    return winnow_neardup(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"), window=int(cfg.get("window", 8)),
+        threshold=float(cfg.get("threshold", 0.5)),
+    )
+
+
 # ---- composite pipelines -------------------------------------------------
 
 @op("er")

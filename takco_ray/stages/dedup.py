@@ -405,6 +405,16 @@ def ngram_jaccard_exact(
         )
 
     rows = ds.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return _shared_key_pairs(rows, threshold, sim="jaccard", out_col="jaccard")
+
+
+def _shared_key_pairs(rows, threshold: float, sim: str, out_col: str):
+    """(id1, id2, ``out_col``) from a (shingle, id, n_sh) relation: bucket by
+    shared key, emit every in-bucket pair, count shared keys per pair across
+    buckets (= |A∩B| exactly when keys are per-doc distinct), score with
+    ``sim`` ∈ {jaccard: c/(n1+n2−c), containment: c/min(n1,n2)} and keep
+    ≥ ``threshold``. Two grouped passes; shared tail of
+    :func:`ngram_jaccard_exact` and :func:`winnow_neardup`."""
 
     def bucket_pairs(part: pa.Table) -> pa.Table:
         sh = np.asarray(part.column("shingle").combine_chunks(), dtype=np.int64)
@@ -458,17 +468,62 @@ def ngram_jaccard_exact(
         starts = np.flatnonzero(both)
         c = np.diff(np.append(starts, len(pk)))  # |A∩B|
         i1s, i2s, n1s, n2s = i1[starts], i2[starts], n1[starts], n2[starts]
-        jac = c.astype(np.float64) / (n1s + n2s - c).astype(np.float64)
-        keep = jac >= threshold
+        if sim == "containment":
+            score = c.astype(np.float64) / np.minimum(n1s, n2s).astype(np.float64)
+        else:
+            score = c.astype(np.float64) / (n1s + n2s - c).astype(np.float64)
+        keep = score >= threshold
         return pa.table(
             {
                 "id1": pa.array(i1s[keep], type=pa.int64()),
                 "id2": pa.array(i2s[keep], type=pa.int64()),
-                "jaccard": pa.array(jac[keep], type=pa.float64()),
+                out_col: pa.array(score[keep], type=pa.float64()),
             }
         )
 
     return partitioned_group_map(pairs, "pair_key", count_pairs, _parts())
+
+
+def winnow_neardup(
+    ds,
+    text_column: str,
+    id_column: str,
+    window: int = 8,
+    threshold: float = 0.5,
+):
+    """(id1, id2, containment) — shared winnowed-fingerprint near-dup pairs
+    (the MOSS scheme, Schleimer et al. 2003: local-min sampling guarantees
+    any shared token run ≥ window+roll_k−1 tokens shares a fingerprint).
+
+    Each doc is reduced to its DISTINCT per-window minimum rolling hashes
+    (~n_tokens/window values — an 8-16× smaller relation than the full
+    shingle set of :func:`ngram_jaccard_exact`), then the same exact
+    shared-key bucket → pair-count tail scores
+    ``containment = shared / min(|A|, |B|)`` — robust to length-asymmetric
+    copies (a file pasted into a larger one scores ~1.0 where Jaccard
+    dilutes). Same audit-operator quadratic bucket bound as the exact
+    Jaccard rung; the probabilistic scale rung is :func:`minhash_dedup`.
+    """
+    from ..functions.shingle import distinct_per_doc
+    from .textstats import winnow_window_mins
+
+    def winnow_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_column).combine_chunks(), dtype=np.int64)
+        mins, n_win, _off, n_docs = winnow_window_mins(batch.column(text_column), window)
+        par = np.repeat(np.arange(n_docs, dtype=np.int64), n_win)
+        keep = distinct_per_doc(mins, par)
+        mins, par = mins[keep], par[keep]
+        n_fp = np.bincount(par, minlength=n_docs).astype(np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(mins.view(np.int64), type=pa.int64()),
+                "id": pa.array(ids[par], type=pa.int64()),
+                "n_sh": pa.array(n_fp[par], type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(winnow_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return _shared_key_pairs(rows, threshold, sim="containment", out_col="containment")
 
 
 def text_neardup_clusters(

@@ -159,3 +159,76 @@ def pack_sequences(
 
     parts = default_concurrency()[1]
     return partitioned_group_map(bucketed, "bucket", emit_spans, parts)
+
+
+def chunk_docs(ds, text_column: str, id_column: str, size: int,
+               overlap: int = 0):
+    """(id, chunk_idx, chunk) — overlapping character-window chunks of each
+    document, the embedding-pipeline pre-step (long docs → fixed windows
+    with ``overlap`` chars of shared context between neighbors).
+
+    Windows start every ``stride = size - overlap`` characters; the last
+    window is the first one reaching the end (``max_k = 0`` if the doc fits,
+    else ``ceil((L - size)/stride)``), so no start runs past the text and
+    the tail is never emitted twice. Empty / null docs emit nothing.
+
+    Pure stateless projection — a flat_map in shape, but vectorized per
+    CHUNK INDEX, not per row: iteration ``k`` slices every doc with more
+    than ``k`` chunks in one ``utf8_slice_codeunits`` call with scalar
+    offsets (Arrow's slice kernel takes no per-row offsets), so the loop
+    count is the batch's max chunks-per-doc, with the subset shrinking each
+    step. Character (codepoint) semantics match SQL ``substr`` exactly, so
+    a DuckDB ``UNNEST(range(...))`` oracle reproduces output bit-for-bit.
+    At scale: nothing shuffles; output is ~L/stride × input bytes, so size
+    the downstream batch accordingly.
+    """
+    if not (0 <= overlap < size):
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = batch.column(text_column)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = np.asarray(batch.column(id_column).combine_chunks(), dtype=np.int64)
+        L = np.asarray(pc.utf8_length(pc.fill_null(text, "")), dtype=np.int64)
+        max_k = np.where(
+            L <= size,
+            0,
+            np.ceil(np.maximum(L - size, 0) / stride).astype(np.int64),
+        ).astype(np.int64)
+        n_chunks = np.where(L > 0, max_k + 1, 0)
+        out_ids: list = []
+        out_k: list = []
+        out_chunks: list = []
+        kmax = int(n_chunks.max()) if len(n_chunks) else 0
+        for k in range(kmax):
+            sel = np.flatnonzero(n_chunks > k)
+            sub = text.take(pa.array(sel, type=pa.int64()))
+            out_chunks.append(
+                pc.utf8_slice_codeunits(sub, start=k * stride, stop=k * stride + size)
+            )
+            out_ids.append(ids[sel])
+            out_k.append(np.full(len(sel), k, dtype=np.int64))
+        if not out_ids:
+            return pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "chunk_idx": pa.array([], type=pa.int64()),
+                    "chunk": pa.array([], type=pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out_ids), type=pa.int64()),
+                "chunk_idx": pa.array(np.concatenate(out_k), type=pa.int64()),
+                "chunk": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in out_chunks]
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

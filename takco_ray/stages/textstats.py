@@ -455,75 +455,85 @@ def ngram_repetition(ds, text_column: str, id_column: str, shingle_k: int = 3):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_WINNOW_BASE = np.uint64(0x100000001B3)
+
+
+def winnow_window_mins(col, window: int, roll_k: int = 4) -> tuple:
+    """(mins, n_win, win_off, n_docs) — per-window minimum rolling hashes of
+    every doc (the winnowing kernel of Schleimer et al. 2003, MOSS).
+
+    Rolling polynomial hash over ``roll_k``-token windows of the token-hash
+    stream, min-sampled per ``window`` values; ``mins`` is flat in doc
+    order, doc ``d`` owns ``mins[win_off[d] : win_off[d] + n_win[d]]``.
+    Fully vectorized: one global roll pass, a flat gather of kept values,
+    ONE ``minimum.reduceat`` across every window of every doc. Shared by
+    :func:`fingerprints` (Horner-combines to one value/doc) and the
+    shared-fingerprint near-dup pair operator (``dedup.winnow_neardup``).
+    """
+    base = _WINNOW_BASE
+    hashes, _lens, counts = token_stream(col, _TOKEN_SEED)
+    n_docs = len(counts)
+    n = len(hashes)
+    k = roll_k
+    if n >= k:
+        # global roll; per-doc slices below use only windows fully
+        # inside the doc (start ≤ doc_start + count - k)
+        roll = hashes[: n - k + 1].copy()
+        for j in range(1, k):
+            roll *= base
+            roll += hashes[j : n - k + 1 + j]
+    else:
+        roll = np.zeros(0, dtype=np.uint64)
+    starts = _seg_starts(counts)
+    c = counts.astype(np.int64)
+    live = c > 0
+    zero_off = np.zeros(n_docs, dtype=np.int64)
+    if not live.any():
+        return np.zeros(0, dtype=np.uint64), zero_off.copy(), zero_off, n_docs
+    # per-doc roll segment: length L from `roll` (c>=k) or `hashes` (c<k)
+    use_hash = c < k
+    L = np.where(use_hash, c, c - k + 1)
+    n_win = np.maximum(L // window, 1)
+    kept = np.where(L >= window, n_win * window, L)  # dropped tails excluded
+    kept[~live] = 0
+    n_win = np.where(live, n_win, 0)
+    # flat gather of every kept value from the unified [roll | hashes] pool
+    pool = np.concatenate([roll, hashes]) if len(hashes) else roll
+    src_base = np.where(use_hash, starts + len(roll), starts)
+    doc_off = np.concatenate([[0], np.cumsum(kept)[:-1]])
+    total = int(kept.sum())
+    intra = np.arange(total, dtype=np.int64) - np.repeat(doc_off, kept)
+    flat = pool[np.repeat(src_base, kept) + intra]
+    # global window starts: doc_off[d] + i*window for i < n_win[d]
+    win_off = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+    w_total = int(n_win.sum())
+    w_intra = np.arange(w_total, dtype=np.int64) - np.repeat(win_off[live], n_win[live])
+    w_starts = np.repeat(doc_off[live], n_win[live]) + w_intra * window
+    mins = np.minimum.reduceat(flat, w_starts) if w_total else np.zeros(0, dtype=np.uint64)
+    return mins, n_win.astype(np.int64), win_off.astype(np.int64), n_docs
+
+
 def fingerprints(ds, text_column: str, id_column: str, window: int = 16):
     """(id, fingerprint) — winnowed rolling-hash document fingerprint.
 
-    Rolling polynomial hash (4-token windows) over the token-hash stream,
-    min-sampled per ``window`` (winnowing): near-identical docs share
-    fingerprints, any edit changes only nearby windows. Fully vectorized:
-    one global roll pass, a flat gather of the kept window values, ONE
-    ``minimum.reduceat`` across every window of every doc, and a Horner
-    combine that iterates ``max_windows_per_doc`` times over the doc axis
-    (≈ n_tokens/window iterations, each a vectorized step) — no per-doc
-    Python.
+    :func:`winnow_window_mins` per-window minima, Horner-combined to one
+    uint64 per doc (``max_windows_per_doc`` vectorized steps over the doc
+    axis — no per-doc Python).
     """
-    base = np.uint64(0x100000001B3)
+    base = _WINNOW_BASE
 
     def fn(batch: pa.Table) -> pa.Table:
-        hashes, _lens, counts = token_stream(batch.column(text_column), _TOKEN_SEED)
-        n_docs = len(counts)
-        out = np.zeros(n_docs, dtype=np.uint64)
-        n = len(hashes)
-        k = 4
-        if n >= k:
-            # global roll; per-doc slices below use only windows fully
-            # inside the doc (start ≤ doc_start + count - k)
-            roll = hashes[: n - k + 1].copy()
-            for j in range(1, k):
-                roll *= base
-                roll += hashes[j : n - k + 1 + j]
-        else:
-            roll = np.zeros(0, dtype=np.uint64)
-        starts = _seg_starts(counts)
-        c = counts.astype(np.int64)
-        live = c > 0
-        if not live.any():
-            return pa.table(
-                {
-                    "id": batch.column(id_column).cast(pa.int64()),
-                    "fingerprint": pa.array(out, type=pa.uint64()),
-                }
-            )
-        # per-doc roll segment: length L from `roll` (c>=k) or `hashes` (c<k)
-        use_hash = c < k
-        L = np.where(use_hash, c, c - k + 1)
-        n_win = np.maximum(L // window, 1)
-        kept = np.where(L >= window, n_win * window, L)  # dropped tails excluded
-        kept[~live] = 0
-        n_win = np.where(live, n_win, 0)
-        # flat gather of every kept value from the unified [roll | hashes] pool
-        pool = np.concatenate([roll, hashes]) if len(hashes) else roll
-        src_base = np.where(use_hash, starts + len(roll), starts)
-        doc_off = np.concatenate([[0], np.cumsum(kept)[:-1]])
-        total = int(kept.sum())
-        intra = np.arange(total, dtype=np.int64) - np.repeat(doc_off, kept)
-        flat = pool[np.repeat(src_base, kept) + intra]
-        # global window starts: doc_off[d] + i*window for i < n_win[d]
-        win_off = np.concatenate([[0], np.cumsum(n_win)[:-1]])
-        w_total = int(n_win.sum())
-        w_intra = np.arange(w_total, dtype=np.int64) - np.repeat(win_off[live], n_win[live])
-        w_starts = np.repeat(doc_off[live], n_win[live]) + w_intra * window
-        mins = np.minimum.reduceat(flat, w_starts) if w_total else np.zeros(0, dtype=np.uint64)
-        # Horner combine per doc: max(n_win) vectorized steps over the doc axis
+        mins, n_win, win_off, n_docs = winnow_window_mins(
+            batch.column(text_column), window
+        )
         acc = np.zeros(n_docs, dtype=np.uint64)
         for j in range(int(n_win.max(initial=0))):
             active = n_win > j
             acc[active] = acc[active] * base + mins[win_off[active] + j]
-        out = acc
         return pa.table(
             {
                 "id": batch.column(id_column).cast(pa.int64()),
-                "fingerprint": pa.array(out, type=pa.uint64()),
+                "fingerprint": pa.array(acc, type=pa.uint64()),
             }
         )
 

@@ -434,3 +434,131 @@ def test_curate_docs_planted_funnel(ray_session):
     assert out[14]["keep"] == 0 and out[14]["n_contaminated"] > 0
     assert out[15]["keep"] == 0 and out[15]["n_contaminated"] > 0
     assert out[10]["n_contaminated"] == 0
+
+
+def test_chunk_docs_windows(ray_session):
+    """Character-window chunking: stride = size - overlap, last window is the
+    first reaching the end (never emitted twice), empty/null docs emit
+    nothing, unicode counted by codepoint (SQL substr semantics)."""
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.pack import chunk_docs
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(["abcdefghij", "xy", "", None, "ñoñó12345678"]),
+            }
+        )
+    )
+    rows = chunk_docs(ds, "text", "doc_id", size=5, overlap=2).take_all()
+    got = sorted((r["id"], r["chunk_idx"], r["chunk"]) for r in rows)
+    assert got == [
+        (1, 0, "abcde"), (1, 1, "defgh"), (1, 2, "ghij"),
+        (2, 0, "xy"),
+        (5, 0, "ñoñó1"), (5, 1, "ó1234"), (5, 2, "34567"), (5, 3, "678"),
+    ]
+    # exact-fit doc: exactly one chunk, not a trailing empty one
+    ds2 = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([9], pa.int64()), "text": pa.array(["abcde"])})
+    )
+    rows2 = chunk_docs(ds2, "text", "doc_id", size=5, overlap=2).take_all()
+    assert [(r["id"], r["chunk_idx"], r["chunk"]) for r in rows2] == [(9, 0, "abcde")]
+
+
+def test_bloom_decontaminate_no_false_negatives(ray_session):
+    """Bloom decontamination: every exactly-contaminated shingle is flagged
+    (no false negatives ⇒ n_flagged ≥ exact n_contaminated per doc, and a
+    0-flag doc is provably clean); overshoot stays within a few × the
+    filter's design FP rate."""
+    import ray
+    import numpy as np
+    from takco_ray.functions.sketch import bloom_params
+    from takco_ray.stages.decontam import (
+        build_benchmark_bloom, collect_benchmark_shingles,
+        decontaminate, decontaminate_bloom,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(500)]
+    bench_texts = [" ".join(rng.choice(vocab, 30)) for _ in range(20)]
+    corpus = []
+    for i in range(60):
+        if i % 3 == 0:  # contaminated: embed a benchmark span
+            span = bench_texts[i % len(bench_texts)].split()[:10]
+            filler = rng.choice(vocab, 40).tolist()
+            corpus.append(" ".join(filler[:20] + span + filler[20:]))
+        else:
+            corpus.append(" ".join(rng.choice(vocab, 50)))
+    bench_ds = _ds({"text": bench_texts})
+    docs = _ds({"doc_id": list(range(len(corpus))), "text": corpus})
+
+    exact_ref = collect_benchmark_shingles(bench_ds, "text", shingle_k=3)
+    n_bits, k = bloom_params(len(exact_ref), bits_per_key=12)
+    bloom = build_benchmark_bloom(bench_ds, "text", n_bits, k, shingle_k=3)
+
+    exact = (
+        decontaminate(docs, "text", "doc_id", ray.put(exact_ref), shingle_k=3)
+        .to_pandas().set_index("id").sort_index()
+    )
+    approx = (
+        decontaminate_bloom(docs, "text", "doc_id", ray.put(bloom), k, shingle_k=3)
+        .to_pandas().set_index("id").sort_index()
+    )
+    assert (approx.n_shingles == exact.n_shingles).all()
+    assert (approx.n_flagged >= exact.n_contaminated).all()  # no FN
+    # contaminated docs are all caught
+    assert (approx.n_flagged[exact.n_contaminated > 0] > 0).all()
+    # FP overshoot small: total extra flags ≤ 5% of total shingles probed
+    extra = (approx.n_flagged - exact.n_contaminated).sum()
+    assert extra <= 0.05 * approx.n_shingles.sum()
+
+
+def test_winnow_neardup_pairs_brute_force(ray_session):
+    """winnow_neardup's distributed bucket→pair-count tail reproduces the
+    local composition (containment of distinct window-min sets), and the
+    MOSS guarantee holds: docs sharing a long token run share fingerprints."""
+    import itertools
+    import numpy as np
+    import pyarrow as pa
+    from takco_ray.functions.shingle import distinct_per_doc
+    from takco_ray.stages.dedup import winnow_neardup
+    from takco_ray.stages.textstats import winnow_window_mins
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(300)]
+    base = " ".join(rng.choice(vocab, 120))
+    texts = [
+        base,                                            # 0
+        base + " " + " ".join(rng.choice(vocab, 15)),    # 1: near-copy of 0
+        " ".join(rng.choice(vocab, 100)),                # 2: unrelated
+        " ".join(rng.choice(vocab, 40)) + " " + base,    # 3: 0 pasted into noise
+        "",                                              # 4: empty
+    ]
+    ids = list(range(len(texts)))
+    ds = _ds({"doc_id": ids, "text": texts})
+    got = {
+        (r["id1"], r["id2"]): r["containment"]
+        for r in winnow_neardup(ds, "text", "doc_id", window=8, threshold=0.3).take_all()
+    }
+
+    # local oracle: same kernel per doc, containment by set algebra
+    mins, n_win, off, n_docs = winnow_window_mins(pa.array(texts), 8)
+    sets = []
+    for d in range(n_docs):
+        vals = mins[off[d] : off[d] + n_win[d]]
+        sets.append(set(vals.tolist()))
+    expected = {}
+    for a, b in itertools.combinations(range(n_docs), 2):
+        if not sets[a] or not sets[b]:
+            continue
+        c = len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b]))
+        if c >= 0.3:
+            expected[(a, b)] = c
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-12
+    # the planted copies are found, the unrelated doc is not
+    assert (0, 1) in got and (0, 3) in got
+    assert not any(2 in k for k in got)
