@@ -1115,6 +1115,50 @@ def q_decontam_bloom_docs(sf_dir: str):
     )
 
 
+def q_cross_neardup_docs(sf_dir: str):
+    """EXACT cross-corpus near-dup pairs: 'benchmark' = doc_id % 7 == 0
+    slice, 'corpus' = the rest; only cross-side pairs emitted (the
+    within-side quadratic term never exists). Doc-level complement of
+    decontam_docs; DuckDB intersect-join oracle."""
+    from ..stages.dedup import cross_neardup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(pred):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column("doc_id").combine_chunks(), dtype=np.int64)
+            return t.filter(pa.array(pred(ids)))
+
+        return fn
+
+    corpus = docs.map_batches(side(lambda i: i % 7 != 0), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    bench = docs.map_batches(side(lambda i: i % 7 == 0), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return cross_neardup(corpus, bench, "text", "doc_id", shingle_k=3, threshold=0.5)
+
+
+SQL_CROSS_NEARDUP = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+           list_transform(
+             range(1, len(regexp_extract_all(lower(text), '\w+')) - 1),
+             i -> regexp_extract_all(lower(text), '\w+')[i] || ' ' ||
+                  regexp_extract_all(lower(text), '\w+')[i+1] || ' ' ||
+                  regexp_extract_all(lower(text), '\w+')[i+2]
+           )) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         len(list_intersect(a.s, b.s)) AS c, len(a.s) AS n1, len(b.s) AS n2
+  FROM sh a JOIN sh b ON a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+)
+SELECT id1, id2, CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) AS jaccard
+FROM pairs
+WHERE c > 0 AND CAST(c AS DOUBLE) / CAST(n1 + n2 - c AS DOUBLE) >= 0.5
+"""
+
+
 def q_winnow_neardup_docs(sf_dir: str):
     """Shared winnowed-fingerprint near-dup pairs (MOSS scheme) over the
     documents table — containment-scored, robust to length-asymmetric
@@ -1781,6 +1825,7 @@ def build_queries() -> dict:
         "ngram_repetition_docs": q_ngram_repetition_docs,
         "decontam_docs": q_decontam_docs,
         "decontam_bloom_docs": q_decontam_bloom_docs,
+        "cross_neardup_docs": q_cross_neardup_docs,
         "winnow_neardup_docs": q_winnow_neardup_docs,
         "approx_distinct_users": q_approx_distinct_users,
         "doc_sha256": q_doc_sha256,
@@ -1854,6 +1899,7 @@ def build_oracle_sql() -> dict:
         "tfidf_terms": SQL_TFIDF_TERMS,
         "ngram_repetition_docs": SQL_NGRAM_REPETITION,
         "decontam_docs": SQL_DECONTAM,
+        "cross_neardup_docs": SQL_CROSS_NEARDUP,
         "doc_sha256": SQL_DOC_SHA256,
         "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
         "token_counts_docs": SQL_TOKEN_COUNTS,

@@ -625,6 +625,18 @@ def _chunk_docs(ctx, cfg):
     )
 
 
+@op("cross_neardup")
+def _cross_neardup(ctx, cfg):
+    from ..stages.dedup import cross_neardup
+
+    return cross_neardup(
+        _ds(ctx, cfg, key="input_a"), _ds(ctx, cfg, key="input_b"),
+        cfg.get("text_column", "text"), cfg.get("id_column", "doc_id"),
+        shingle_k=int(cfg.get("shingle_k", 3)),
+        threshold=float(cfg.get("threshold", 0.5)),
+    )
+
+
 @op("winnow_neardup")
 def _winnow_neardup(ctx, cfg):
     from ..stages.dedup import winnow_neardup

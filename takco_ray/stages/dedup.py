@@ -24,7 +24,8 @@ from ..functions.hashing import hash64_strings, sha256_hex
 from ..functions.minhash import MinHasher, band_keys, jaccard_from_signatures
 from ..functions.tokenize import tokenize_many
 from .components import connected_components, attach_singletons
-from .groupmap import partitioned_group_map, segment_boundaries, segment_pairs
+from .groupmap import (partitioned_group_map, segment_boundaries,
+                       segment_cross_pairs, segment_pairs)
 from ..util import default_concurrency
 
 _PAIR_MIX = np.uint64(0xBF58476D1CE4E5B9)
@@ -408,25 +409,44 @@ def ngram_jaccard_exact(
     return _shared_key_pairs(rows, threshold, sim="jaccard", out_col="jaccard")
 
 
-def _shared_key_pairs(rows, threshold: float, sim: str, out_col: str):
+def _shared_key_pairs(rows, threshold: float, sim: str, out_col: str,
+                      bipartite: bool = False):
     """(id1, id2, ``out_col``) from a (shingle, id, n_sh) relation: bucket by
     shared key, emit every in-bucket pair, count shared keys per pair across
     buckets (= |A∩B| exactly when keys are per-doc distinct), score with
     ``sim`` ∈ {jaccard: c/(n1+n2−c), containment: c/min(n1,n2)} and keep
     ≥ ``threshold``. Two grouped passes; shared tail of
-    :func:`ngram_jaccard_exact` and :func:`winnow_neardup`."""
+    :func:`ngram_jaccard_exact`, :func:`winnow_neardup` and
+    :func:`cross_neardup`.
+
+    ``bipartite``: rows carry a ``side`` column (0/1) and only CROSS-side
+    pairs are emitted (id1 from side 0, id2 from side 1) — the within-side
+    quadratic term vanishes, which is the point of the cross-corpus join.
+    """
 
     def bucket_pairs(part: pa.Table) -> pa.Table:
         sh = np.asarray(part.column("shingle").combine_chunks(), dtype=np.int64)
         ids = np.asarray(part.column("id").combine_chunks(), dtype=np.int64)
         nsh = np.asarray(part.column("n_sh").combine_chunks(), dtype=np.int64)
-        order = np.lexsort((ids, sh))
-        sh, ids, nsh = sh[order], ids[order], nsh[order]
-        starts = segment_boundaries(sh)
-        cnts = np.diff(np.append(starts, len(sh)))
-        # exactness needs EVERY in-bucket pair: no max_block_size (documented
-        # audit-operator quadratic bound), but pair-gen is still batched
-        ii, jj = segment_pairs(starts, cnts, max_block_size=None)
+        if bipartite:
+            side = np.asarray(part.column("side").combine_chunks(), dtype=np.int64)
+            order = np.lexsort((ids, side, sh))
+            sh, ids, nsh, side = sh[order], ids[order], nsh[order], side[order]
+            starts = segment_boundaries(sh)
+            cnts = np.diff(np.append(starts, len(sh)))
+            # side-0 prefix count per segment via one cumsum
+            pref = np.concatenate([[0], np.cumsum(side == 0)])
+            a_cnt = pref[starts + cnts] - pref[starts]
+            ii, jj = segment_cross_pairs(starts, a_cnt, starts + a_cnt, cnts - a_cnt)
+        else:
+            order = np.lexsort((ids, sh))
+            sh, ids, nsh = sh[order], ids[order], nsh[order]
+            starts = segment_boundaries(sh)
+            cnts = np.diff(np.append(starts, len(sh)))
+            # exactness needs EVERY in-bucket pair: no max_block_size
+            # (documented audit-operator quadratic bound), but pair-gen is
+            # still batched
+            ii, jj = segment_pairs(starts, cnts, max_block_size=None)
         if len(ii) == 0:
             return pa.table(
                 {
@@ -1225,4 +1245,52 @@ def cluster_size_report(labels, label_column: str = "cluster_id", top_k: int = 2
                 "top_cluster_sizes": pa.array([[int(b) for _, b in pairs]]),
             }
         )
+    )
+
+
+def cross_neardup(
+    ds_a,
+    ds_b,
+    text_column: str,
+    id_column: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+):
+    """(id1, id2, jaccard) — EXACT cross-corpus near-dup pairs, id1 from
+    ``ds_a`` (e.g. training corpus), id2 from ``ds_b`` (e.g. held-out
+    benchmark), the doc-level complement of shingle-level
+    :func:`~takco_ray.stages.decontam.decontaminate`.
+
+    Same exhaustive shared-shingle bucketing as :func:`ngram_jaccard_exact`,
+    but only CROSS-side pairs are emitted — the within-side quadratic term
+    (the expensive part of a self-join over a big corpus) never exists. Ids
+    must be disjoint across sides (they key the pair relation).
+    SQL-oracle-able: a DuckDB intersect-join over the two slices recomputes
+    it bit-for-bit.
+    """
+    from ..functions.shingle import distinct_doc_shingles
+
+    def side_rows(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_column).combine_chunks(), dtype=np.int64)
+            sh, par, n_docs = distinct_doc_shingles(
+                batch.column(text_column), shingle_k, 41
+            )
+            n_sh = np.bincount(par, minlength=n_docs).astype(np.int64)
+            return pa.table(
+                {
+                    "shingle": pa.array(sh.view(np.int64), type=pa.int64()),
+                    "id": pa.array(ids[par], type=pa.int64()),
+                    "n_sh": pa.array(n_sh[par], type=pa.int64()),
+                    "side": pa.array(np.full(len(par), side, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    rows_a = ds_a.map_batches(side_rows(0), batch_format="pyarrow", zero_copy_batch=True)
+    rows_b = ds_b.map_batches(side_rows(1), batch_format="pyarrow", zero_copy_batch=True)
+    rows = rows_a.union(rows_b)
+    return _shared_key_pairs(
+        rows, threshold, sim="jaccard", out_col="jaccard", bipartite=True
     )

@@ -133,3 +133,27 @@ def segment_pairs(
         ii_parts.append(li + s)
         jj_parts.append(lj + s)
     return np.concatenate(ii_parts), np.concatenate(jj_parts)
+
+
+def segment_cross_pairs(
+    a_starts: np.ndarray,
+    a_counts: np.ndarray,
+    b_starts: np.ndarray,
+    b_counts: np.ndarray,
+) -> tuple:
+    """Vectorized RECTANGULAR (A×B) pair indices across all segments at once
+    — the bipartite analog of :func:`segment_pairs` for cross-corpus joins:
+    segment ``g`` contributes ``a_counts[g] · b_counts[g]`` pairs, flattened
+    with one repeat + one div/mod, no per-segment Python."""
+    p = (a_counts * b_counts).astype(np.int64)
+    total = int(p.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    seg_of = np.repeat(np.arange(len(p), dtype=np.int64), p)
+    off = np.concatenate([[0], np.cumsum(p)[:-1]])
+    intra = np.arange(total, dtype=np.int64) - off[seg_of]
+    bc = b_counts[seg_of]
+    ii = a_starts[seg_of] + intra // bc
+    jj = b_starts[seg_of] + intra % bc
+    return ii, jj

@@ -562,3 +562,35 @@ def test_winnow_neardup_pairs_brute_force(ray_session):
     # the planted copies are found, the unrelated doc is not
     assert (0, 1) in got and (0, 3) in got
     assert not any(2 in k for k in got)
+
+
+def test_segment_cross_pairs_rectangles():
+    import numpy as np
+    from takco_ray.stages.groupmap import segment_cross_pairs
+
+    ii, jj = segment_cross_pairs(
+        np.array([0, 5]), np.array([2, 1]), np.array([2, 6]), np.array([3, 2])
+    )
+    assert list(zip(ii.tolist(), jj.tolist())) == [
+        (0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4), (5, 6), (5, 7)
+    ]
+    # empty segments contribute nothing
+    ii, jj = segment_cross_pairs(
+        np.array([0]), np.array([0]), np.array([0]), np.array([3])
+    )
+    assert len(ii) == 0
+
+
+def test_cross_neardup_only_cross_pairs(ray_session):
+    """Bipartite near-dup join: within-side duplicates are NOT emitted, a
+    cross-side copy is, with the exact shingle-set Jaccard."""
+    from takco_ray.stages.dedup import cross_neardup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    a = _ds({"doc_id": [1, 2, 3], "text": [base, base, "iota kappa lambda mu nu xi"]})
+    b = _ds({"doc_id": [10, 11], "text": [base, "omicron pi rho sigma tau upsilon"]})
+    rows = cross_neardup(a, b, "text", "doc_id", shingle_k=3, threshold=0.5).take_all()
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in rows}
+    # docs 1,2 (side A, identical) never pair with each other; both pair with 10
+    assert set(got) == {(1, 10), (2, 10)}
+    assert got[(1, 10)] == 1.0 and got[(2, 10)] == 1.0
