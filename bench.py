@@ -73,6 +73,13 @@ BENCH_QUERIES = [
     "text_neardup_clusters",
     "cluster_reps",
     "event_props",
+    # round-3 additions (second batch)
+    "chunk_docs",
+    "line_stats_docs",
+    "winnow_neardup_docs",
+    "cross_neardup_docs",
+    "decontam_bloom_docs",
+    "embedding_quantized_topk",
 ]
 
 

@@ -1115,6 +1115,41 @@ def q_decontam_bloom_docs(sf_dir: str):
     )
 
 
+def q_line_stats_docs(sf_dir: str):
+    """Within-document line-duplication stats (boilerplate signal): exact
+    per-doc distinct lines via Arrow dictionary-encode — no hash-collision
+    caveat, so the DuckDB list_distinct oracle hash-matches."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.line_stats(ds, "text", "doc_id")
+
+
+SQL_LINE_STATS = """
+SELECT doc_id AS id,
+       len(string_split(coalesce(text, ''), chr(10))) AS n_lines,
+       len(list_distinct(string_split(coalesce(text, ''), chr(10)))) AS n_unique_lines,
+       len(list_filter(string_split(coalesce(text, ''), chr(10)),
+                       x -> trim(x) = '')) AS n_blank_lines
+FROM documents
+"""
+
+
+def q_embedding_quantized_topk(sf_dir: str):
+    """int8-quantized cosine top-k (storage/transport rung: 4× less shuffle
+    and object-store traffic than float32). Rows-only — the quantization
+    boundary is float32-rounding-dependent, so the gate is the pytest
+    recall@k bound vs exact brute force, not a SQL hash."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qtab = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 10")
+        .to_pandas()
+    )
+    qmat = np.stack(qtab.embedding.to_numpy())
+    quant = ann_stages.quantize_embeddings(emb, "vec_id", "embedding")
+    out = ann_stages.quantized_topk(quant, qtab.vec_id.to_numpy(), qmat, k=5)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def q_cross_neardup_docs(sf_dir: str):
     """EXACT cross-corpus near-dup pairs: 'benchmark' = doc_id % 7 == 0
     slice, 'corpus' = the rest; only cross-side pairs emitted (the
@@ -1826,6 +1861,8 @@ def build_queries() -> dict:
         "decontam_docs": q_decontam_docs,
         "decontam_bloom_docs": q_decontam_bloom_docs,
         "cross_neardup_docs": q_cross_neardup_docs,
+        "embedding_quantized_topk": q_embedding_quantized_topk,
+        "line_stats_docs": q_line_stats_docs,
         "winnow_neardup_docs": q_winnow_neardup_docs,
         "approx_distinct_users": q_approx_distinct_users,
         "doc_sha256": q_doc_sha256,
@@ -1900,6 +1937,7 @@ def build_oracle_sql() -> dict:
         "ngram_repetition_docs": SQL_NGRAM_REPETITION,
         "decontam_docs": SQL_DECONTAM,
         "cross_neardup_docs": SQL_CROSS_NEARDUP,
+        "line_stats_docs": SQL_LINE_STATS,
         "doc_sha256": SQL_DOC_SHA256,
         "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
         "token_counts_docs": SQL_TOKEN_COUNTS,

@@ -625,6 +625,26 @@ def _chunk_docs(ctx, cfg):
     )
 
 
+@op("line_stats")
+def _line_stats(ctx, cfg):
+    from ..stages.textstats import line_stats
+
+    return line_stats(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"),
+    )
+
+
+@op("quantize_embeddings")
+def _quantize_embeddings(ctx, cfg):
+    from ..stages.ann import quantize_embeddings
+
+    return quantize_embeddings(
+        _ds(ctx, cfg), id_column=cfg.get("id_column", "vec_id"),
+        emb_column=cfg.get("emb_column", "embedding"),
+    )
+
+
 @op("cross_neardup")
 def _cross_neardup(ctx, cfg):
     from ..stages.dedup import cross_neardup

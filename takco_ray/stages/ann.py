@@ -465,3 +465,100 @@ def ivf_topk(
         return out.append_column("rank", rank)
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def quantize_embeddings(ds, id_column: str = "vec_id",
+                        emb_column: str = "embedding"):
+    """(id, q_embedding int8 fixed-list, scale float32) — symmetric per-
+    vector int8 quantization of an L2-normalized embedding column.
+
+    The STORAGE/TRANSPORT rung of the ANN ladder: 4× less object-store,
+    shuffle and disk traffic than float32 (8× vs float64) for ~1e-2 cosine
+    error on normalized vectors (scale = max|x|/127 per vector). Pure
+    projection; pair with :func:`quantized_topk` for the scan. (numpy has
+    no int8 GEMM, so the scan dequantizes per batch to float32 — on
+    hardware with an int8 kernel the same layout feeds it directly.)
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_emb_matrix(batch, emb_column).astype(np.float32))
+        absmax = np.maximum(np.abs(mat).max(axis=1, keepdims=True), 1e-12)
+        scale = (absmax / 127.0).astype(np.float32)
+        q = np.clip(np.floor(mat / scale + 0.5), -127, 127).astype(np.int8)
+        dim = q.shape[1]
+        return pa.table(
+            {
+                "id": batch.column(id_column).cast(pa.int64()),
+                "q_embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(q.reshape(-1), type=pa.int8()), dim
+                ),
+                "scale": pa.array(scale.reshape(-1), type=pa.float32()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _QuantTopK:
+    """Actor-pool stage: int8 corpus batches vs the broadcast float32 query
+    matrix (queries stay full precision — only the big side is quantized)."""
+
+    def __init__(self, queries_ref, k: int):
+        self.query_ids, qmat = ray.get(queries_ref)
+        self.qmat = _normalize(np.asarray(qmat, dtype=np.float32))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("q_embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = col.type.list_size
+        q = np.asarray(col.values, dtype=np.int8).reshape(len(col), dim)
+        scale = np.asarray(batch.column("scale").combine_chunks(), dtype=np.float32)
+        ids = np.asarray(batch.column("id").combine_chunks(), dtype=np.int64)
+        cmat = q.astype(np.float32) * scale[:, None]  # dequantize: one pass
+        sims = self.qmat @ cmat.T
+        nq, nb = sims.shape
+        k = min(self.k, nb)
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qid = np.repeat(np.asarray(self.query_ids, dtype=np.int64), k)
+        flat = top.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qid, type=pa.int64()),
+                "neighbor_id": pa.array(ids[flat], type=pa.int64()),
+                "cosine": pa.array(
+                    np.take_along_axis(sims, top, axis=1).ravel().astype(np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+
+def quantized_topk(quant_ds, query_ids, query_matrix, k: int = 10,
+                   concurrency=None):
+    """Approximate cosine top-k over a :func:`quantize_embeddings` Dataset —
+    same partial+final reduction as :func:`brute_topk` (only k·n_queries
+    rows shuffle); ranks can differ from exact only where true cosines are
+    within the ~1e-2 quantization error (pytest gates recall@k)."""
+    ref = ray.put((np.asarray(query_ids), np.asarray(query_matrix)))
+    partial = quant_ds.map_batches(
+        _QuantTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or default_concurrency(),
+    )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("cosine", "descending"), ("neighbor_id", "ascending")],
+        )
+        out = group.take(order[:k])
+        rank = pa.array(np.arange(1, len(out) + 1), type=pa.int64())
+        return out.append_column("rank", rank)
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")

@@ -538,3 +538,50 @@ def fingerprints(ds, text_column: str, id_column: str, window: int = 16):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def line_stats(ds, text_column: str, id_column: str):
+    """(id, n_lines, n_unique_lines, n_blank_lines) — within-document line
+    duplication stats, the cheap boilerplate / template-churn signal (a doc
+    whose lines are mostly repeats of each other is generated filler; the
+    usual filter is ``n_unique_lines / n_lines``).
+
+    Exact and fully vectorized with NO hash-collision caveat: the flattened
+    line array is Arrow ``dictionary_encode``-d (C++ hash table → dense
+    codes), per-doc distinct is the shared factorize-composite trick on the
+    codes. Pure projection — nothing shuffles; a DuckDB
+    ``string_split``/``list_distinct`` oracle reproduces it bit-for-bit.
+    """
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        split = pc.split_pattern(filled, "\n")
+        counts = np.asarray(pc.list_value_length(split), dtype=np.int64)
+        flat = pc.list_flatten(split)
+        codes = np.asarray(flat.dictionary_encode().indices, dtype=np.int64)
+        par = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if len(codes):
+            comb = par * np.int64(codes.max() + 2) + codes
+            first = ~pd.Series(comb).duplicated().to_numpy()
+            n_uniq = np.bincount(par[first], minlength=len(counts)).astype(np.int64)
+            blank = np.asarray(
+                pc.equal(pc.utf8_trim_whitespace(flat), ""), dtype=np.int64
+            )
+            n_blank = np.bincount(par, weights=blank, minlength=len(counts)).astype(np.int64)
+        else:
+            n_uniq = np.zeros(len(counts), dtype=np.int64)
+            n_blank = np.zeros(len(counts), dtype=np.int64)
+        return pa.table(
+            {
+                "id": batch.column(id_column).cast(pa.int64()),
+                "n_lines": pa.array(counts, type=pa.int64()),
+                "n_unique_lines": pa.array(n_uniq, type=pa.int64()),
+                "n_blank_lines": pa.array(n_blank, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -870,3 +870,43 @@ def test_json_extract_typed_and_robust(ray_session):
     assert out.k.tolist()[:2] == [7, 8] and out.k.isna().tolist()[2:] == [True] * 5
     assert out.s.tolist()[0] == "x" and out.s.tolist()[2] == "3"
     assert out.f.tolist()[0] == 1.5
+
+
+def test_quantized_topk_recall(ray_session):
+    """int8-quantized top-k: high recall vs exact brute force; rank flips
+    only possible within the ~1e-2 quantization error band."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.ann import brute_topk, quantize_embeddings, quantized_topk
+
+    rng = np.random.default_rng(29)
+    n, dim = 400, 16
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), type=pa.float32()), dim
+                ),
+            }
+        )
+    )
+    qids = np.arange(8)
+    quant = quantize_embeddings(ds, "vec_id", "embedding")
+    approx = quantized_topk(quant, qids, mat[qids], k=5).to_pandas()
+    exact = brute_topk(ds, qids, mat[qids], k=5).to_pandas()
+    # schema parity with the exact rung
+    assert set(approx.columns) == set(exact.columns)
+    hits = tot = 0
+    for q in qids:
+        a = set(approx[approx.query_id == q].neighbor_id)
+        e = set(exact[exact.query_id == q].neighbor_id)
+        assert len(a) == 5 and len(e) == 5
+        hits += len(a & e)
+        tot += 5
+    assert hits / tot >= 0.95, f"recall {hits/tot:.2f}"
+    # quantized self-similarity stays ~1: cosine error bounded by quantization
+    self_rows = approx[(approx.query_id == approx.neighbor_id)]
+    assert (self_rows.cosine > 0.99).all()
