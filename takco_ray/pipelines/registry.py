@@ -739,7 +739,7 @@ def run_pipeline(cfg: dict) -> dict:
         out_name = st.pop("output", None)
         upstream = [
             fps[st[k]]
-            for k in ("input", "right", "other", "gold", "benchmark", "signals", "base_labels", "base_signatures")
+            for k in ("input", "input_a", "input_b", "right", "other", "gold", "benchmark", "signals", "base_labels", "base_signatures")
             if k in st and st[k] in fps
         ]
         extra = {}

@@ -400,3 +400,35 @@ def test_write_shards_partitioned_output(ray_session, tmp_path):
     assert len(set(keys)) == len(keys)
     sizes = [pq.read_table(d).num_rows for d in dirs]
     assert min(sizes) > 0
+
+
+def test_curation_pipeline_example_toml(ray_session, tmp_path):
+    """examples/curation_pipeline.toml end-to-end: fused curation verdicts →
+    keep-filter → near-dup reps → sharded parquet layout. Runs the example
+    file as-is (workdir redirected) and checks the output invariants."""
+    import glob
+    import os
+    import tomllib
+
+    import pyarrow.parquet as pq
+
+    from takco_ray.pipelines.registry import run_pipeline
+
+    with open("examples/curation_pipeline.toml", "rb") as f:
+        cfg = tomllib.load(f)
+    cfg["workdir"] = str(tmp_path / "wd")
+    shards_dir = str(tmp_path / "shards")
+    for st in cfg["stage"]:
+        if st["op"] == "write_shards":
+            st["path"] = shards_dir
+    out = run_pipeline(cfg)
+    files = glob.glob(os.path.join(shards_dir, "**", "*.parquet"), recursive=True)
+    assert files, "sharded output missing"
+    tabs = [pq.read_table(f) for f in files]
+    n = sum(t.num_rows for t in tabs)
+    n_in = pq.read_table("/root/testdata/sf0.001/documents.parquet").num_rows
+    assert 0 < n < n_in  # something was curated away, something survived
+    # every shard dir is a shard= partition; doc ids unique across shards
+    ids = [i for t in tabs for i in t.column("doc_id").to_pylist()]
+    assert len(ids) == len(set(ids))
+    assert set(os.path.basename(os.path.dirname(f)).split("=")[0] for f in files) == {"shard"}
