@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "cross_neardup_docs",
     "decontam_bloom_docs",
     "embedding_quantized_topk",
+    "dup_span_docs",
 ]
 
 

@@ -1072,6 +1072,43 @@ FROM sh
 """
 
 
+def q_dup_span_docs(sf_dir: str):
+    """Cross-doc duplicated-n-gram spans per document — the substring-level
+    dedup signal (within-doc repeats excluded; see
+    :func:`takco_ray.stages.dedup.cross_doc_dup_spans`)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stages.cross_doc_dup_spans(docs, text_column="text", id_column="doc_id", shingle_k=3)
+
+
+SQL_DUP_SPANS = r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts FROM documents),
+shl AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ts) - 1),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS s
+  FROM tok),
+inst AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(s) + 1),
+                               i -> {'pos': i, 'sh': s[i]}),
+                recursive := true)
+  FROM shl),
+df AS (SELECT sh, count(DISTINCT doc_id) AS df FROM inst GROUP BY sh),
+dup AS (SELECT i.doc_id, i.pos FROM inst i JOIN df USING (sh) WHERE df.df >= 2),
+agg AS (SELECT doc_id, count(*) AS dup_ngrams FROM dup GROUP BY doc_id),
+runs AS (SELECT doc_id,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         FROM dup),
+runlen AS (SELECT doc_id, max(cnt) AS max_run FROM
+             (SELECT doc_id, grp, count(*) AS cnt FROM runs GROUP BY doc_id, grp)
+           GROUP BY doc_id)
+SELECT shl.doc_id AS id, CAST(len(s) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(agg.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,
+       CAST(coalesce(runlen.max_run, 0) AS BIGINT) AS max_dup_run
+FROM shl LEFT JOIN agg USING (doc_id) LEFT JOIN runlen USING (doc_id)
+"""
+
+
 def q_decontam_docs(sf_dir: str):
     """Benchmark decontamination: the 'benchmark' is the deterministic
     doc_id % 97 == 0 slice (a stand-in for held-out eval sets); the corpus
@@ -1858,6 +1895,7 @@ def build_queries() -> dict:
         "top_tokens": q_top_tokens,
         "tfidf_terms": q_tfidf_terms,
         "ngram_repetition_docs": q_ngram_repetition_docs,
+        "dup_span_docs": q_dup_span_docs,
         "decontam_docs": q_decontam_docs,
         "decontam_bloom_docs": q_decontam_bloom_docs,
         "cross_neardup_docs": q_cross_neardup_docs,
@@ -1935,6 +1973,7 @@ def build_oracle_sql() -> dict:
         "top_tokens": SQL_TOP_TOKENS,
         "tfidf_terms": SQL_TFIDF_TERMS,
         "ngram_repetition_docs": SQL_NGRAM_REPETITION,
+        "dup_span_docs": SQL_DUP_SPANS,
         "decontam_docs": SQL_DECONTAM,
         "cross_neardup_docs": SQL_CROSS_NEARDUP,
         "line_stats_docs": SQL_LINE_STATS,

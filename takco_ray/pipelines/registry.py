@@ -373,6 +373,17 @@ def _ngram_repetition(ctx, cfg):
     )
 
 
+@op("dup_spans")
+def _dup_spans(ctx, cfg):
+    from ..stages.dedup import cross_doc_dup_spans
+
+    return cross_doc_dup_spans(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"), shingle_k=int(cfg.get("shingle_k", 3)),
+        min_df=int(cfg.get("min_df", 2)),
+    )
+
+
 @op("decontaminate")
 def _decontaminate(ctx, cfg):
     """Benchmark side = another named dataset in the pipeline (tiny by

@@ -1294,3 +1294,148 @@ def cross_neardup(
     return _shared_key_pairs(
         rows, threshold, sim="jaccard", out_col="jaccard", bipartite=True
     )
+
+
+def cross_doc_dup_spans(
+    ds,
+    text_column: str,
+    id_column: str,
+    shingle_k: int = 3,
+    min_df: int = 2,
+    seed: int = 7,
+    num_partitions: int | None = None,
+):
+    """Per-doc CROSS-corpus duplicated-n-gram span stats (exact).
+
+    For every document: ``n_ngrams`` (token k-shingle instances),
+    ``dup_ngrams`` (instances whose shingle occurs in >= ``min_df`` DISTINCT
+    documents), and ``max_dup_run`` (longest run of consecutive duplicated
+    shingle positions — a shared token span of ``max_dup_run + k - 1``
+    tokens). The substring-level dedup signal (suffix-array-style
+    training-data hygiene, hash-exact form): complementary to
+    :func:`~takco_ray.stages.textstats.ngram_repetition`, which counts
+    WITHIN-doc repetition — a shingle repeated a thousand times inside one
+    doc but nowhere else scores 0 here.
+
+    Cost model: every shingle instance shuffles once (24 B/row: hash64,
+    doc id, position), the duplicated subset a second time — the honest
+    price of exactness, same order as the tfidf token shuffle. At web scale
+    run it over a hash-sampled slice (:func:`relational.hash_sample`) or
+    replace the df pass with a Bloom probe of a known duplicate set
+    (:mod:`takco_ray.stages.decontam` pattern); both trades are explicit,
+    never a silent cap.
+
+    Reference analog: takco's cell-level Jaccard matcher
+    (``takco/cluster/matchers/celljacc.py``) scores per-pair set overlap;
+    this scores per-document positional overlap against the whole corpus.
+    """
+    from ..functions.shingle import doc_shingles
+    from ..functions.tokenize import token_stream
+    from ..util import default_join_partitions
+
+    parts = num_partitions or _parts()
+    k = shingle_k
+
+    def emit_instances(t: pa.Table) -> pa.Table:
+        sh, par, _counts = doc_shingles(t.column(text_column), k, seed)
+        ids = np.asarray(t.column(id_column).combine_chunks(), dtype=np.int64)
+        n_per_doc = np.bincount(par, minlength=len(ids)) if len(par) else np.zeros(len(ids), dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(n_per_doc)[:-1]]).astype(np.int64)
+        pos = np.arange(len(sh), dtype=np.int64) - np.repeat(starts, n_per_doc)
+        return pa.table(
+            {
+                "sh": pa.array(sh.view(np.int64), type=pa.int64()),
+                "doc": pa.array(ids[par], type=pa.int64()),
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+        )
+
+    inst = ds.map_batches(emit_instances, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dup_instances(g: pa.Table) -> pa.Table:
+        # g sorted by sh; order (sh, doc) to count DISTINCT docs per shingle
+        sh = np.asarray(g.column("sh").combine_chunks(), dtype=np.int64)
+        doc = np.asarray(g.column("doc").combine_chunks(), dtype=np.int64)
+        pos = np.asarray(g.column("pos").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((doc, sh))
+        sh, doc, pos = sh[order], doc[order], pos[order]
+        b = segment_boundaries(sh)
+        if len(b) == 0:
+            return pa.table({"doc": pa.array([], type=pa.int64()), "pos": pa.array([], type=pa.int64())})
+        sizes = np.diff(np.concatenate([b, [len(sh)]]))
+        new_doc = np.ones(len(sh), dtype=np.int64)
+        new_doc[1:] = (doc[1:] != doc[:-1]) | (sh[1:] != sh[:-1])
+        distinct = np.add.reduceat(new_doc, b)
+        keep = np.repeat(distinct >= min_df, sizes)
+        return pa.table(
+            {
+                "doc": pa.array(doc[keep], type=pa.int64()),
+                "pos": pa.array(pos[keep], type=pa.int64()),
+            }
+        )
+
+    dup = partitioned_group_map(inst, "sh", dup_instances, num_partitions=parts)
+
+    def per_doc(g: pa.Table) -> pa.Table:
+        doc = np.asarray(g.column("doc").combine_chunks(), dtype=np.int64)
+        pos = np.asarray(g.column("pos").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        b = segment_boundaries(doc)
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "doc": pa.array([], type=pa.int64()),
+                    "dup_ngrams": pa.array([], type=pa.int64()),
+                    "max_dup_run": pa.array([], type=pa.int64()),
+                }
+            )
+        sizes = np.diff(np.concatenate([b, [len(doc)]]))
+        new_run = np.ones(len(doc), dtype=bool)
+        new_run[1:] = (doc[1:] != doc[:-1]) | (pos[1:] != pos[:-1] + 1)
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        # runs are contiguous per doc (sorted); doc boundary positions in
+        # run space are the run ids at each doc's first row
+        run_doc_starts = run_id[b]
+        max_run = np.maximum.reduceat(run_len, run_doc_starts)
+        return pa.table(
+            {
+                "doc": pa.array(doc[b], type=pa.int64()),
+                "dup_ngrams": pa.array(sizes, type=pa.int64()),
+                "max_dup_run": pa.array(max_run.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = partitioned_group_map(dup, "doc", per_doc, num_partitions=parts)
+
+    def totals(t: pa.Table) -> pa.Table:
+        _h, _l, counts = token_stream(t.column(text_column), seed)
+        n = np.maximum(counts - k + 1, 0).astype(np.int64)
+        return pa.table(
+            {
+                "id": t.column(id_column).cast(pa.int64()),
+                "n_ngrams": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    tot = ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+    joined = tot.join(
+        agg,
+        join_type="left_outer",
+        num_partitions=default_join_partitions(),
+        on=("id",),
+        right_on=("doc",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t.column("id").cast(pa.int64()),
+                "n_ngrams": t.column("n_ngrams").cast(pa.int64()),
+                "dup_ngrams": pc.fill_null(t.column("dup_ngrams"), 0).cast(pa.int64()),
+                "max_dup_run": pc.fill_null(t.column("max_dup_run"), 0).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -594,3 +594,70 @@ def test_cross_neardup_only_cross_pairs(ray_session):
     # docs 1,2 (side A, identical) never pair with each other; both pair with 10
     assert set(got) == {(1, 10), (2, 10)}
     assert got[(1, 10)] == 1.0 and got[(2, 10)] == 1.0
+
+
+def test_cross_doc_dup_spans_brute_force(ray_session):
+    from takco_ray.stages import dedup
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",      # shares 4-token span with doc 1
+        "zz alpha beta gamma delta yy qq",          # → 2 consecutive dup 3-grams
+        "alpha beta gamma qq ww ee alpha beta gamma",  # within-doc repeat of a cross-doc gram
+        "totally different text with no overlap at all",
+        "xx",                                        # < k tokens → 0 shingles
+        "",
+    ]
+    ids = list(range(len(texts)))
+    out = (
+        dedup.cross_doc_dup_spans(
+            _ds({"doc_id": ids, "text": texts}), "text", "doc_id", shingle_k=3,
+            num_partitions=3,
+        )
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+
+    k = 3
+    grams = {}
+    for i, s in enumerate(texts):
+        toks = re.findall(r"\w+", s.lower())
+        grams[i] = [tuple(toks[j : j + k]) for j in range(max(0, len(toks) - k + 1))]
+    df = Counter()
+    for i, gs in grams.items():
+        for g in set(gs):
+            df[g] += 1
+    assert len(out) == len(texts)
+    for i, gs in grams.items():
+        dup = [g in df and df[g] >= 2 for g in gs]
+        best = run = 0
+        for d in dup:
+            run = run + 1 if d else 0
+            best = max(best, run)
+        assert out.loc[i, "n_ngrams"] == len(gs)
+        assert out.loc[i, "dup_ngrams"] == sum(dup)
+        assert out.loc[i, "max_dup_run"] == best, (i, list(zip(gs, dup)))
+    # the within-doc-only repeat must NOT count: doc 3 has no cross-doc grams
+    assert out.loc[3, "dup_ngrams"] == 0
+    # docs 0/1/2 share 'alpha beta gamma'; 0/1 share a 2-run
+    assert out.loc[1, "max_dup_run"] == 2
+
+
+def test_cross_doc_dup_spans_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from takco_ray.pipelines import queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(queries.SQL_DUP_SPANS).fetch_df().set_index("id").sort_index()
+    )
+    got = queries.q_dup_span_docs(sf).to_pandas().set_index("id").sort_index()
+    assert len(got) == len(want)
+    for col in ("n_ngrams", "dup_ngrams", "max_dup_run"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
