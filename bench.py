@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "decontam_bloom_docs",
     "embedding_quantized_topk",
     "dup_span_docs",
+    "semdedup_docs",
 ]
 
 

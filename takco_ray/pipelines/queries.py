@@ -1511,6 +1511,18 @@ def q_embedding_lsh_pairs(sf_dir: str):
     return ann_stages.lsh_bucket_neighbors(emb, dim=dim, bits=4, threshold=0.35)
 
 
+def q_semdedup_docs(sf_dir: str):
+    """SemDeDup-style semantic dedup: seeded k-means cells over the
+    embeddings table, exact cosine + min-label components WITHIN each cell,
+    min-id survivor (rows-only: cell assignment is k-means output; pytest
+    asserts n_cells=1 equals the SQL-oracled ``embedding_neardup``)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup_stages.semantic_dedup(
+        emb, id_column="vec_id", emb_column="embedding",
+        threshold=0.4205, n_cells=4,
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup clusters (exact all-pairs rung of the vector
     dedup ladder, SURVEY §2.7 D3 analog for vectors). SQL-oracled end to end:
@@ -1940,6 +1952,7 @@ def build_queries() -> dict:
         "cluster_size_report": q_cluster_size_report,
         "block_size_stats": q_block_size_stats,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup_docs": q_semdedup_docs,
         "event_sessions": q_event_sessions,
         "asof_orders": q_asof_orders,
         "events_rolling": q_events_rolling,

@@ -384,6 +384,19 @@ def _dup_spans(ctx, cfg):
     )
 
 
+@op("semantic_dedup")
+def _semantic_dedup(ctx, cfg):
+    from ..stages.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _ds(ctx, cfg), id_column=cfg.get("id_column", "vec_id"),
+        emb_column=cfg.get("emb_column", "embedding"),
+        threshold=float(cfg.get("threshold", 0.95)),
+        n_cells=int(cfg.get("n_cells", 64)),
+        seed=int(cfg.get("seed", 17)),
+    )
+
+
 @op("decontaminate")
 def _decontaminate(ctx, cfg):
     """Benchmark side = another named dataset in the pipeline (tiny by

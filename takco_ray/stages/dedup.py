@@ -1439,3 +1439,118 @@ def cross_doc_dup_spans(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semantic_dedup(
+    ds,
+    id_column: str = "vec_id",
+    emb_column: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 64,
+    sample_size: int = 10_000,
+    seed: int = 17,
+    cell_tile: int = 4096,
+    num_partitions: int | None = None,
+):
+    """SemDeDup-style semantic dedup: k-means cells, exact cosine inside.
+
+    The embedding rung between :func:`embedding_neardup` (exact, O(n²),
+    ≤10M vectors) and :func:`takco_ray.stages.ann.lsh_bucket_neighbors`
+    (probabilistic recall): a seeded k-means over a corpus sample carves the
+    space into ``n_cells`` cells (centroids broadcast once), every vector is
+    assigned its nearest cell in one map, and ONLY within-cell pairs are
+    compared — exact tiled cosine, transitive grouping by iterated min-label
+    propagation, min-id survivor per group. Near-dup pairs that k-means
+    separates into different cells are missed by construction; that is the
+    SemDeDup trade (quadratic cost drops by ~n_cells×), and the recall knob
+    is ``n_cells`` (with ``n_cells=1`` the result equals
+    :func:`embedding_neardup` + singleton attach, which the test suite
+    asserts).
+
+    Output: ``(file_id, cell, dup_group, is_rep)`` — ``dup_group`` the
+    min id of the within-cell component, ``is_rep`` 1 for the survivor.
+
+    Reference analog: the FAISS-blocked EmbeddingMatcher
+    (``takco/cluster/matchers/embedding.py:109-217``); cells replace the
+    FAISS coarse quantizer this environment doesn't have.
+    """
+    import ray
+
+    from .ann import _emb_matrix, _kmeans, _normalize
+
+    parts = num_partitions or _parts()
+    sample_tbl = ds.limit(sample_size).to_pandas()
+    sample = _normalize(np.stack(sample_tbl[emb_column].to_numpy()).astype(np.float64))
+    cent_ref = ray.put(
+        np.ascontiguousarray(_kmeans(sample, n_cells, seed), dtype=np.float64)
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _normalize(_emb_matrix(t, emb_column).astype(np.float64))
+        cell = np.argmax(mat @ cent.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cell, type=pa.int64()),
+                "id": t.column(id_column).cast(pa.int64()),
+                "embedding": t.column(emb_column),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup_cells(part: pa.Table) -> pa.Table:
+        cells = np.asarray(part.column("cell").combine_chunks(), dtype=np.int64)
+        ids = np.asarray(part.column("id").combine_chunks(), dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "file_id": pa.array([], type=pa.int64()),
+                    "cell": pa.array([], type=pa.int64()),
+                    "dup_group": pa.array([], type=pa.int64()),
+                    "is_rep": pa.array([], type=pa.int64()),
+                }
+            )
+        mat = _normalize(_emb_matrix(part, "embedding").astype(np.float64))
+        starts = segment_boundaries(cells)
+        counts = np.diff(np.append(starts, len(cells)))
+        group = ids.copy()
+        for s, m in zip(starts, counts):
+            if m < 2:
+                continue
+            sub = mat[s : s + m]
+            sub_ids = ids[s : s + m]
+            ai: list = []
+            bi: list = []
+            for t0 in range(0, m, cell_tile):
+                t1 = min(t0 + cell_tile, m)
+                sims = sub[t0:t1] @ sub.T
+                r, c = np.nonzero(sims >= threshold)
+                keep = (t0 + r) < c  # strict upper triangle, global indices
+                ai.append(t0 + r[keep])
+                bi.append(c[keep])
+            if not ai:
+                continue
+            a = np.concatenate(ai)
+            b = np.concatenate(bi)
+            if len(a) == 0:
+                continue
+            lab = sub_ids.copy()
+            while True:
+                m1 = np.minimum(lab[a], lab[b])
+                before = lab.copy()
+                np.minimum.at(lab, a, m1)
+                np.minimum.at(lab, b, m1)
+                if np.array_equal(before, lab):
+                    break
+            group[s : s + m] = lab
+        return pa.table(
+            {
+                "file_id": pa.array(ids, type=pa.int64()),
+                "cell": pa.array(cells, type=pa.int64()),
+                "dup_group": pa.array(group, type=pa.int64()),
+                "is_rep": pa.array((ids == group).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(assigned, "cell", dedup_cells, num_partitions=parts)

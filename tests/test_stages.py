@@ -910,3 +910,85 @@ def test_quantized_topk_recall(ray_session):
     # quantized self-similarity stays ~1: cosine error bounded by quantization
     self_rows = approx[(approx.query_id == approx.neighbor_id)]
     assert (self_rows.cosine > 0.99).all()
+
+
+def test_semantic_dedup_one_cell_equals_exact_neardup(ray_session):
+    """With n_cells=1 the SemDeDup cells degenerate to one global cell, so
+    the grouping must equal the exact embedding_neardup partition."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.dedup import embedding_neardup, semantic_dedup
+
+    rs = np.random.RandomState(3)
+    n, dim = 90, 8
+    base = rs.normal(size=(n, dim))
+    rows = []
+    for i in range(n):
+        rows.append(base[i])
+        if i % 5 == 0:
+            rows.append(base[i] + rs.normal(scale=0.01, size=dim))
+    mat = np.asarray(rows, dtype=np.float32)
+    m = len(mat)
+
+    def mk():
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(m), type=pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), type=pa.float32()), dim
+                ),
+            }
+        )
+        return ray.data.from_arrow(tbl)
+
+    thr = 0.9
+    want = {
+        r["file_id"]: r["cluster_id"]
+        for r in embedding_neardup(mk(), threshold=thr).take_all()
+    }
+    out = semantic_dedup(
+        mk(), threshold=thr, n_cells=1, cell_tile=13, num_partitions=2
+    ).take_all()
+    got = {r["file_id"]: r["dup_group"] for r in out}
+    assert got == want
+    reps = {r["file_id"] for r in out if r["is_rep"]}
+    assert reps == set(want.values())
+
+
+def test_semantic_dedup_cells_partition_groups(ray_session):
+    """Multi-cell run: every group stays inside one cell, survivors are
+    group minima, and exact duplicate vectors always land in one group."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.dedup import semantic_dedup
+
+    rs = np.random.RandomState(8)
+    n, dim = 200, 8
+    mat = rs.normal(size=(n, dim)).astype(np.float32)
+    mat[50] = mat[10]  # exact clones (same cell by construction)
+    mat[51] = mat[10]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), type=pa.float32()), dim
+            ),
+        }
+    )
+    out = semantic_dedup(
+        ray.data.from_arrow(tbl), threshold=0.999, n_cells=6, sample_size=n
+    ).take_all()
+    assert len(out) == n
+    by_id = {r["file_id"]: r for r in out}
+    assert by_id[10]["dup_group"] == by_id[50]["dup_group"] == by_id[51]["dup_group"] == 10
+    assert by_id[10]["is_rep"] == 1 and by_id[50]["is_rep"] == 0
+    cell_of_group = {}
+    for r in out:
+        g = r["dup_group"]
+        cell_of_group.setdefault(g, r["cell"])
+        assert cell_of_group[g] == r["cell"]
+    for g in {r["dup_group"] for r in out}:
+        members = [r["file_id"] for r in out if r["dup_group"] == g]
+        assert g == min(members)
