@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "embedding_quantized_topk",
     "dup_span_docs",
     "semdedup_docs",
+    "license_scan_docs",
 ]
 
 

@@ -1072,6 +1072,72 @@ FROM sh
 """
 
 
+_LICENSE_HEADERS = [
+    '// Licensed under the Apache License, Version 2.0 (the "License")',
+    "/* Permission is hereby granted, free of charge, to any person */",
+    "# This program is free software: GNU General Public License version 3",
+    "// Redistribution and use in source and binary forms, with or without",
+    "/* This is free and unencumbered software released into the public domain */",
+    "",
+]
+
+
+def q_license_scan_docs(sf_dir: str):
+    """SPDX-style license header detection. The synthetic documents carry no
+    license text, so each doc is first prepended a deterministic
+    doc_id-derived header in BOTH engines (same pattern as
+    ``redact_pii_docs``), then scanned with the priority phrase rules."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64())
+        ids_np = np.asarray(ids.combine_chunks(), dtype=np.int64)
+        hdr = pa.array(
+            np.array(_LICENSE_HEADERS, dtype=object)[ids_np % 6], type=pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": pc.binary_join_element_wise(hdr, t.column("text"), "\n"),
+            }
+        )
+
+    enriched = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    return textstats.license_scan(enriched, text_column="text", id_column="doc_id")
+
+
+SQL_LICENSE_SCAN = r"""
+WITH enriched AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN '// Licensed under the Apache License, Version 2.0 (the "License")'
+           WHEN 1 THEN '/* Permission is hereby granted, free of charge, to any person */'
+           WHEN 2 THEN '# This program is free software: GNU General Public License version 3'
+           WHEN 3 THEN '// Redistribution and use in source and binary forms, with or without'
+           WHEN 4 THEN '/* This is free and unencumbered software released into the public domain */'
+           ELSE ''
+         END || chr(10) || text AS t
+  FROM documents),
+hdr AS (SELECT doc_id, lower(substr(t, 1, 2048)) AS h FROM enriched),
+lic AS (
+  SELECT doc_id,
+         CASE
+           WHEN contains(h, 'licensed under the apache license') THEN 'apache-2.0'
+           WHEN contains(h, 'permission is hereby granted, free of charge') THEN 'mit'
+           WHEN contains(h, 'gnu general public license') AND contains(h, 'version 3') THEN 'gpl-3.0'
+           WHEN contains(h, 'gnu general public license') AND contains(h, 'version 2') THEN 'gpl-2.0'
+           WHEN contains(h, 'redistribution and use in source and binary forms') THEN 'bsd-3-clause'
+           WHEN contains(h, 'mozilla public license') THEN 'mpl-2.0'
+           WHEN contains(h, 'this is free and unencumbered software') THEN 'unlicense'
+           ELSE 'none'
+         END AS license
+  FROM hdr)
+SELECT doc_id AS id, license,
+       CAST(license IN ('apache-2.0', 'mit', 'bsd-3-clause', 'mpl-2.0', 'unlicense') AS BIGINT) AS permissive
+FROM lic
+"""
+
+
 def q_dup_span_docs(sf_dir: str):
     """Cross-doc duplicated-n-gram spans per document — the substring-level
     dedup signal (within-doc repeats excluded; see
@@ -1908,6 +1974,7 @@ def build_queries() -> dict:
         "tfidf_terms": q_tfidf_terms,
         "ngram_repetition_docs": q_ngram_repetition_docs,
         "dup_span_docs": q_dup_span_docs,
+        "license_scan_docs": q_license_scan_docs,
         "decontam_docs": q_decontam_docs,
         "decontam_bloom_docs": q_decontam_bloom_docs,
         "cross_neardup_docs": q_cross_neardup_docs,
@@ -1987,6 +2054,7 @@ def build_oracle_sql() -> dict:
         "tfidf_terms": SQL_TFIDF_TERMS,
         "ngram_repetition_docs": SQL_NGRAM_REPETITION,
         "dup_span_docs": SQL_DUP_SPANS,
+        "license_scan_docs": SQL_LICENSE_SCAN,
         "decontam_docs": SQL_DECONTAM,
         "cross_neardup_docs": SQL_CROSS_NEARDUP,
         "line_stats_docs": SQL_LINE_STATS,

@@ -373,6 +373,17 @@ def _ngram_repetition(ctx, cfg):
     )
 
 
+@op("license_scan")
+def _license_scan(ctx, cfg):
+    from ..stages import textstats
+
+    return textstats.license_scan(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"),
+        header_chars=int(cfg.get("header_chars", 2048)),
+    )
+
+
 @op("dup_spans")
 def _dup_spans(ctx, cfg):
     from ..stages.dedup import cross_doc_dup_spans

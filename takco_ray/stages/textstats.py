@@ -585,3 +585,61 @@ def line_stats(ds, text_column: str, id_column: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# (priority-ordered; first match wins — GPL v3 before v2 so a v3 header
+# that also mentions "version 2" classifies as v3, matching the SQL CASE)
+LICENSE_RULES = (
+    ("apache-2.0", ("licensed under the apache license",)),
+    ("mit", ("permission is hereby granted, free of charge",)),
+    ("gpl-3.0", ("gnu general public license", "version 3")),
+    ("gpl-2.0", ("gnu general public license", "version 2")),
+    ("bsd-3-clause", ("redistribution and use in source and binary forms",)),
+    ("mpl-2.0", ("mozilla public license",)),
+    ("unlicense", ("this is free and unencumbered software",)),
+)
+PERMISSIVE = {"apache-2.0", "mit", "bsd-3-clause", "mpl-2.0", "unlicense"}
+
+
+def license_scan(ds, text_column: str, id_column: str, header_chars: int = 2048):
+    """Per-doc SPDX-style license detection from the file header.
+
+    Scans the first ``header_chars`` characters (lowercased) for canonical
+    license phrases, priority-ordered (``LICENSE_RULES``); emits
+    ``(id, license, permissive)``. Pure Arrow projection — one slice + one
+    lower + one ``match_substring`` per phrase, no shuffle, no Python loop —
+    the code-corpus curation gate (drop/keep by license) is then a plain
+    ``filter``. A phrase table, not a model: the classic license-scanner
+    trade (fast, explainable, exact-string recall only), and every rule is
+    TOML-visible rather than baked into a binary.
+
+    Reference analog: takco filters corpus slices by metadata predicates
+    (``takco/pages.py`` page-type gates); license is the code-corpus
+    equivalent of those provenance gates.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_column), "")
+        head = pc.utf8_lower(pc.utf8_slice_codeunits(text, 0, header_chars))
+        n = len(batch)
+        label = np.full(n, "none", dtype=object)
+        undecided = np.ones(n, dtype=bool)
+        perm = np.zeros(n, dtype=np.int64)
+        for name, phrases in LICENSE_RULES:
+            mask = np.ones(n, dtype=bool)
+            for p in phrases:
+                mask &= np.asarray(pc.match_substring(head, p), dtype=bool)
+            hit = mask & undecided
+            label[hit] = name
+            if name in PERMISSIVE:
+                perm[hit] = 1
+            undecided &= ~mask
+        return pa.table(
+            {
+                "id": batch.column(id_column).cast(pa.int64()),
+                "license": pa.array(label, type=pa.string()),
+                "permissive": pa.array(perm, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

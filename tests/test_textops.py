@@ -661,3 +661,50 @@ def test_cross_doc_dup_spans_matches_duckdb(ray_session, tmp_path):
     assert len(got) == len(want)
     for col in ("n_ngrams", "dup_ngrams", "max_dup_run"):
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_license_scan_rules(ray_session):
+    texts = [
+        "// Licensed under the Apache License, Version 2.0\ncode()",
+        "/* Permission is hereby granted, free of charge */ x = 1",
+        "# GNU General Public License version 3\nmain()",
+        "# GNU General Public License version 2 only\nmain()",
+        "Redistribution and use in source and binary forms are permitted",
+        "This file is under the Mozilla Public License 2.0",
+        "This is free and unencumbered software released into the public domain",
+        "no license text at all",
+        "",
+        # priority: apache phrase wins over a later gpl mention
+        "Licensed under the Apache License... GNU General Public License version 3",
+    ]
+    out = (
+        textstats.license_scan(
+            _ds({"doc_id": list(range(len(texts))), "text": texts}), "text", "doc_id"
+        )
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    want = [
+        "apache-2.0", "mit", "gpl-3.0", "gpl-2.0", "bsd-3-clause",
+        "mpl-2.0", "unlicense", "none", "none", "apache-2.0",
+    ]
+    assert list(out.license) == want
+    assert list(out.permissive) == [1, 1, 0, 0, 1, 1, 1, 0, 0, 1]
+
+
+def test_license_scan_matches_duckdb(ray_session):
+    import duckdb
+
+    from takco_ray.pipelines import queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(queries.SQL_LICENSE_SCAN).fetch_df().set_index("id").sort_index()
+    got = queries.q_license_scan_docs(sf).to_pandas().set_index("id").sort_index()
+    assert len(got) == len(want)
+    assert (got.license.to_numpy() == want.license.to_numpy()).all()
+    assert (got.permissive.to_numpy() == want.permissive.to_numpy()).all()
