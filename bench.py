@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "dup_span_docs",
     "semdedup_docs",
     "license_scan_docs",
+    "quantile_filter_docs",
+    "source_quota_docs",
 ]
 
 

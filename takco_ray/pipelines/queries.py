@@ -1072,6 +1072,39 @@ FROM sh
 """
 
 
+def q_quantile_filter_docs(sf_dir: str):
+    """Global-statistic curation gate: drop the shortest quartile of the
+    corpus — threshold computed distributed (histogram quantile), applied as
+    a stateless filter (:func:`takco_ray.stages.relational.quantile_filter`)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return relational.quantile_filter(docs, "n_chars", q=0.25, keep="ge")
+
+
+SQL_QUANTILE_FILTER = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
+"""
+
+
+def q_source_quota_docs(sf_dir: str):
+    """Per-source quota (domain-rebalancing curation): keep at most 10 docs
+    per source, longest first, deterministic tiebreak — the documents-table
+    instance of the per-group top-n combiner."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return relational.top_n_per_group(
+        docs, group_col="source", order_col="n_chars", n=10, tiebreak_col="doc_id"
+    )
+
+
+SQL_SOURCE_QUOTA = """
+SELECT doc_id, source, n_chars, rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+WHERE rank <= 10
+"""
+
+
 _LICENSE_HEADERS = [
     '// Licensed under the Apache License, Version 2.0 (the "License")',
     "/* Permission is hereby granted, free of charge, to any person */",
@@ -1975,6 +2008,8 @@ def build_queries() -> dict:
         "ngram_repetition_docs": q_ngram_repetition_docs,
         "dup_span_docs": q_dup_span_docs,
         "license_scan_docs": q_license_scan_docs,
+        "quantile_filter_docs": q_quantile_filter_docs,
+        "source_quota_docs": q_source_quota_docs,
         "decontam_docs": q_decontam_docs,
         "decontam_bloom_docs": q_decontam_bloom_docs,
         "cross_neardup_docs": q_cross_neardup_docs,
@@ -2055,6 +2090,8 @@ def build_oracle_sql() -> dict:
         "ngram_repetition_docs": SQL_NGRAM_REPETITION,
         "dup_span_docs": SQL_DUP_SPANS,
         "license_scan_docs": SQL_LICENSE_SCAN,
+        "quantile_filter_docs": SQL_QUANTILE_FILTER,
+        "source_quota_docs": SQL_SOURCE_QUOTA,
         "decontam_docs": SQL_DECONTAM,
         "cross_neardup_docs": SQL_CROSS_NEARDUP,
         "line_stats_docs": SQL_LINE_STATS,

@@ -373,6 +373,16 @@ def _ngram_repetition(ctx, cfg):
     )
 
 
+@op("quantile_filter")
+def _quantile_filter(ctx, cfg):
+    from ..stages.relational import quantile_filter
+
+    return quantile_filter(
+        _ds(ctx, cfg), cfg["column"], q=float(cfg.get("q", 0.25)),
+        keep=cfg.get("keep", "ge"),
+    )
+
+
 @op("license_scan")
 def _license_scan(ctx, cfg):
     from ..stages import textstats

@@ -389,3 +389,28 @@ def epoch_shuffle(ds, id_col: str, num_shards: int = 64, rounds: int = 4, seed: 
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantile_filter(ds, col: str, q: float = 0.25, keep: str = "ge"):
+    """Filter rows against a GLOBAL exact quantile of ``col``.
+
+    The global-statistic curation gate (drop the bottom-``q`` tail by
+    length/quality, or the top tail with ``keep='le'``): one
+    :func:`exact_quantiles` pass (only the value histogram shuffles)
+    produces the threshold — a single scalar, taken on the driver under the
+    small-side rule — and the second pass is a stateless vectorized filter.
+    The input is consumed twice; callers holding an expensive upstream
+    should checkpoint or ``materialize()`` it first (the TOML runner's
+    stage checkpoints do this for free).
+
+    DuckDB equivalence: ``WHERE col >= (SELECT quantile_disc(col, q) ...)``.
+    """
+    row = exact_quantiles(ds, col, [q]).take_all()[0]
+    thr = row[f"q{int(round(q * 100)):02d}"]
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        mask = pc.greater_equal(c, thr) if keep == "ge" else pc.less_equal(c, thr)
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -185,3 +185,25 @@ def test_epoch_shuffle_rejects_out_of_domain_ids(ray_session):
     big = _ds({"id": np.array([FEISTEL_DOMAIN], dtype=np.int64)})
     with pytest.raises(Exception):
         relational.epoch_shuffle(big, "id").to_pandas()
+
+
+def test_quantile_filter_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from takco_ray.stages.relational import quantile_filter
+
+    rs = np.random.RandomState(5)
+    vals = rs.randint(0, 50, size=400).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(range(400), type=pa.int64()),
+                  "v": pa.array(vals, type=pa.int64())})
+    )
+    for q, keep in ((0.25, "ge"), (0.9, "le")):
+        out = quantile_filter(ds, "v", q=q, keep=keep).to_pandas()
+        # quantile_disc: element at 0-based sorted index ceil(q*n)-1
+        thr = np.sort(vals)[max(0, int(np.ceil(q * len(vals))) - 1)]
+        want = (vals >= thr) if keep == "ge" else (vals <= thr)
+        assert len(out) == want.sum(), (q, keep)
+        assert set(out.id) == set(np.flatnonzero(want))
