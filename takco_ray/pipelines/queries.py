@@ -1979,6 +1979,227 @@ def q_source_neardup_minhash(sf_dir: str):
     )
 
 
+
+def q_rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP analog (A1/A8 family): finest level is the only
+    cluster-wide aggregate; subtotals and the grand total derive from that
+    small result. Rolled-up keys carry the 'ALL' sentinel in both engines."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": t.column("l_quantity").cast(pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return relational.rollup_aggregate(
+        prepped, ["l_returnflag", "l_linestatus"], "qty", sum_name="sum_qty"
+    )
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_priority_mode_by_segment(sf_dir: str):
+    """Per-group mode with deterministic tie-break (the reference's
+    Counter.most_common(1) header vote, cluster.py:692-700): orders joined
+    to customer segments, then grouped_mode."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return relational.grouped_mode(joined, "c_mktsegment", "o_orderpriority")
+
+
+SQL_PRIORITY_MODE = """
+WITH j AS (
+  SELECT c_mktsegment, o_orderpriority
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), c AS (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS cnt
+  FROM j GROUP BY c_mktsegment, o_orderpriority
+), r AS (
+  SELECT c_mktsegment, o_orderpriority, cnt,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM c
+)
+SELECT c_mktsegment, o_orderpriority AS mode, cnt AS mode_n
+FROM r WHERE rn = 1
+"""
+
+
+def q_supplier_name_agg(sf_dir: str):
+    """Per-group sorted string_agg (list-assembly aggregate): supplier
+    names per nation, deterministically ordered inside each group."""
+    sup = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_name"])
+    return relational.string_agg_per_group(sup, "s_nationkey", "s_name")
+
+
+SQL_SUPPLIER_NAME_AGG = """
+SELECT s_nationkey, count(*) AS n_values,
+       string_agg(s_name, ',' ORDER BY s_name) AS agg
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+def q_price_p90_cont(sf_dir: str):
+    """Interpolated (quantile_cont) p90 of order totals in exact integer
+    arithmetic — result scaled by the quantile denominator (cents x 10) so
+    no float interpolation can round differently across engines. Only the
+    distinct-value histogram shuffles."""
+    orders = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": _int_units(t.column("o_totalprice"), 100)})
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return relational.quantile_cont_scaled(prepped, "cents", 9, 10, "p90_cents_x10")
+
+
+SQL_PRICE_P90_CONT = """
+WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+s AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS rn FROM v),
+p AS (SELECT count(*) AS n,
+             ((count(*) - 1) * 9) // 10 AS k,
+             ((count(*) - 1) * 9) % 10 AS rem
+      FROM v)
+SELECT CAST((SELECT c FROM s WHERE rn = p.k) * (10 - p.rem)
+          + (SELECT c FROM s WHERE rn = least(p.k + 1, p.n - 1)) * p.rem
+       AS BIGINT) AS p90_cents_x10
+FROM p
+"""
+
+
+def q_supplier_rank(sf_dir: str):
+    """Global dense_rank as a distributed window op (no global row sort):
+    distinct-value hash aggregate -> range-bucketed prefix scan (only
+    num_buckets counts on the driver) -> per-bucket rank assign -> hash
+    join back. Ranked by account balance, highest first."""
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": t.column("s_suppkey"),
+            "bal_c": _int_units(t.column("s_acctbal"), 100),
+        })
+
+    prepped = sup.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = relational.dense_rank(prepped, "bal_c", out_col="acct_rank",
+                                   descending=True, num_buckets=64)
+    return ranked.select_columns(["s_suppkey", "bal_c", "acct_rank"])
+
+
+SQL_SUPPLIER_RANK = """
+SELECT s_suppkey,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c,
+       CAST(dense_rank() OVER (ORDER BY round(s_acctbal * 100) DESC) AS BIGINT)
+         AS acct_rank
+FROM supplier
+"""
+
+
+def q_quantity_discount_moments(sf_dir: str):
+    """Exact one-pass co-moment aggregation (n, Sx, Sy, Sxx, Syy, Sxy as
+    int64) over quantity x discount-pct — the distributed correlation /
+    covariance building block; each block reduces to one 48-byte row."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": t.column("l_quantity").cast(pa.int64()),
+            "y": _int_units(t.column("l_discount"), 100),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return relational.comoment_sums(prepped, "x", "y")
+
+
+SQL_COMOMENTS = """
+WITH v AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT count(*) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(y * y) AS BIGINT) AS sum_yy,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM v
+"""
+
+
+
+def q_dup_line_docs(sf_dir: str):
+    """Line-level cross-corpus boilerplate signal (RefinedWeb-style): per
+    doc, how many of its distinct non-blank lines appear in >= 2 documents.
+    The synthetic docs are single-line word soups with zero literal line
+    overlap, so (license_scan pattern) deterministic boilerplate footer
+    lines are appended by doc_id in BOTH engines first — docs with
+    doc_id%5==0 share footer A, doc_id%7==0 footer B, the rest only their
+    (unique) body line."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64())
+        ids_np = np.asarray(ids.combine_chunks(), dtype=np.int64)
+        a = np.where(ids_np % 5 == 0, "\n# generated by build-bot v1", "")
+        b = np.where(ids_np % 7 == 0, "\n-- footer: all rights reserved", "")
+        suffix = pa.array(np.char.add(a, b), type=pa.string())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": pc.binary_join_element_wise(t.column("text"), suffix, ""),
+            }
+        )
+
+    enriched = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    return dedup_stages.cross_doc_dup_lines(enriched, "text", "doc_id", min_df=2)
+
+
+SQL_DUP_LINES = r"""
+WITH src AS (
+  SELECT doc_id,
+         coalesce(text, '')
+           || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '# generated by build-bot v1' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '-- footer: all rights reserved' ELSE '' END
+           AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, trim(line) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM src)
+  WHERE trim(line) <> ''
+), dl AS (SELECT DISTINCT doc_id, line FROM l),
+df AS (SELECT line, count(*) AS df FROM dl GROUP BY line),
+dup AS (
+  SELECT dl.doc_id, count(*) AS n
+  FROM dl JOIN df USING (line)
+  WHERE df.df >= 2
+  GROUP BY dl.doc_id
+)
+SELECT d.doc_id AS id, CAST(coalesce(dup.n, 0) AS BIGINT) AS n_dup_lines
+FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2043,6 +2264,13 @@ def build_queries() -> dict:
         "text_neardup_clusters": q_text_neardup_clusters,
         "cluster_reps": q_cluster_reps,
         "event_props": q_event_props,
+        "rollup_lineitem": q_rollup_lineitem,
+        "priority_mode_by_segment": q_priority_mode_by_segment,
+        "supplier_name_agg": q_supplier_name_agg,
+        "price_p90_cont": q_price_p90_cont,
+        "supplier_rank": q_supplier_rank,
+        "quantity_discount_moments": q_quantity_discount_moments,
+        "dup_line_docs": q_dup_line_docs,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2123,4 +2351,11 @@ def build_oracle_sql() -> dict:
         "text_neardup_clusters": SQL_TEXT_NEARDUP_CLUSTERS,
         "cluster_reps": _sql_cluster_reps(),
         "event_props": SQL_EVENT_PROPS,
+        "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+        "priority_mode_by_segment": SQL_PRIORITY_MODE,
+        "supplier_name_agg": SQL_SUPPLIER_NAME_AGG,
+        "price_p90_cont": SQL_PRICE_P90_CONT,
+        "supplier_rank": SQL_SUPPLIER_RANK,
+        "quantity_discount_moments": SQL_COMOMENTS,
+        "dup_line_docs": SQL_DUP_LINES,
     }

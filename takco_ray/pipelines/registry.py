@@ -394,6 +394,16 @@ def _license_scan(ctx, cfg):
     )
 
 
+@op("dup_lines")
+def _dup_lines(ctx, cfg):
+    from ..stages.dedup import cross_doc_dup_lines
+
+    return cross_doc_dup_lines(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"), min_df=int(cfg.get("min_df", 2)),
+    )
+
+
 @op("dup_spans")
 def _dup_spans(ctx, cfg):
     from ..stages.dedup import cross_doc_dup_spans
@@ -529,6 +539,61 @@ def _stratified_sample(ctx, cfg):
     return stratified_sample(
         _ds(ctx, cfg), cfg["group_col"], cfg["id_col"], n=int(cfg.get("n", 10))
     )
+
+
+@op("rollup")
+def _rollup(ctx, cfg):
+    from ..stages.relational import rollup_aggregate
+
+    return rollup_aggregate(
+        _ds(ctx, cfg), list(cfg["keys"]), cfg["value_col"],
+        sum_name=cfg.get("sum_name", "value_sum"),
+        total_label=cfg.get("total_label", "ALL"),
+    )
+
+
+@op("grouped_mode")
+def _grouped_mode(ctx, cfg):
+    from ..stages.relational import grouped_mode
+
+    return grouped_mode(_ds(ctx, cfg), cfg["group_col"], cfg["value_col"])
+
+
+@op("string_agg")
+def _string_agg(ctx, cfg):
+    from ..stages.relational import string_agg_per_group
+
+    return string_agg_per_group(
+        _ds(ctx, cfg), cfg["group_col"], cfg["value_col"], sep=cfg.get("sep", ",")
+    )
+
+
+@op("quantile_cont")
+def _quantile_cont(ctx, cfg):
+    from ..stages.relational import quantile_cont_scaled
+
+    return quantile_cont_scaled(
+        _ds(ctx, cfg), cfg["column"], int(cfg["q_num"]), int(cfg["q_den"]),
+        cfg.get("out_name", "quantile_scaled"),
+    )
+
+
+@op("dense_rank")
+def _dense_rank(ctx, cfg):
+    from ..stages.relational import dense_rank
+
+    return dense_rank(
+        _ds(ctx, cfg), cfg["column"], out_col=cfg.get("out_col", "rank"),
+        descending=bool(cfg.get("descending", False)),
+        num_buckets=int(cfg.get("num_buckets", 256)),
+    )
+
+
+@op("comoments")
+def _comoments(ctx, cfg):
+    from ..stages.relational import comoment_sums
+
+    return comoment_sums(_ds(ctx, cfg), cfg["x_col"], cfg["y_col"])
 
 
 @op("redact_pii")

@@ -1554,3 +1554,119 @@ def semantic_dedup(
         )
 
     return partitioned_group_map(assigned, "cell", dedup_cells, num_partitions=parts)
+
+
+def cross_doc_dup_lines(
+    ds,
+    text_column: str,
+    id_column: str,
+    min_df: int = 2,
+    num_partitions: int | None = None,
+):
+    """Per-doc count of NON-BLANK lines shared with ≥ ``min_df``−1 other
+    documents — the line-level cross-corpus boilerplate signal (the
+    RefinedWeb/CCNet "duplicated lines across documents" hygiene stat;
+    complement of :func:`~takco_ray.stages.textstats.line_stats`, which is
+    within-doc only).
+
+    Exact and collision-free with ONE content shuffle:
+
+    1. the explode pass splits each document into lines with one Arrow
+       ``split_pattern`` call, trims, drops blanks, and — because a row IS a
+       whole document — dedups (doc, line) batch-locally with a factorize,
+       so only DISTINCT per-doc lines ever shuffle;
+    2. distinct (doc, line) rows hash-partition by a 64-bit line hash via
+       ``partitioned_group_map``; inside a partition lines are re-keyed by
+       their exact strings (pandas factorize), so hash collisions only
+       co-locate rows, never merge counts — document frequency per line is
+       exact, and per-doc duplicated-line counts reduce partially in the
+       same pass (``np.unique``), leaving a (doc, partial-count) relation;
+    3. a zero row per document unions into the partial counts, so the final
+       doc-keyed grouped sum attaches zeros without any join.
+
+    At web scale the line text in the shuffle is the cost driver; the scale
+    path is the same trade documented on :func:`cross_doc_dup_spans` —
+    hash-sample the corpus or Bloom-probe a known boilerplate set.
+    """
+    from ..functions.hashing import hash64_strings
+    from .groupmap import partitioned_group_map
+
+    parts = num_partitions or _parts()
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = np.asarray(t.column(id_column).combine_chunks(), dtype=np.int64)
+        text = pc.fill_null(t.column(text_column), "")
+        lines = pc.split_pattern(text, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.utf8_trim_whitespace(lines.flatten())
+        offsets = np.asarray(lines.offsets, dtype=np.int64)
+        parent = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+        parent = parent[keep]
+        flat_np = np.asarray(flat.to_pandas(), dtype=object)[keep]
+        # batch-local (doc, line) distinct: codes pair → unique
+        codes, uniq = pd.factorize(flat_np)
+        pair = parent * np.int64(len(uniq) + 1) + codes
+        _, first_idx = np.unique(pair, return_index=True)
+        parent, flat_np = parent[first_idx], flat_np[first_idx]
+        line_arr = pa.array(flat_np, type=pa.string())
+        h = hash64_strings(flat_np, seed=0x11E5).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[parent], type=pa.int64()),
+                "line": line_arr,
+                "lh": pa.array(h, type=pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_dups(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        doc = np.asarray(part.column("doc_id").combine_chunks(), dtype=np.int64)
+        lines = part.column("line").to_pandas()
+        codes, _uniq = pd.factorize(lines)
+        df_counts = np.bincount(codes)  # rows are distinct (doc, line) pairs
+        dup_docs = doc[df_counts[codes] >= min_df]
+        u, c = np.unique(dup_docs, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(u, type=pa.int64()),
+                "n_part": pa.array(c.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = partitioned_group_map(pairs, "lh", count_dups, num_partitions=parts)
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).cast(pa.int64())
+        return pa.table(
+            {"doc_id": ids,
+             "n_part": pa.array(np.zeros(len(ids), dtype=np.int64), type=pa.int64())}
+        )
+
+    zeros = ds.map_batches(zero_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sum_by_doc(part: pa.Table) -> pa.Table:
+        from .groupmap import segment_boundaries
+
+        doc = np.asarray(part.column("doc_id").combine_chunks(), dtype=np.int64)
+        n = np.asarray(part.column("n_part").combine_chunks(), dtype=np.int64)
+        starts = segment_boundaries(doc)
+        sums = (
+            np.add.reduceat(n, starts)
+            if len(starts)
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table(
+            {"id": pa.array(doc[starts] if len(starts) else doc, type=pa.int64()),
+             "n_dup_lines": pa.array(sums.astype(np.int64), type=pa.int64())}
+        )
+
+    return partitioned_group_map(
+        partials.union(zeros), "doc_id", sum_by_doc, num_partitions=parts
+    )

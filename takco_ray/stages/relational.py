@@ -414,3 +414,257 @@ def quantile_filter(ds, col: str, q: float = 0.25, keep: str = "ge"):
         return t.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rollup_aggregate(ds, keys: list, value_col: str, sum_name: str = "value_sum",
+                     total_label: str = "ALL"):
+    """SUM + COUNT at every ROLLUP level of ``keys`` (finest → grand total).
+
+    The reference reports per-group AND corpus-global metrics separately
+    (``takco/evaluate/__init__.py:77-141``); SQL spells the combined shape
+    ``GROUP BY ROLLUP(...)``. Distribution: only the FINEST level runs as a
+    cluster-wide hash aggregate (map-side partials, one shuffle of distinct
+    key combos); every coarser level is derived from that already-aggregated
+    result — bounded by the finest group count (small-side rule), so no
+    second pass over the input ever happens. Rolled-up key columns carry
+    ``total_label`` (SQL twin: ``coalesce(k, 'ALL')`` over the ROLLUP) —
+    a sentinel, not NULL, so sorts/hashes stay total-ordered downstream.
+
+    ``value_col`` must already be integerized (int64) by the caller so sums
+    are order-independent.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    finest = (
+        ds.groupby(list(keys))
+        .aggregate(Sum(value_col), Count())
+        .rename_columns({f"sum({value_col})": sum_name, "count()": "n_rows"})
+    )
+
+    def add_levels(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        out = [df]
+        for lvl in range(len(keys) - 1, -1, -1):
+            gb = list(keys[:lvl])
+            if gb:
+                sub = df.groupby(gb, as_index=False, dropna=False)[
+                    [sum_name, "n_rows"]
+                ].sum()
+            else:
+                sub = pd.DataFrame(
+                    {sum_name: [df[sum_name].sum()], "n_rows": [df["n_rows"].sum()]}
+                )
+            for k in keys[lvl:]:
+                sub[k] = total_label
+            out.append(sub[list(keys) + [sum_name, "n_rows"]])
+        res = pd.concat(out, ignore_index=True)
+        res[sum_name] = res[sum_name].astype("int64")
+        res["n_rows"] = res["n_rows"].astype("int64")
+        return pa.Table.from_pandas(res, preserve_index=False)
+
+    # finest is distinct-key-combo sized; one task derives all levels
+    return finest.repartition(1).map_batches(
+        add_levels, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def grouped_mode(ds, group_col: str, value_col: str):
+    """Per-group most-frequent value, ties broken by smallest value — the
+    reference's ``Counter.most_common(1)`` family (header voting,
+    ``takco/cluster/cluster.py:692-700``) as a two-stage distributed op:
+    a (group, value) hash-count aggregate (map-side partials) shrinks the
+    data to distinct pairs, then a per-group argmax over each group's tiny
+    count table. Output: (group_col, mode, mode_n)."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby([group_col, value_col]).aggregate(Count())
+
+    def pick(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("count()", "descending"), (value_col, "ascending")])
+        return pa.table(
+            {
+                group_col: g.column(group_col).slice(0, 1),
+                "mode": g.column(value_col).slice(0, 1),
+                "mode_n": g.column("count()").slice(0, 1),
+            }
+        )
+
+    return counts.groupby(group_col).map_groups(pick, batch_format="pyarrow")
+
+
+def string_agg_per_group(ds, group_col: str, value_col: str, sep: str = ","):
+    """Per-group sorted string concatenation (SQL ``string_agg(v, sep ORDER
+    BY v)``) — the list-assembly aggregate. Sorting inside the group makes
+    the result order-independent of block arrival, so it is deterministic
+    across engines and cluster sizes. Output: (group_col, n_values, agg)."""
+
+    def agg(g: pa.Table) -> pa.Table:
+        vals = sorted(g.column(value_col).to_pylist())
+        return pa.table(
+            {
+                group_col: g.column(group_col).slice(0, 1),
+                "n_values": pa.array([len(vals)], type=pa.int64()),
+                "agg": pa.array([sep.join(vals)], type=pa.string()),
+            }
+        )
+
+    return ds.groupby(group_col).map_groups(agg, batch_format="pyarrow")
+
+
+def quantile_cont_scaled(ds, col: str, q_num: int, q_den: int, out_name: str):
+    """Interpolated (``quantile_cont``-style) quantile in EXACT integer
+    arithmetic.
+
+    ``col`` must be an integerized int64 column (e.g. cents). The continuous
+    quantile sits at 0-based position ``(n−1)·q`` between order statistics
+    ``lo = x[k]`` and ``hi = x[min(k+1, n−1)]`` with ``k = ⌊(n−1)·q⌋``;
+    expressing q as ``q_num/q_den`` keeps everything integral:
+
+        out = lo·(q_den − rem) + hi·rem,   rem = (n−1)·q_num mod q_den
+
+    i.e. the quantile scaled by ``q_den`` — bit-exact in both engines, no
+    float interpolation to round. Distribution is the histogram route of
+    :func:`exact_quantiles`: only distinct values shuffle, the cumsum walk
+    runs on that tiny table."""
+    hist = value_histogram(ds, col)
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("value").combine_chunks(), dtype=np.float64)
+        c = np.asarray(t.column("cnt").combine_chunks(), dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order].astype(np.int64), c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1]) if len(cum) else 0
+        if n == 0:
+            return pa.table({out_name: pa.array([None], type=pa.int64())})
+        pos = (n - 1) * q_num
+        k, rem = pos // q_den, pos % q_den
+        lo = int(v[np.searchsorted(cum, k + 1)])
+        hi = int(v[np.searchsorted(cum, min(k + 1, n - 1) + 1)])
+        return pa.table(
+            {out_name: pa.array([lo * (q_den - rem) + hi * rem], type=pa.int64())}
+        )
+
+    return hist.repartition(1).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def dense_rank(ds, col: str, out_col: str = "rank", descending: bool = False,
+               num_buckets: int = 256):
+    """Global ``dense_rank()`` over ``col`` as a distributed window op.
+
+    No global row sort: (1) the distinct-value relation is built by a hash
+    aggregate (shuffles distinct values only); (2) values are RANGE-bucketed
+    by fixed-width intervals between the global min/max, and only the
+    ``num_buckets`` per-bucket distinct counts reach the driver for an
+    exclusive prefix sum (the pack_sequences prefix-scan shape); (3) one
+    grouped pass per bucket assigns rank = bucket offset + local sorted
+    position; (4) a hash join attaches ranks back to the input rows.
+    Value skew concentrates distinct values in few buckets — raise
+    ``num_buckets`` (cheap: the driver table stays tiny) if the
+    distinct-value distribution is lumpy.
+
+    ``col`` must be int64 (integerize decimals first — cents/micro-units)
+    so the rank join key is exact and engine-independent."""
+    from .groupmap import partitioned_group_map, segment_boundaries
+
+    sign = -1 if descending else 1
+    distinct = value_histogram(ds, col).drop_columns(["cnt"]).materialize()
+
+    from ray.data.aggregate import Count, Max, Min
+
+    mm = distinct.aggregate(Min("value"), Max("value"))
+    vmin, vmax = sign * mm["min(value)"], sign * mm["max(value)"]
+    if descending:
+        vmin, vmax = min(vmin, vmax), max(vmin, vmax)
+    width = (vmax - vmin) / num_buckets or 1.0
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = sign * np.asarray(t.column("value").combine_chunks(), dtype=np.float64)
+        b = np.clip(((v - vmin) / width).astype(np.int64), 0, num_buckets - 1)
+        return pa.table(
+            {"value": pc.cast(t.column("value"), pa.int64()),
+             "bucket": pa.array(b, type=pa.int64())}
+        )
+
+    bucketed = distinct.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    per_bucket = {
+        int(r["bucket"]): int(r["count()"])
+        for r in bucketed.groupby("bucket").aggregate(Count()).take_all()
+    }
+    offsets = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+
+    def assign(g: pa.Table) -> pa.Table:
+        b = np.asarray(g.column("bucket").combine_chunks(), dtype=np.int64)
+        v = np.asarray(g.column("value").combine_chunks(), dtype=np.int64)
+        ranks = np.empty(len(v), dtype=np.int64)
+        for s in segment_boundaries(b):
+            e = int(np.searchsorted(b, b[s], side="right"))
+            seg = slice(int(s), e)
+            order = np.argsort(sign * v[seg], kind="stable")
+            r = np.empty(len(order), dtype=np.int64)
+            r[order] = np.arange(len(order))
+            ranks[seg] = offsets[int(b[s])] + 1 + r
+        return pa.table(
+            {"value": pa.array(v, type=pa.int64()),
+             out_col: pa.array(ranks, type=pa.int64())}
+        )
+
+    ranks = partitioned_group_map(bucketed, "bucket", assign,
+                                  num_partitions=min(64, num_buckets))
+
+    from ..util import default_join_partitions
+
+    return ds.join(
+        ranks,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=(col,),
+        right_on=("value",),
+    )
+
+
+def comoment_sums(ds, xcol: str, ycol: str):
+    """Exact one-pass co-moment aggregation: n, Σx, Σy, Σx², Σy², Σxy as
+    int64 — the distributed building block for covariance / Pearson
+    correlation. ``xcol``/``ycol`` must be integerized int64 columns small
+    enough that the squared sums fit int64 (caller's contract; numpy wraps
+    silently). Per-batch partials reduce each block to ONE 48-byte row, so
+    the final combine is metadata-sized regardless of input size."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t.column(xcol).combine_chunks(), dtype=np.int64)
+        y = np.asarray(t.column(ycol).combine_chunks(), dtype=np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sum_x": pa.array([int(x.sum())], type=pa.int64()),
+                "sum_y": pa.array([int(y.sum())], type=pa.int64()),
+                "sum_xx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "sum_yy": pa.array([int((y * y).sum())], type=pa.int64()),
+                "sum_xy": pa.array([int((x * y).sum())], type=pa.int64()),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+            arr = np.asarray(t.column(name).combine_chunks(), dtype=np.int64)
+            cols[name] = pa.array([int(arr.sum())], type=pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -207,3 +207,85 @@ def test_quantile_filter_matches_numpy(ray_session):
         want = (vals >= thr) if keep == "ge" else (vals <= thr)
         assert len(out) == want.sum(), (q, keep)
         assert set(out.id) == set(np.flatnonzero(want))
+
+
+def test_rollup_aggregate_matches_pandas(ray_session):
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    a = rng.choice(["x", "y", "z"], 300)
+    b = rng.choice(["p", "q"], 300)
+    v = rng.integers(0, 100, 300).astype(np.int64)
+    ds = _ds({"a": list(a), "b": list(b), "v": v})
+    out = (
+        relational.rollup_aggregate(ds, ["a", "b"], "v", sum_name="sv")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"a": a, "b": b, "v": v})
+    finest = df.groupby(["a", "b"], as_index=False).agg(sv=("v", "sum"), n_rows=("v", "size"))
+    sub = df.groupby(["a"], as_index=False).agg(sv=("v", "sum"), n_rows=("v", "size"))
+    sub["b"] = "ALL"
+    total = pd.DataFrame({"a": ["ALL"], "b": ["ALL"], "sv": [v.sum()], "n_rows": [300]})
+    want = (
+        pd.concat([finest, sub, total], ignore_index=True)[["a", "b", "sv", "n_rows"]]
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"sv": "int64", "n_rows": "int64"})
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_grouped_mode_tiebreak(ray_session):
+    # group g1: 'b' x2 vs 'a' x2 → tie broken by smallest value ('a')
+    ds = _ds({"g": ["g1"] * 4 + ["g2"] * 3,
+              "v": ["b", "a", "b", "a", "z", "z", "y"]})
+    out = relational.grouped_mode(ds, "g", "v").to_pandas().sort_values("g")
+    assert list(out["mode"]) == ["a", "z"]
+    assert list(out["mode_n"]) == [2, 2]
+
+
+def test_string_agg_per_group(ray_session):
+    ds = _ds({"g": [1, 1, 2, 1], "name": ["c", "a", "x", "b"]})
+    out = relational.string_agg_per_group(ds, "g", "name").to_pandas().sort_values("g")
+    assert list(out["agg"]) == ["a,b,c", "x"]
+    assert list(out["n_values"]) == [3, 1]
+
+
+def test_quantile_cont_scaled_matches_numpy(ray_session):
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 10_000, 501).astype(np.int64)
+    ds = _ds({"c": v})
+    for q_num, q_den in ((1, 2), (9, 10), (3, 4), (0, 1), (1, 1)):
+        out = relational.quantile_cont_scaled(ds, "c", q_num, q_den, "out").to_pandas()
+        got = out["out"].iloc[0] / q_den
+        want = np.percentile(v, 100.0 * q_num / q_den, method="linear")
+        assert abs(got - want) < 1e-9, (q_num, q_den)
+
+
+def test_dense_rank_matches_pandas(ray_session):
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 40, 300).astype(np.int64)  # many ties across buckets
+    ids = np.arange(300, dtype=np.int64)
+    ds = _ds({"id": ids, "v": v})
+    for desc in (False, True):
+        out = (
+            relational.dense_rank(ds, "v", out_col="r", descending=desc, num_buckets=7)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = pd.Series(v).rank(method="dense", ascending=not desc).astype(np.int64)
+        assert (out["r"].to_numpy() == want.to_numpy()).all(), desc
+
+
+def test_comoment_sums_exact(ray_session):
+    x = np.array([1, 2, 3, 4], dtype=np.int64)
+    y = np.array([10, -2, 7, 0], dtype=np.int64)
+    out = relational.comoment_sums(_ds({"x": x, "y": y}), "x", "y").to_pandas()
+    row = out.iloc[0]
+    assert row["n"] == 4 and row["sum_x"] == 10 and row["sum_y"] == 15
+    assert row["sum_xx"] == 30 and row["sum_yy"] == 153 and row["sum_xy"] == 27

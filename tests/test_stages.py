@@ -992,3 +992,28 @@ def test_semantic_dedup_cells_partition_groups(ray_session):
     for g in {r["dup_group"] for r in out}:
         members = [r["file_id"] for r in out if r["dup_group"] == g]
         assert g == min(members)
+
+
+def test_cross_doc_dup_lines(ray_session):
+    import ray.data
+    from takco_ray.stages.dedup import cross_doc_dup_lines
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                # "shared line" duplicated INSIDE doc 1 counts once; blank
+                # lines and whitespace-only lines never count
+                "alpha\nshared line\n  \nunique one\nshared line",
+                "  shared line \nbeta",  # trims to the same shared line
+                "gamma\ndelta",
+                None,
+            ],
+        }
+    )
+    out = (
+        cross_doc_dup_lines(ray.data.from_arrow(docs), "text", "doc_id")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(out.n_dup_lines) == [1, 1, 0, 0]
