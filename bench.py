@@ -85,6 +85,15 @@ BENCH_QUERIES = [
     "license_scan_docs",
     "quantile_filter_docs",
     "source_quota_docs",
+    # round-3 additions (third batch)
+    "rollup_lineitem",
+    "priority_mode_by_segment",
+    "supplier_name_agg",
+    "price_p90_cont",
+    "supplier_rank",
+    "quantity_discount_moments",
+    "dup_line_docs",
+    "remove_dup_lines_docs",
 ]
 
 

@@ -2200,6 +2200,60 @@ FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
 """
 
 
+
+def q_remove_dup_lines_docs(sf_dir: str):
+    """Actionable line dedup: REWRITE documents with corpus-duplicated
+    lines removed (RefinedWeb cleanup), order/blank-preserving. Enrichment
+    (license_scan pattern) appends a shared build-bot footer (doc_id%5==0,
+    removed), a shared legal footer (doc_id%7==0, removed) and a UNIQUE
+    per-doc tag line (always kept) in BOTH engines, so the oracle verifies
+    removal AND retention byte-exactly on reconstructed content."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64())
+        ids_np = np.asarray(ids.combine_chunks(), dtype=np.int64)
+        a = np.where(ids_np % 5 == 0, "\n# generated by build-bot v1", "")
+        b = np.where(ids_np % 7 == 0, "\n-- footer: all rights reserved", "")
+        c = np.array(["\n# doc-tag " + str(i) for i in ids_np], dtype=object)
+        suffix = pa.array(np.char.add(np.char.add(a, b), c.astype(str)), type=pa.string())
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": pc.binary_join_element_wise(t.column("text"), suffix, ""),
+            }
+        )
+
+    enriched = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    return dedup_stages.remove_dup_lines(enriched, "text", "doc_id", min_df=2)
+
+
+SQL_REMOVE_DUP_LINES = r"""
+WITH src AS (
+  SELECT doc_id,
+         coalesce(text, '')
+           || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '# generated by build-bot v1' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '-- footer: all rights reserved' ELSE '' END
+           || chr(10) || '# doc-tag ' || doc_id
+           AS text
+  FROM documents
+), s2 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS idx FROM s2),
+dl AS (SELECT DISTINCT trim(line) AS t, doc_id FROM l WHERE trim(line) <> ''),
+df AS (SELECT t, count(*) AS c FROM dl GROUP BY t),
+keep AS (
+  SELECT l.doc_id, l.idx, l.line
+  FROM l LEFT JOIN df ON trim(l.line) = df.t
+  WHERE trim(l.line) = '' OR coalesce(df.c, 0) < 2
+), agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id AS id, coalesce(a.text, '') AS text
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2271,6 +2325,7 @@ def build_queries() -> dict:
         "supplier_rank": q_supplier_rank,
         "quantity_discount_moments": q_quantity_discount_moments,
         "dup_line_docs": q_dup_line_docs,
+        "remove_dup_lines_docs": q_remove_dup_lines_docs,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2358,4 +2413,5 @@ def build_oracle_sql() -> dict:
         "supplier_rank": SQL_SUPPLIER_RANK,
         "quantity_discount_moments": SQL_COMOMENTS,
         "dup_line_docs": SQL_DUP_LINES,
+        "remove_dup_lines_docs": SQL_REMOVE_DUP_LINES,
     }

@@ -404,6 +404,16 @@ def _dup_lines(ctx, cfg):
     )
 
 
+@op("remove_dup_lines")
+def _remove_dup_lines(ctx, cfg):
+    from ..stages.dedup import remove_dup_lines
+
+    return remove_dup_lines(
+        _ds(ctx, cfg), cfg.get("text_column", "text"),
+        cfg.get("id_column", "doc_id"), min_df=int(cfg.get("min_df", 2)),
+    )
+
+
 @op("dup_spans")
 def _dup_spans(ctx, cfg):
     from ..stages.dedup import cross_doc_dup_spans

@@ -1670,3 +1670,148 @@ def cross_doc_dup_lines(
     return partitioned_group_map(
         partials.union(zeros), "doc_id", sum_by_doc, num_partitions=parts
     )
+
+
+def remove_dup_lines(
+    ds,
+    text_column: str,
+    id_column: str,
+    min_df: int = 2,
+    num_partitions: int | None = None,
+):
+    """REWRITE documents with corpus-duplicated lines removed — the
+    actionable form of :func:`cross_doc_dup_lines` (RefinedWeb's "discard
+    lines shared across documents" cleanup): a non-blank line is dropped
+    when its trimmed form appears in ≥ ``min_df`` distinct documents;
+    blank/whitespace-only lines and the line order of the survivors are
+    preserved byte-exactly. Output: (id, text).
+
+    Shape — content moves exactly twice, both times as line rows:
+
+    1. explode keeps (doc, idx, raw line) instances; the duplicate decision
+       groups instances by a 64-bit hash of the TRIMMED line
+       (``partitioned_group_map``) and re-keys by exact strings inside each
+       partition, so document frequency is collision-free-exact. Blank
+       lines get a per-instance routing hash (they are always kept, and a
+       shared hash("") key would funnel every blank line in the corpus into
+       one partition — the hot-key trap the blocking stage salts against);
+    2. survivors reassemble per document: one grouped pass sorts (doc,
+       idx), builds Arrow list offsets from segment boundaries and joins
+       with a single vectorized ``binary_join`` — no per-doc Python string
+       loop. A sentinel row per document (idx = −1) rides shuffle 2 so a
+       fully-boilerplate document still emits ``(id, "")`` instead of
+       vanishing.
+    """
+    from ..functions.hashing import hash64_strings
+    from .groupmap import partitioned_group_map, segment_boundaries
+
+    parts = num_partitions or _parts()
+    _MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as two's complement
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_column).combine_chunks(), dtype=np.int64)
+        text = pc.fill_null(t.column(text_column), "")
+        lines = pc.split_pattern(text, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        offsets = np.asarray(lines.offsets, dtype=np.int64)
+        n_per = np.diff(offsets)
+        parent = np.repeat(np.arange(len(ids), dtype=np.int64), n_per)
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], n_per)
+        trimmed = pc.utf8_trim_whitespace(flat)
+        blank = pc.equal(trimmed, "").to_numpy(zero_copy_only=False).astype(bool)
+        trimmed_np = np.asarray(trimmed.to_pandas(), dtype=object)
+        lh = hash64_strings(trimmed_np[~blank], seed=0x11E5).view(np.int64)
+        route = np.empty(len(flat), dtype=np.int64)
+        route[~blank] = lh
+        # blanks: per-instance routing key — always kept, never counted
+        route[blank] = (ids[parent[blank]] * _MIX + idx[blank]) ^ _MIX
+        doc_rows = ids[parent]
+        # sentinel per document so empty survivors still emit (id, "")
+        sent_ids = ids
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([doc_rows, sent_ids]), type=pa.int64()
+                ),
+                "idx": pa.array(
+                    np.concatenate([idx, np.full(len(sent_ids), -1, dtype=np.int64)]),
+                    type=pa.int64(),
+                ),
+                "line": pa.concat_arrays(
+                    [flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat,
+                     pa.array([""] * len(sent_ids), type=flat.type)]
+                ),
+                "blank": pa.array(
+                    np.concatenate([blank, np.ones(len(sent_ids), dtype=bool)]),
+                ),
+                "lh": pa.array(
+                    np.concatenate(
+                        [route, (sent_ids * _MIX - np.int64(1)) ^ _MIX]
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    inst = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mark(part: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        doc = np.asarray(part.column("doc_id").combine_chunks(), dtype=np.int64)
+        idx = np.asarray(part.column("idx").combine_chunks(), dtype=np.int64)
+        blank = np.asarray(part.column("blank").combine_chunks(), dtype=bool)
+        lines = part.column("line").to_pandas()
+        trimmed = lines.str.strip()
+        codes, _u = pd.factorize(trimmed)
+        # df = distinct docs per trimmed line, over non-blank instances only
+        nb = ~blank
+        pair_codes = codes[nb].astype(np.int64)
+        pair_docs = doc[nb]
+        order = np.lexsort((pair_docs, pair_codes))
+        pc_, pd_ = pair_codes[order], pair_docs[order]
+        first = np.ones(len(pc_), dtype=bool)
+        first[1:] = (pc_[1:] != pc_[:-1]) | (pd_[1:] != pd_[:-1])
+        df = np.bincount(pc_[first], minlength=len(_u)) if len(_u) else np.zeros(0)
+        keep = blank | (df[codes] < min_df) if len(_u) else blank
+        sel = pa.array(np.flatnonzero(keep), type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], type=pa.int64()),
+                "idx": pa.array(idx[keep], type=pa.int64()),
+                "line": part.column("line").combine_chunks().take(sel),
+            }
+        )
+
+    kept = partitioned_group_map(inst, "lh", mark, num_partitions=parts)
+
+    def reassemble(part: pa.Table) -> pa.Table:
+        doc = np.asarray(part.column("doc_id").combine_chunks(), dtype=np.int64)
+        idx = np.asarray(part.column("idx").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((idx, doc))
+        doc, idx = doc[order], idx[order]
+        lines = part.column("line").combine_chunks().take(
+            pa.array(order, type=pa.int64())
+        )
+        starts = segment_boundaries(doc)
+        ends = np.append(starts[1:], len(doc))
+        # sentinel (idx == -1) sorts first in each doc segment — skip it
+        real_starts = starts + (idx[starts] == -1)
+        sel = np.concatenate(
+            [np.arange(s, e) for s, e in zip(real_starts, ends)]
+        ) if len(starts) else np.zeros(0, dtype=np.int64)
+        offs = np.zeros(len(starts) + 1, dtype=np.int32)
+        np.cumsum(ends - real_starts, out=offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs), lines.take(pa.array(sel, type=pa.int64()))
+        )
+        return pa.table(
+            {
+                "id": pa.array(doc[starts], type=pa.int64()),
+                "text": pc.binary_join(lst, "\n"),
+            }
+        )
+
+    return partitioned_group_map(kept, "doc_id", reassemble, num_partitions=parts)

@@ -1017,3 +1017,28 @@ def test_cross_doc_dup_lines(ray_session):
         .sort_values("id")
     )
     assert list(out.n_dup_lines) == [1, 1, 0, 0]
+
+
+def test_remove_dup_lines(ray_session):
+    import ray.data
+    from takco_ray.stages.dedup import remove_dup_lines
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                # duplicated-in-corpus line removed even when repeated
+                # inside the doc; blank/whitespace lines always survive
+                "alpha\nshared line\n  \nunique one\nshared line",
+                "  shared line \nbeta",  # trims equal → removed
+                "gamma\ndelta",
+                "shared line",  # fully boilerplate → becomes ""
+            ],
+        }
+    )
+    out = (
+        remove_dup_lines(ray.data.from_arrow(docs), "text", "doc_id")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(out.text) == ["alpha\n  \nunique one", "beta", "gamma\ndelta", ""]
