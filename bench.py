@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "quantity_discount_moments",
     "dup_line_docs",
     "remove_dup_lines_docs",
+    "heavy_event_types",
 ]
 
 

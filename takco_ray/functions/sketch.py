@@ -129,3 +129,25 @@ def bloom_probe(bitmap: np.ndarray, keys: np.ndarray, k: int) -> np.ndarray:
         if not hit.any():
             break
     return hit
+
+
+def mg_compress(keys: np.ndarray, counts: np.ndarray, k: int) -> tuple:
+    """Misra-Gries compression of an exact (keys, counts) relation to ≤ k
+    counters plus the undercount bound it introduces.
+
+    If more than ``k`` keys are present, the (k+1)-th largest count is
+    subtracted from every counter and non-positive counters drop — the
+    classic space-saving step. Returns ``(keys, residual_counts, err)``:
+    every surviving counter undercounts its true frequency by at most
+    ``err``, and any key with true frequency > err is guaranteed to
+    survive. Sketches MERGE by concatenating (key, count) rows, summing
+    per key, adding the ``err`` bounds, and re-compressing — associative,
+    so partial sketches combine in any order.
+    """
+    if len(keys) <= k:
+        return keys, counts, 0
+    order = np.argsort(counts, kind="stable")[::-1]
+    thresh = int(counts[order[k]])
+    residual = counts - thresh
+    keep = residual > 0
+    return keys[keep], residual[keep], thresh

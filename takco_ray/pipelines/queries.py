@@ -2254,6 +2254,24 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+
+def q_heavy_event_types(sf_dir: str):
+    """Misra-Gries heavy hitters over the event stream. event_type has a
+    handful of distinct values per batch, so the sketch runs in its EXACT
+    regime (err_bound = 0) and the SQL oracle pins the whole machinery;
+    the lossy regime's undercount bound is pytest-gated."""
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return relational.heavy_hitters(ds, "event_type", k=8, num_sketch=64)
+
+
+SQL_HEAVY_EVENT_TYPES = """
+SELECT event_type AS value, count(*) AS est_count,
+       CAST(0 AS BIGINT) AS err_bound
+FROM events
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2326,6 +2344,7 @@ def build_queries() -> dict:
         "quantity_discount_moments": q_quantity_discount_moments,
         "dup_line_docs": q_dup_line_docs,
         "remove_dup_lines_docs": q_remove_dup_lines_docs,
+        "heavy_event_types": q_heavy_event_types,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2414,4 +2433,5 @@ def build_oracle_sql() -> dict:
         "quantity_discount_moments": SQL_COMOMENTS,
         "dup_line_docs": SQL_DUP_LINES,
         "remove_dup_lines_docs": SQL_REMOVE_DUP_LINES,
+        "heavy_event_types": SQL_HEAVY_EVENT_TYPES,
     }

@@ -606,6 +606,16 @@ def _comoments(ctx, cfg):
     return comoment_sums(_ds(ctx, cfg), cfg["x_col"], cfg["y_col"])
 
 
+@op("heavy_hitters")
+def _heavy_hitters(ctx, cfg):
+    from ..stages.relational import heavy_hitters
+
+    return heavy_hitters(
+        _ds(ctx, cfg), cfg["column"], k=int(cfg.get("k", 16)),
+        num_sketch=int(cfg.get("num_sketch", 256)),
+    )
+
+
 @op("redact_pii")
 def _redact_pii(ctx, cfg):
     from ..stages.redact import DEFAULT_PATTERNS, redact_pii

@@ -668,3 +668,72 @@ def comoment_sums(ds, xcol: str, ycol: str):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def heavy_hitters(ds, col: str, k: int = 16, num_sketch: int = 256):
+    """Approximate frequent items (Misra-Gries / space-saving): the
+    bounded-memory scale path beside the exact groupby top-k
+    (``textstats.global_token_topk``).
+
+    Each batch reduces to an exact (value, count) relation, then compresses
+    to ≤ ``num_sketch`` counters with :func:`~takco_ray.functions.sketch.
+    mg_compress` — so at most ``num_sketch × blocks`` tiny rows ever leave
+    the map side, regardless of value cardinality (exact top-k shuffles
+    every distinct value). Each batch also emits ONE sentinel row
+    (value = NULL) carrying the undercount bound its compression
+    introduced. One final task sums counters, sums the sentinel bounds,
+    re-compresses, and emits the top ``k``.
+
+    Output: (value, est_count, err_bound) — top ``k`` by est desc, ties by
+    value asc. ``est_count`` undercounts the true frequency by at most
+    ``err_bound``, and any value with true frequency > ``err_bound`` is
+    guaranteed present (the Misra-Gries guarantee, quantified per run
+    instead of hidden). When every batch has ≤ ``num_sketch`` distinct
+    values the sketch is EXACT (err_bound = 0) — the regime the SQL oracle
+    pins; the lossy regime is pytest-bounded against exact counts."""
+    from ..functions.sketch import mg_compress
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        codes, uniq = pd.factorize(t.column(col).to_pandas())
+        cnts = np.bincount(codes[codes >= 0]).astype(np.int64)
+        keys = np.asarray(uniq, dtype=object)
+        keys, cnts, err = mg_compress(keys, cnts, num_sketch)
+        return pa.table(
+            {
+                "value": pa.array(list(keys) + [None], type=pa.string()),
+                "cnt": pa.array(np.append(cnts, 0), type=pa.int64()),
+                "batch_err": pa.array(
+                    np.append(np.zeros(len(keys), dtype=np.int64), err),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        agg = df.dropna(subset=["value"]).groupby("value", as_index=False)["cnt"].sum()
+        total_err = int(df.loc[df["value"].isna(), "batch_err"].sum())
+        keys = np.asarray(agg["value"], dtype=object)
+        cnts = np.asarray(agg["cnt"], dtype=np.int64)
+        keys, cnts, extra = mg_compress(keys, cnts, num_sketch)
+        total_err += int(extra)
+        order = np.lexsort((keys.astype(str), -cnts))[:k]
+        return pa.table(
+            {
+                "value": pa.array(keys[order], type=pa.string()),
+                "est_count": pa.array(cnts[order], type=pa.int64()),
+                "err_bound": pa.array(
+                    np.full(len(order), total_err, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -289,3 +289,35 @@ def test_comoment_sums_exact(ray_session):
     row = out.iloc[0]
     assert row["n"] == 4 and row["sum_x"] == 10 and row["sum_y"] == 15
     assert row["sum_xx"] == 30 and row["sum_yy"] == 153 and row["sum_xy"] == 27
+
+
+def test_heavy_hitters_exact_regime(ray_session):
+    # every batch has <= num_sketch distinct values → sketch is exact
+    vals = ["a"] * 50 + ["b"] * 30 + ["c"] * 19 + ["d"]
+    ds = _ds({"v": vals})
+    out = relational.heavy_hitters(ds, "v", k=3, num_sketch=16).to_pandas()
+    assert list(out.value) == ["a", "b", "c"]
+    assert list(out.est_count) == [50, 30, 19]
+    assert (out.err_bound == 0).all()
+
+
+def test_heavy_hitters_lossy_bound(ray_session):
+    import collections
+    import ray.data
+
+    rng = np.random.default_rng(13)
+    # zipf-ish: heavy head + long tail, forced through many small blocks
+    vals = [f"t{int(v)}" for v in rng.zipf(1.5, 4000) if v < 5000]
+    true = collections.Counter(vals)
+    ds = ray.data.from_items([{"v": v} for v in vals]).repartition(16)
+    out = relational.heavy_hitters(ds, "v", k=10, num_sketch=8).to_pandas()
+    err = int(out.err_bound.iloc[0])
+    assert err > 0  # tail wide enough to force compression
+    got = dict(zip(out.value, out.est_count))
+    for v, est in got.items():
+        # MG guarantee: est <= true <= est + err
+        assert est <= true[v] <= est + err, (v, est, true[v], err)
+    # any value with true frequency > err must be present
+    for v, c in true.items():
+        if c > err:
+            assert v in got, (v, c, err)
