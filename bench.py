@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "dup_line_docs",
     "remove_dup_lines_docs",
     "heavy_event_types",
+    "urgent_low_counts",
 ]
 
 

@@ -2272,6 +2272,73 @@ GROUP BY event_type
 """
 
 
+
+def q_urgent_low_counts(sf_dir: str):
+    """FULL OUTER join (completes the join family J1-J7 + semi/anti/left):
+    per-customer URGENT vs LOW order counts, customers appearing on either
+    side only — keys coalesced, absent side 0. Both inputs are map-side
+    count partials, so the exchange carries one row per (customer,
+    priority-class)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def side(priority: str, key: str, out: str):
+        def proj(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t.column("o_orderpriority"), pa.scalar(priority))
+            filt = t.filter(mask)
+            return pa.table(
+                {
+                    key: filt.column("o_custkey").cast(pa.int64()),
+                    out: pa.array(np.ones(filt.num_rows, dtype=np.int64), type=pa.int64()),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            orders.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(key)
+            .aggregate(Sum(out))
+        )
+        return agg.rename_columns({f"sum({out})": out})
+
+    left = side("1-URGENT", "ck_u", "n_urgent")
+    right = side("5-LOW", "ck_l", "n_low")
+    joined = left.join(
+        right,
+        join_type="full_outer",
+        num_partitions=default_join_partitions(),
+        on=("ck_u",),
+        right_on=("ck_l",),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the right key into the left key column
+        return pa.table(
+            {
+                "custkey": t.column("ck_u").cast(pa.int64()),
+                "n_urgent": pc.fill_null(t.column("n_urgent"), 0).cast(pa.int64()),
+                "n_low": pc.fill_null(t.column("n_low"), 0).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_URGENT_LOW_COUNTS = """
+WITH u AS (
+  SELECT o_custkey AS ck, count(*) AS n_urgent FROM orders
+  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+), l AS (
+  SELECT o_custkey AS ck, count(*) AS n_low FROM orders
+  WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey
+)
+SELECT coalesce(u.ck, l.ck) AS custkey,
+       CAST(coalesce(u.n_urgent, 0) AS BIGINT) AS n_urgent,
+       CAST(coalesce(l.n_low, 0) AS BIGINT) AS n_low
+FROM u FULL OUTER JOIN l ON u.ck = l.ck
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2345,6 +2412,7 @@ def build_queries() -> dict:
         "dup_line_docs": q_dup_line_docs,
         "remove_dup_lines_docs": q_remove_dup_lines_docs,
         "heavy_event_types": q_heavy_event_types,
+        "urgent_low_counts": q_urgent_low_counts,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2434,4 +2502,5 @@ def build_oracle_sql() -> dict:
         "dup_line_docs": SQL_DUP_LINES,
         "remove_dup_lines_docs": SQL_REMOVE_DUP_LINES,
         "heavy_event_types": SQL_HEAVY_EVENT_TYPES,
+        "urgent_low_counts": SQL_URGENT_LOW_COUNTS,
     }
