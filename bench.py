@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "remove_dup_lines_docs",
     "heavy_event_types",
     "urgent_low_counts",
+    "order_price_ntile",
 ]
 
 

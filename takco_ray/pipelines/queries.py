@@ -2339,6 +2339,45 @@ FROM u FULL OUTER JOIN l ON u.ck = l.ck
 """
 
 
+
+def q_order_price_ntile(sf_dir: str):
+    """Distributed NTILE(4): global row_number via the range-bucketed
+    prefix scan (only per-bucket counts on the driver), then the exact SQL
+    tile-size formula — the second window function built on the prefix-scan
+    shape (dense_rank is the first). Ties impossible (orderkey breaks
+    them), so the result is engine-reproducible."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "cents": _int_units(t.column("o_totalprice"), 100),
+        })
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    rn = relational.global_row_number(prepped, "cents", "o_orderkey", out_col="rn")
+    n = prepped.count()
+
+    def fin(t: pa.Table) -> pa.Table:
+        r = np.asarray(t.column("rn").combine_chunks(), dtype=np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("id").cast(pa.int64()),
+                "tile": pa.array(relational.ntile_from_rn(r, n, 4), type=pa.int64()),
+            }
+        )
+
+    return rn.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ORDER_PRICE_NTILE = """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER (ORDER BY round(o_totalprice * 100), o_orderkey) AS BIGINT)
+         AS tile
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2413,6 +2452,7 @@ def build_queries() -> dict:
         "remove_dup_lines_docs": q_remove_dup_lines_docs,
         "heavy_event_types": q_heavy_event_types,
         "urgent_low_counts": q_urgent_low_counts,
+        "order_price_ntile": q_order_price_ntile,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2503,4 +2543,5 @@ def build_oracle_sql() -> dict:
         "remove_dup_lines_docs": SQL_REMOVE_DUP_LINES,
         "heavy_event_types": SQL_HEAVY_EVENT_TYPES,
         "urgent_low_counts": SQL_URGENT_LOW_COUNTS,
+        "order_price_ntile": SQL_ORDER_PRICE_NTILE,
     }

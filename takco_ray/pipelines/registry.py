@@ -606,6 +606,17 @@ def _comoments(ctx, cfg):
     return comoment_sums(_ds(ctx, cfg), cfg["x_col"], cfg["y_col"])
 
 
+@op("row_number")
+def _row_number(ctx, cfg):
+    from ..stages.relational import global_row_number
+
+    return global_row_number(
+        _ds(ctx, cfg), cfg["value_col"], cfg["id_col"],
+        out_col=cfg.get("out_col", "rn"),
+        num_buckets=int(cfg.get("num_buckets", 256)),
+    )
+
+
 @op("heavy_hitters")
 def _heavy_hitters(ctx, cfg):
     from ..stages.relational import heavy_hitters

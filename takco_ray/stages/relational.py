@@ -737,3 +737,88 @@ def heavy_hitters(ds, col: str, k: int = 16, num_sketch: int = 256):
         .repartition(1)
         .map_batches(merge, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def global_row_number(ds, value_col: str, id_col: str, out_col: str = "rn",
+                      num_buckets: int = 256):
+    """Global 0-based ``row_number() OVER (ORDER BY value, id)`` as a
+    distributed window op — no global sort of payload rows.
+
+    Same prefix-scan shape as :func:`dense_rank`, but over the full
+    (value, id) relation instead of distinct values: rows range-bucket by
+    fixed-width value intervals, only the ``num_buckets`` per-bucket row
+    counts reach the driver for an exclusive prefix sum, and one grouped
+    pass per bucket sorts (value, id) and assigns rank = bucket offset +
+    local position. The (value, id) relation is 16 B/row; join the result
+    back by ``id_col`` to attach other columns. Ties are impossible by
+    construction (id breaks them), so the rank is engine-reproducible.
+
+    ``value_col`` must be int64 (integerize decimals first)."""
+    from .groupmap import partitioned_group_map, segment_boundaries
+    from ray.data.aggregate import Count, Max, Min
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    vmin, vmax = mm[f"min({value_col})"], mm[f"max({value_col})"]
+    width = max(1, (int(vmax) - int(vmin) + num_buckets) // num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(value_col).combine_chunks(), dtype=np.int64)
+        b = np.clip((v - vmin) // width, 0, num_buckets - 1)
+        return pa.table(
+            {
+                "value": pa.array(v, type=pa.int64()),
+                "id": t.column(id_col).cast(pa.int64()),
+                "bucket": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    per_bucket = {
+        int(r["bucket"]): int(r["count()"])
+        for r in bucketed.groupby("bucket").aggregate(Count()).take_all()
+    }
+    offsets = {}
+    acc = 0
+    for b in sorted(per_bucket):
+        offsets[b] = acc
+        acc += per_bucket[b]
+
+    def assign(g: pa.Table) -> pa.Table:
+        b = np.asarray(g.column("bucket").combine_chunks(), dtype=np.int64)
+        v = np.asarray(g.column("value").combine_chunks(), dtype=np.int64)
+        i = np.asarray(g.column("id").combine_chunks(), dtype=np.int64)
+        rn = np.empty(len(v), dtype=np.int64)
+        for s in segment_boundaries(b):
+            e = int(np.searchsorted(b, b[s], side="right"))
+            seg = slice(int(s), e)
+            order = np.lexsort((i[seg], v[seg]))
+            r = np.empty(len(order), dtype=np.int64)
+            r[order] = np.arange(len(order))
+            rn[seg] = offsets[int(b[s])] + r
+        return pa.table(
+            {
+                "id": pa.array(i, type=pa.int64()),
+                "value": pa.array(v, type=pa.int64()),
+                out_col: pa.array(rn, type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(bucketed, "bucket", assign,
+                                 num_partitions=min(64, num_buckets))
+
+
+def ntile_from_rn(rn: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 0-based global row numbers: the first ``n mod k``
+    tiles get ``⌈n/k⌉`` rows, the rest ``⌊n/k⌋`` (exact SQL semantics)."""
+    small = n // k
+    n_big = n % k
+    cut = n_big * (small + 1)
+    tile = np.where(
+        rn < cut,
+        rn // (small + 1) if small + 1 > 0 else 0,
+        n_big + np.maximum(rn - cut, 0) // max(small, 1),
+    )
+    return tile.astype(np.int64) + 1

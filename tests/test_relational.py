@@ -321,3 +321,31 @@ def test_heavy_hitters_lossy_bound(ray_session):
     for v, c in true.items():
         if c > err:
             assert v in got, (v, c, err)
+
+
+def test_global_row_number_and_ntile(ray_session):
+    import pandas as pd
+
+    rng = np.random.default_rng(21)
+    v = rng.integers(0, 50, 337).astype(np.int64)  # heavy ties
+    ids = rng.permutation(337).astype(np.int64)
+    ds = _ds({"val": v, "id": ids})
+    out = (
+        relational.global_row_number(ds, "val", "id", out_col="rn", num_buckets=9)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"val": v, "id": ids}).sort_values(["val", "id"]).reset_index(drop=True)
+    want = {i: rn for rn, i in enumerate(df.id)}
+    assert all(want[r.id] == r.rn for r in out.itertuples())
+    # NTILE formula vs an explicit partitioning
+    for n, k in ((337, 4), (12, 5), (5, 8), (100, 1)):
+        rn = np.arange(n, dtype=np.int64)
+        tiles = relational.ntile_from_rn(rn, n, k)
+        sizes = np.bincount(tiles)[1:]
+        big, small = -(-n // k), n // k
+        assert tiles.min() == 1 and tiles.max() == min(k, n)
+        assert all(s in (big, small) for s in sizes)
+        assert (np.diff(tiles) >= 0).all()
+        assert sizes.sum() == n
