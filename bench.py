@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "heavy_event_types",
     "urgent_low_counts",
     "order_price_ntile",
+    "priority_skew_join",
+    "bloom_semi_lineitem",
 ]
 
 
@@ -353,9 +355,15 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
     corpus_dir, _ = _ensure_corpus(sf_dir)  # generate once, outside timing
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     results = {}
-    for cpus in (low, high):
-        best = None
-        for _rep in range(repeats):
+    samples: dict = {low: [], high: []}
+    # INTERLEAVE the levels (low, high, low, high, ...): the two levels of
+    # one sequential sweep run ~15 min apart on this co-tenanted host, long
+    # enough for background load to drift between them — two same-day
+    # sweeps measured eff 0.79 and 0.50 with each level moving in OPPOSITE
+    # directions. Adjacent interleaved samples share a contention window,
+    # so the min-per-level pair is far more likely to be comparable.
+    for _rep in range(repeats):
+        for cpus in (low, high):
             # min over repeats: this sandbox shares a host with other
             # tenants (loadavg >10 observed), so single samples swing ±70%;
             # the minimum is the least-contended estimate of the engine
@@ -376,9 +384,10 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
             )
             line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
             r = json.loads(line)
+            samples[cpus].append(r["queries"]["er_pipeline"])
+            best = results.get(cpus)
             if best is None or r["queries"]["er_pipeline"] < best["queries"]["er_pipeline"]:
-                best = r
-        results[cpus] = best
+                results[cpus] = r
     t_low = results[low]["queries"]["er_pipeline"]
     t_high = results[high]["queries"]["er_pipeline"]
     n = results[low]["er_files"]
@@ -390,6 +399,10 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
         "queries": {
             f"er_pipeline_cpus{low}": t_low,
             f"er_pipeline_cpus{high}": t_high,
+        },
+        "spread": {
+            f"er_pipeline_cpus{low}": samples[low],
+            f"er_pipeline_cpus{high}": samples[high],
         },
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": high,

@@ -2378,6 +2378,61 @@ FROM orders
 """
 
 
+
+def q_priority_skew_join(sf_dir: str):
+    """Skew-aware join (the join-side twin of salted blocking): a 5-row
+    priority dimension joined to orders on o_orderpriority — a key with
+    ~n/5 rows per value, the vendored-boilerplate shape that would make one
+    hash-join partition a straggler. Keys above hot_threshold take the
+    broadcast path (at sf0.01 all five are hot), the rest the hash join;
+    identical result either way, which is exactly what the oracle pins."""
+    dim = ray.data.from_arrow(
+        pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+                    type=pa.string(),
+                ),
+                "prio_rank": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            }
+        )
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    return relational.skew_join(
+        dim, orders, on="o_orderpriority", hot_threshold=1000
+    )
+
+
+SQL_PRIORITY_SKEW_JOIN = """
+SELECT o_orderpriority,
+       CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_rank,
+       o_orderkey
+FROM orders
+"""
+
+
+
+def q_bloom_semi_lineitem(sf_dir: str):
+    """Bloom-prefiltered EXACT semi-join: line items of expensive orders.
+    The right side's keys build a distributed Bloom bitmap (partial
+    bitmaps, one OR merge) broadcast to a map-side probe that drops
+    definite non-matches before the exchange; survivors ride the native
+    hash semi-join, so the result is exactly the plain semi-join."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    big = orders.filter(expr="o_totalprice > 400000").select_columns(["o_orderkey"])
+    return relational.bloom_semi_join(
+        li, big, on="l_orderkey", right_on="o_orderkey"
+    )
+
+
+SQL_BLOOM_SEMI_LINEITEM = """
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2453,6 +2508,8 @@ def build_queries() -> dict:
         "heavy_event_types": q_heavy_event_types,
         "urgent_low_counts": q_urgent_low_counts,
         "order_price_ntile": q_order_price_ntile,
+        "priority_skew_join": q_priority_skew_join,
+        "bloom_semi_lineitem": q_bloom_semi_lineitem,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2544,4 +2601,6 @@ def build_oracle_sql() -> dict:
         "heavy_event_types": SQL_HEAVY_EVENT_TYPES,
         "urgent_low_counts": SQL_URGENT_LOW_COUNTS,
         "order_price_ntile": SQL_ORDER_PRICE_NTILE,
+        "priority_skew_join": SQL_PRIORITY_SKEW_JOIN,
+        "bloom_semi_lineitem": SQL_BLOOM_SEMI_LINEITEM,
     }

@@ -606,6 +606,30 @@ def _comoments(ctx, cfg):
     return comoment_sums(_ds(ctx, cfg), cfg["x_col"], cfg["y_col"])
 
 
+@op("bloom_semi_join")
+def _bloom_semi_join(ctx, cfg):
+    from ..stages.relational import bloom_semi_join
+
+    return bloom_semi_join(
+        _ds(ctx, cfg), _ds(ctx, cfg, "right"), cfg["on"],
+        right_on=cfg.get("right_on"),
+        bits_per_key=int(cfg.get("bits_per_key", 10)),
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
+@op("skew_join")
+def _skew_join(ctx, cfg):
+    from ..stages.relational import skew_join
+
+    return skew_join(
+        _ds(ctx, cfg), _ds(ctx, cfg, "right"), cfg["on"],
+        right_on=cfg.get("right_on"),
+        hot_threshold=int(cfg.get("hot_threshold", 100000)),
+        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else None,
+    )
+
+
 @op("row_number")
 def _row_number(ctx, cfg):
     from ..stages.relational import global_row_number

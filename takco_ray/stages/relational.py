@@ -822,3 +822,168 @@ def ntile_from_rn(rn: np.ndarray, n: int, k: int) -> np.ndarray:
         n_big + np.maximum(rn - cut, 0) // max(small, 1),
     )
     return tile.astype(np.int64) + 1
+
+
+def skew_join(left, right, on: str, right_on: str | None = None,
+              hot_threshold: int = 100_000, num_partitions: int | None = None):
+    """Skew-aware inner equi-join: HOT keys take a broadcast path, cold
+    keys the normal hash-shuffle join — the join-side twin of the blocking
+    stage's salted band groupby (north rule: explicit skew handling).
+
+    A plain hash join routes every row of a hot key to ONE partition — a
+    single vendored-file key with 10⁸ rows becomes one straggler task no
+    matter how many partitions the cluster has. Here:
+
+    1. one count aggregate over the RIGHT side's keys finds keys with
+       > ``hot_threshold`` right rows; the hot-key list is bounded by
+       ``|right| / hot_threshold`` — driver-safe by construction;
+    2. right rows of hot keys are collected and broadcast via ``ray.put``;
+       the hot ROW count is checked against ``hot_threshold × 64`` and the
+       op raises rather than silently collecting an unbounded side
+       (caller raises ``hot_threshold`` or pre-aggregates);
+    3. both inputs split by a vectorized broadcast membership probe: cold
+       rows flow through the native hash join, hot left rows join against
+       the broadcast table INSIDE map_batches (pandas merge per batch —
+       no shuffle, every worker joins its own slice);
+    4. the two streams union under one explicit column projection.
+       Same result as a plain join, no straggler task.
+    """
+    import ray
+
+    from ..util import default_join_partitions
+    from ray.data.aggregate import Count
+
+    rk = right_on or on
+    parts = num_partitions or default_join_partitions()
+    out_cols = list(left.schema().names) + [
+        c for c in right.schema().names if c != rk
+    ]
+
+    from ray.data.aggregate import Sum
+
+    counts = right.groupby(rk).aggregate(Count()).rename_columns(
+        {"count()": "cnt"}
+    ).materialize()
+    hot_keys = [
+        r[rk] for r in counts.filter(expr=f"cnt > {int(hot_threshold)}").take_all()
+    ]
+
+    if not hot_keys:
+        return left.join(
+            right, join_type="inner", num_partitions=parts,
+            on=(on,), right_on=(rk,),
+        ).select_columns(out_cols)
+
+    # cold RIGHT row total, from the counts relation already in hand: when
+    # every key is hot the cold inner join is provably empty — skip it
+    # (joining two fully-empty streams also trips Ray's schema-less-empty-
+    # block handling in the hash-shuffle join finalizer)
+    cold_sum = counts.filter(expr=f"cnt <= {int(hot_threshold)}").aggregate(Sum("cnt"))
+    cold_right_rows = int(cold_sum["sum(cnt)"] or 0)
+
+    hot_arr_ref = ray.put(np.sort(np.asarray(hot_keys)))
+
+    def split(col: str, keep_hot: bool):
+        def fn(t: pa.Table):
+            keys = np.asarray(t.column(col).combine_chunks())
+            mask = np.isin(keys, ray.get(hot_arr_ref))
+            return t.filter(pa.array(mask if keep_hot else ~mask))
+
+        return fn
+
+    hot_right = right.map_batches(
+        split(rk, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_hot_rows = hot_right.count()
+    if n_hot_rows > hot_threshold * 64:
+        raise ValueError(
+            f"skew_join hot side has {n_hot_rows} rows (> threshold×64); "
+            "raise hot_threshold or pre-aggregate the right side"
+        )
+    hot_ref = ray.put(hot_right.to_pandas())
+
+    cold_joined = None
+    if cold_right_rows:
+        cold_joined = left.map_batches(
+            split(on, False), batch_format="pyarrow", zero_copy_batch=True
+        ).join(
+            right.map_batches(split(rk, False), batch_format="pyarrow", zero_copy_batch=True),
+            join_type="inner", num_partitions=parts, on=(on,), right_on=(rk,),
+        ).select_columns(out_cols)
+
+    def bcast_join(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        rt = ray.get(hot_ref)
+        if rk == on:
+            out = df.merge(rt, on=on, how="inner")
+        else:
+            out = df.merge(rt, left_on=on, right_on=rk, how="inner").drop(columns=[rk])
+        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+
+    hot_joined = left.map_batches(
+        split(on, True), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(bcast_join, batch_format="pyarrow", zero_copy_batch=True)
+
+    if cold_joined is None:
+        return hot_joined
+    return cold_joined.union(hot_joined)
+
+
+def bloom_semi_join(left, right, on: str, right_on: str | None = None,
+                    bits_per_key: int = 10, num_partitions: int | None = None,
+                    expected_right_keys: int | None = None):
+    """EXACT semi-join with a Bloom pre-filter — the shuffle-volume
+    optimization for "big probe side, selective build side" (the
+    decontamination / novelty shape at corpus scale).
+
+    A plain semi-join shuffles EVERY left row; here the right side's keys
+    build a Bloom filter distributed (per-batch partial bitmaps, one
+    bitwise-OR merge — associative, so block retries are harmless), the
+    ~n·bits_per_key/8-byte bitmap broadcasts once via ``ray.put``, and a
+    stateless vectorized probe drops definite non-matches map-side. Bloom
+    false positives (~0.8 % at 10 bits/key) survive the probe, so the
+    pruned remainder still rides the native hash semi-join — the result is
+    exactly the plain semi-join, with only matches + ε of the probe side
+    ever entering the exchange.
+
+    ``expected_right_keys`` sizes the filter (defaults to a count of the
+    right side — one cheap metadata pass). Keys must be int64.
+    """
+    import ray
+
+    from ..functions.sketch import bloom_build, bloom_params, bloom_probe
+    from ..util import default_join_partitions
+
+    rk = right_on or on
+    parts = num_partitions or default_join_partitions()
+    n_keys = expected_right_keys or max(1, right.count())
+    n_bits, k = bloom_params(n_keys, bits_per_key)
+
+    def partial_bitmap(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(rk).combine_chunks(), dtype=np.int64)
+        bm = bloom_build(keys, n_bits, k)
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    def or_merge(t: pa.Table) -> pa.Table:
+        acc = np.zeros(n_bits // 64, dtype=np.uint64)
+        for buf in t.column("bm").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+        return pa.table({"bm": pa.array([acc.tobytes()], type=pa.binary())})
+
+    merged = (
+        right.map_batches(partial_bitmap, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(or_merge, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()[0]["bm"]
+    )
+    bm_ref = ray.put(np.frombuffer(merged, dtype=np.uint64))
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t.column(on).combine_chunks(), dtype=np.int64)
+        hit = bloom_probe(ray.get(bm_ref), keys, k)
+        return t.filter(pa.array(hit))
+
+    pruned = left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return semi_join(pruned, right, on=on, right_on=rk, num_partitions=parts)

@@ -349,3 +349,88 @@ def test_global_row_number_and_ntile(ray_session):
         assert all(s in (big, small) for s in sizes)
         assert (np.diff(tiles) >= 0).all()
         assert sizes.sum() == n
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    import pandas as pd
+
+    rng = np.random.default_rng(31)
+    # right side: one pathologically hot key + a cold tail
+    rkeys = np.concatenate([np.zeros(500, dtype=np.int64),
+                            rng.integers(1, 40, 200).astype(np.int64)])
+    right = _ds({"k": rkeys, "rv": np.arange(len(rkeys), dtype=np.int64)})
+    lkeys = rng.integers(0, 40, 300).astype(np.int64)
+    left = _ds({"k": lkeys, "lv": np.arange(300, dtype=np.int64)})
+
+    out = (
+        relational.skew_join(left, right, on="k", hot_threshold=100, num_partitions=4)
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"k": lkeys, "lv": np.arange(300)})
+        .merge(pd.DataFrame({"k": rkeys, "rv": np.arange(len(rkeys))}), on="k")
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    assert list(out.columns) == ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(out.astype("int64"), want)
+
+    # all-cold regime takes the pure hash-join path and matches too
+    out2 = (
+        relational.skew_join(left, right, on="k", hot_threshold=10_000, num_partitions=4)
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out2.astype("int64"), want)
+
+
+def test_skew_join_bounds_hot_collection(ray_session):
+    import pytest as _pytest
+
+    right = _ds({"k": np.zeros(700, dtype=np.int64),
+                 "rv": np.arange(700, dtype=np.int64)})
+    left = _ds({"k": np.zeros(3, dtype=np.int64), "lv": np.arange(3, dtype=np.int64)})
+    with _pytest.raises(ValueError, match="hot side"):
+        relational.skew_join(left, right, on="k", hot_threshold=10, num_partitions=2)
+
+
+def test_bloom_semi_join_exact(ray_session):
+    rng = np.random.default_rng(41)
+    lk = rng.integers(0, 10_000, 2_000).astype(np.int64)
+    rk = rng.integers(0, 10_000, 150).astype(np.int64)
+    left = _ds({"k": lk, "lv": np.arange(2_000, dtype=np.int64)})
+    right = _ds({"rk": rk})
+    out = relational.bloom_semi_join(
+        left, right, on="k", right_on="rk", num_partitions=4
+    ).to_pandas()
+    want = np.isin(lk, rk)
+    assert len(out) == int(want.sum())
+    assert set(out.lv) == set(np.flatnonzero(want))
+
+
+def test_skew_join_all_hot(ray_session):
+    import pandas as pd
+
+    # every right key hot → cold join provably empty and skipped
+    rkeys = np.repeat(np.arange(3, dtype=np.int64), 50)
+    right = _ds({"k": rkeys, "rv": np.arange(150, dtype=np.int64)})
+    left = _ds({"k": np.array([0, 1, 2, 9], dtype=np.int64),
+                "lv": np.arange(4, dtype=np.int64)})
+    out = (
+        relational.skew_join(left, right, on="k", hot_threshold=10, num_partitions=2)
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.DataFrame({"k": [0, 1, 2, 9], "lv": range(4)})
+        .merge(pd.DataFrame({"k": rkeys, "rv": range(150)}), on="k")
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(out.astype("int64"), want)
