@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "order_price_ntile",
     "priority_skew_join",
     "bloom_semi_lineitem",
+    "embedding_unnest",
 ]
 
 
@@ -287,7 +288,15 @@ def run_stages(sf_dir: str, num_cpus: int) -> dict:
         )
         fp = fingerprint_stage(files, batch_size=2048)
         sigs = fp.map_batches(
-            make_signature_fn(),
+            # MUST mirror er.py's signature config — a default here silently
+            # diverges when ERConfig re-tunes num_perm/num_bands (64/8 in
+            # round 3 vs the kernel's 128/16 defaults)
+            make_signature_fn(
+                num_perm=cfg.num_perm,
+                num_bands=cfg.num_bands,
+                shingle_k=cfg.shingle_k,
+                seed=cfg.seed,
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=2048,

@@ -2433,6 +2433,27 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
 """
 
 
+
+def q_embedding_unnest(sf_dir: str):
+    """List-column unnest WITH ORDINALITY as a zero-copy projection
+    (offset arithmetic on the ListArray) — embeddings exploded to
+    (vec_id, pos, val) rows, dimension-sliced to keep the oracle compact."""
+    from ..stages.normalize import unnest_list
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = ds.filter(expr="vec_id < 100")
+    return unnest_list(ds, "embedding", "vec_id")
+
+
+SQL_EMBEDDING_UNNEST = """
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+       unnest(embedding) AS val
+FROM embeddings
+WHERE vec_id < 100
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2510,6 +2531,7 @@ def build_queries() -> dict:
         "order_price_ntile": q_order_price_ntile,
         "priority_skew_join": q_priority_skew_join,
         "bloom_semi_lineitem": q_bloom_semi_lineitem,
+        "embedding_unnest": q_embedding_unnest,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2603,4 +2625,5 @@ def build_oracle_sql() -> dict:
         "order_price_ntile": SQL_ORDER_PRICE_NTILE,
         "priority_skew_join": SQL_PRIORITY_SKEW_JOIN,
         "bloom_semi_lineitem": SQL_BLOOM_SEMI_LINEITEM,
+        "embedding_unnest": SQL_EMBEDDING_UNNEST,
     }

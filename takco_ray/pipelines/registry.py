@@ -135,6 +135,16 @@ def _normalize(ctx, cfg):
     return normalize_content(_ds(ctx, cfg), **kw)
 
 
+@op("unnest")
+def _unnest(ctx, cfg):
+    from ..stages.normalize import unnest_list
+
+    return unnest_list(
+        _ds(ctx, cfg), cfg["list_column"], cfg["id_column"],
+        pos_name=cfg.get("pos_name", "pos"), value_name=cfg.get("value_name", "val"),
+    )
+
+
 @op("json_extract")
 def _json_extract(ctx, cfg):
     from ..stages.normalize import json_extract

@@ -169,3 +169,35 @@ def json_extract(ds, json_column: str, fields: dict, concurrency=None):
         zero_copy_batch=True,
         concurrency=concurrency or default_concurrency(),
     )
+
+
+def unnest_list(ds, list_column: str, id_column: str, pos_name: str = "pos",
+                value_name: str = "val"):
+    """Explode an Arrow list column into (id, pos, value) rows — the SQL
+    ``unnest ... WITH ORDINALITY`` as a stateless zero-copy projection
+    (offset arithmetic on the ListArray; values are never copied, parents
+    come from one ``np.repeat``). The inverse of a ``groupby(id) →
+    list_agg``; the flat_map shape of the reference's table→triples emit
+    (``takco/evaluate/triples.py:13-133``) applied to a typed column."""
+    import numpy as np
+    import pyarrow as pa
+
+    def explode(t: pa.Table) -> pa.Table:
+        lst = t.column(list_column)
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = lst.flatten()
+        offsets = np.asarray(lst.offsets, dtype=np.int64)
+        n_per = np.diff(offsets)
+        ids = t.column(id_column).combine_chunks()
+        parent = np.repeat(np.arange(len(ids), dtype=np.int64), n_per)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], n_per)
+        return pa.table(
+            {
+                id_column: ids.take(pa.array(parent, type=pa.int64())),
+                pos_name: pa.array(pos, type=pa.int64()),
+                value_name: flat,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

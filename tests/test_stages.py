@@ -1042,3 +1042,25 @@ def test_remove_dup_lines(ray_session):
         .sort_values("id")
     )
     assert list(out.text) == ["alpha\n  \nunique one", "beta", "gamma\ndelta", ""]
+
+
+def test_unnest_list(ray_session):
+    import ray.data
+    from takco_ray.stages.normalize import unnest_list
+
+    tbl = pa.table(
+        {
+            "id": pa.array([10, 11, 12], type=pa.int64()),
+            "xs": pa.array([[1.5, 2.5], [], [7.0]], type=pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        unnest_list(ray.data.from_arrow(tbl), "xs", "id")
+        .to_pandas()
+        .sort_values(["id", "pos"])
+        .reset_index(drop=True)
+    )
+    assert list(out.id) == [10, 10, 12]
+    assert list(out.pos) == [0, 1, 0]
+    assert list(out.val) == [1.5, 2.5, 7.0]
+    assert str(out.val.dtype) == "float32"
