@@ -2356,7 +2356,9 @@ def q_order_price_ntile(sf_dir: str):
 
     prepped = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     rn = relational.global_row_number(prepped, "cents", "o_orderkey", out_col="rn")
-    n = prepped.count()
+    # row count from the RAW read (parquet metadata), not the prepped
+    # pipeline — counting prepped would re-execute the read + projection
+    n = orders.count()
 
     def fin(t: pa.Table) -> pa.Table:
         r = np.asarray(t.column("rn").combine_chunks(), dtype=np.int64)

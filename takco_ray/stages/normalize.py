@@ -186,12 +186,19 @@ def unnest_list(ds, list_column: str, id_column: str, pos_name: str = "pos",
         lst = t.column(list_column)
         if isinstance(lst, pa.ChunkedArray):
             lst = lst.combine_chunks()
-        flat = lst.flatten()
+        flat = lst.flatten()  # skips NULL entries; respects slicing
+        # lengths, not raw offsets: a sliced ListArray's offsets don't start
+        # at 0, and NULL entries may span offset ranges flatten() excludes —
+        # per-entry lengths (0 for NULL) keep parent/pos aligned with flat
         offsets = np.asarray(lst.offsets, dtype=np.int64)
         n_per = np.diff(offsets)
+        if lst.null_count:
+            valid = pc.is_valid(lst).to_numpy(zero_copy_only=False).astype(bool)
+            n_per = np.where(valid, n_per, 0)
+        starts = np.concatenate([[0], np.cumsum(n_per)[:-1]]).astype(np.int64)
         ids = t.column(id_column).combine_chunks()
         parent = np.repeat(np.arange(len(ids), dtype=np.int64), n_per)
-        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], n_per)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, n_per)
         return pa.table(
             {
                 id_column: ids.take(pa.array(parent, type=pa.int64())),

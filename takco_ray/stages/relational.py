@@ -431,7 +431,9 @@ def rollup_aggregate(ds, keys: list, value_col: str, sum_name: str = "value_sum"
     a sentinel, not NULL, so sorts/hashes stay total-ordered downstream.
 
     ``value_col`` must already be integerized (int64) by the caller so sums
-    are order-independent.
+    are order-independent. Non-string key columns are cast to string in the
+    output (the sentinel needs a total order with real values; SQL twin:
+    ``coalesce(CAST(k AS VARCHAR), 'ALL')``).
     """
     from ray.data.aggregate import Count, Sum
 
@@ -445,6 +447,9 @@ def rollup_aggregate(ds, keys: list, value_col: str, sum_name: str = "value_sum"
         import pandas as pd
 
         df = t.to_pandas()
+        for k in keys:
+            if df[k].dtype != object:
+                df[k] = df[k].astype(str)
         out = [df]
         for lvl in range(len(keys) - 1, -1, -1):
             gb = list(keys[:lvl])
@@ -498,10 +503,12 @@ def string_agg_per_group(ds, group_col: str, value_col: str, sep: str = ","):
     """Per-group sorted string concatenation (SQL ``string_agg(v, sep ORDER
     BY v)``) — the list-assembly aggregate. Sorting inside the group makes
     the result order-independent of block arrival, so it is deterministic
-    across engines and cluster sizes. Output: (group_col, n_values, agg)."""
+    across engines and cluster sizes. NULL values are skipped (SQL
+    ``string_agg`` semantics); ``n_values`` counts the non-null values.
+    Output: (group_col, n_values, agg)."""
 
     def agg(g: pa.Table) -> pa.Table:
-        vals = sorted(g.column(value_col).to_pylist())
+        vals = sorted(v for v in g.column(value_col).to_pylist() if v is not None)
         return pa.table(
             {
                 group_col: g.column(group_col).slice(0, 1),
@@ -533,6 +540,13 @@ def quantile_cont_scaled(ds, col: str, q_num: int, q_den: int, out_name: str):
     def pick(t: pa.Table) -> pa.Table:
         v = np.asarray(t.column("value").combine_chunks(), dtype=np.float64)
         c = np.asarray(t.column("cnt").combine_chunks(), dtype=np.int64)
+        if len(v) and np.abs(v).max() >= 2.0**53:
+            # the histogram route floats the values; beyond float64's exact
+            # integer range distinct values can collapse — refuse loudly
+            raise ValueError(
+                "quantile_cont_scaled requires |values| < 2^53 "
+                "(float64-exact); rescale or bucket first"
+            )
         order = np.argsort(v, kind="stable")
         v, c = v[order].astype(np.int64), c[order]
         cum = np.cumsum(c)
@@ -577,6 +591,14 @@ def dense_rank(ds, col: str, out_col: str = "rank", descending: bool = False,
     from ray.data.aggregate import Count, Max, Min
 
     mm = distinct.aggregate(Min("value"), Max("value"))
+    if max(abs(mm["min(value)"]), abs(mm["max(value)"])) >= 2.0**53:
+        # the distinct-value histogram floats the values; beyond float64's
+        # exact integer range distinct int64s collapse and the rank join
+        # would silently drop rows — refuse loudly instead
+        raise ValueError(
+            "dense_rank requires |values| < 2^53 (float64-exact); "
+            "rescale or bucket first"
+        )
     vmin, vmax = sign * mm["min(value)"], sign * mm["max(value)"]
     if descending:
         vmin, vmax = min(vmin, vmax), max(vmin, vmax)
@@ -696,13 +718,14 @@ def heavy_hitters(ds, col: str, k: int = 16, num_sketch: int = 256):
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
+        vtype = t.schema.field(col).type
         codes, uniq = pd.factorize(t.column(col).to_pandas())
         cnts = np.bincount(codes[codes >= 0]).astype(np.int64)
         keys = np.asarray(uniq, dtype=object)
         keys, cnts, err = mg_compress(keys, cnts, num_sketch)
         return pa.table(
             {
-                "value": pa.array(list(keys) + [None], type=pa.string()),
+                "value": pa.array(list(keys) + [None], type=vtype),
                 "cnt": pa.array(np.append(cnts, 0), type=pa.int64()),
                 "batch_err": pa.array(
                     np.append(np.zeros(len(keys), dtype=np.int64), err),
@@ -714,6 +737,7 @@ def heavy_hitters(ds, col: str, k: int = 16, num_sketch: int = 256):
     def merge(t: pa.Table) -> pa.Table:
         import pandas as pd
 
+        vtype = t.schema.field("value").type
         df = t.to_pandas()
         agg = df.dropna(subset=["value"]).groupby("value", as_index=False)["cnt"].sum()
         total_err = int(df.loc[df["value"].isna(), "batch_err"].sum())
@@ -724,7 +748,7 @@ def heavy_hitters(ds, col: str, k: int = 16, num_sketch: int = 256):
         order = np.lexsort((keys.astype(str), -cnts))[:k]
         return pa.table(
             {
-                "value": pa.array(keys[order], type=pa.string()),
+                "value": pa.array(list(keys[order]), type=vtype),
                 "est_count": pa.array(cnts[order], type=pa.int64()),
                 "err_bound": pa.array(
                     np.full(len(order), total_err, dtype=np.int64), type=pa.int64()
@@ -865,7 +889,11 @@ def skew_join(left, right, on: str, right_on: str | None = None,
         {"count()": "cnt"}
     ).materialize()
     hot_keys = [
-        r[rk] for r in counts.filter(expr=f"cnt > {int(hot_threshold)}").take_all()
+        r[rk]
+        for r in counts.filter(expr=f"cnt > {int(hot_threshold)}").take_all()
+        # a NULL key group stays on the cold path, where the inner hash
+        # join drops it (SQL semantics); None would also break np.sort
+        if r[rk] is not None
     ]
 
     if not hot_keys:
@@ -948,8 +976,12 @@ def bloom_semi_join(left, right, on: str, right_on: str | None = None,
     exactly the plain semi-join, with only matches + ε of the probe side
     ever entering the exchange.
 
-    ``expected_right_keys`` sizes the filter (defaults to a count of the
-    right side — one cheap metadata pass). Keys must be int64.
+    The right side is materialized once up front (it is the SMALL side by
+    assumption — same rule as every broadcast): its count sizes the filter
+    (override with ``expected_right_keys``), the bitmap build reads it, and
+    the final semi-join reads it again — one execution of any upstream
+    pipeline, not three. An empty right side returns an empty result
+    without touching the probe side. Keys must be int64.
     """
     import ray
 
@@ -958,7 +990,11 @@ def bloom_semi_join(left, right, on: str, right_on: str | None = None,
 
     rk = right_on or on
     parts = num_partitions or default_join_partitions()
-    n_keys = expected_right_keys or max(1, right.count())
+    right = right.materialize()
+    n_right = right.count()  # metadata-cheap on a materialized dataset
+    if n_right == 0:
+        return left.limit(0)
+    n_keys = expected_right_keys or n_right
     n_bits, k = bloom_params(n_keys, bits_per_key)
 
     def partial_bitmap(t: pa.Table) -> pa.Table:

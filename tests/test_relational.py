@@ -434,3 +434,63 @@ def test_skew_join_all_hot(ray_session):
         .astype("int64")
     )
     pd.testing.assert_frame_equal(out.astype("int64"), want)
+
+
+def test_bloom_semi_join_empty_right(ray_session):
+    left = _ds({"k": np.arange(10, dtype=np.int64)})
+    right = _ds({"rk": np.arange(5, dtype=np.int64)}).filter(expr="rk > 100")
+    out = relational.bloom_semi_join(left, right, on="k", right_on="rk",
+                                     num_partitions=2)
+    assert out.count() == 0
+
+
+def test_rollup_aggregate_int_keys(ray_session):
+    # non-string keys cast to string so the ALL sentinel stays total-ordered
+    ds = _ds({"k": np.array([1, 1, 2], dtype=np.int64),
+              "v": np.array([10, 20, 5], dtype=np.int64)})
+    out = (
+        relational.rollup_aggregate(ds, ["k"], "v", sum_name="sv")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.k) == ["1", "2", "ALL"]
+    assert list(out.sv) == [30, 5, 35]
+
+
+def test_skew_join_null_keys_go_cold(ray_session):
+    import pandas as pd
+
+    right = _ds({"k": pa.array([None] * 60 + [1] * 5, type=pa.int64()),
+                 "rv": np.arange(65, dtype=np.int64)})
+    left = _ds({"k": pa.array([1, None, 2], type=pa.int64()),
+                "lv": np.arange(3, dtype=np.int64)})
+    out = (
+        relational.skew_join(left, right, on="k", hot_threshold=10, num_partitions=2)
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # SQL semantics: NULL keys never match — only the k=1 rows join
+    assert list(out.lv.unique()) == [0] and len(out) == 5
+
+
+def test_string_agg_skips_nulls(ray_session):
+    ds = _ds({"g": [1, 1, 1], "name": pa.array(["b", None, "a"], type=pa.string())})
+    out = relational.string_agg_per_group(ds, "g", "name").to_pandas()
+    assert list(out["agg"]) == ["a,b"] and list(out.n_values) == [2]
+
+
+def test_heavy_hitters_int_column(ray_session):
+    vals = np.array([7] * 30 + [9] * 20 + [11] * 5, dtype=np.int64)
+    out = relational.heavy_hitters(_ds({"v": vals}), "v", k=2, num_sketch=16).to_pandas()
+    assert list(out.value) == [7, 9]
+    assert list(out.est_count) == [30, 20]
+    assert str(out.value.dtype) == "int64"
+
+
+def test_dense_rank_rejects_beyond_float53(ray_session):
+    big = _ds({"v": np.array([2**60, 2**60 + 1], dtype=np.int64),
+               "id": np.array([0, 1], dtype=np.int64)})
+    with pytest.raises(Exception, match="2\\^53"):
+        relational.dense_rank(big, "v").to_pandas()

@@ -1064,3 +1064,21 @@ def test_unnest_list(ray_session):
     assert list(out.pos) == [0, 1, 0]
     assert list(out.val) == [1.5, 2.5, 7.0]
     assert str(out.val.dtype) == "float32"
+
+
+def test_unnest_list_sliced_and_null_entries(ray_session):
+    import ray.data
+    from takco_ray.stages.normalize import unnest_list
+
+    xs = pa.array([[9.0], [1.0, 2.0], None, [5.0]], type=pa.list_(pa.float32()))
+    tbl = pa.table({"id": pa.array([0, 1, 2, 3], type=pa.int64()), "xs": xs})
+    sliced = tbl.slice(1)  # ListArray offsets no longer start at 0
+    out = (
+        unnest_list(ray.data.from_arrow(sliced), "xs", "id")
+        .to_pandas()
+        .sort_values(["id", "pos"])
+        .reset_index(drop=True)
+    )
+    assert list(out.id) == [1, 1, 3]
+    assert list(out.pos) == [0, 1, 0]
+    assert list(out.val) == [1.0, 2.0, 5.0]
