@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "priority_skew_join",
     "bloom_semi_lineitem",
     "embedding_unnest",
+    "incremental_er_merges",
 ]
 
 

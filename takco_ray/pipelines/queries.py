@@ -1738,6 +1738,58 @@ def q_incremental_er_labels(sf_dir: str):
     return out["labels"]
 
 
+
+def q_incremental_er_merges(sf_dir: str):
+    """The continuous-ingest MERGE AUDIT surface: components of the new
+    batch that bridge ≥2 base clusters (the incremental view cannot merge
+    base clusters in place, so the implied merge is emitted as data for a
+    later full re-cluster to consume). A deterministic bridge corpus is
+    constructed — two disjoint base clusters plus one new file similar to
+    both — so the audit rows are stable: 2 rows, both merged into the
+    min base cluster id. Rows-only (LSH-banding dependent); semantics
+    pytest-gated in tests/test_er.py::test_incremental_er_merge_audit."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .er import ERConfig, er_pipeline, incremental_er
+
+    def toks(p, lo, hi):
+        return " ".join(f"{p}{j}" for j in range(lo, hi))
+
+    root = tempfile.mkdtemp(prefix="takco_merge_audit_")
+
+    def write(dirname, rows):
+        d = os.path.join(root, dirname)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "repo": [f"r/{k}" for k in rows],
+                    "path": [f"{k}.py" for k in rows],
+                    "commit": ["c"] * len(rows),
+                    "lang": ["py"] * len(rows),
+                    "content": pa.array(list(rows.values()), type=pa.large_string()),
+                }
+            ),
+            os.path.join(d, "shard_00000.parquet"),
+        )
+        return d
+
+    base_dir = write(
+        "base",
+        {
+            "x0": toks("x", 0, 150), "x1": toks("x", 0, 150) + " xtail",
+            "y0": toks("y", 0, 150), "y1": toks("y", 0, 150) + " ytail",
+        },
+    )
+    new_dir = write("new", {"z": toks("x", 0, 150) + " " + toks("y", 0, 150)})
+    cfg = ERConfig(threshold=0.42, num_bands=32)
+    base = er_pipeline(base_dir, cfg)
+    out = incremental_er(new_dir, base["labels"], base["signatures"], cfg)
+    return out["merges"]
+
+
 def q_redact_pii_docs(sf_dir: str):
     """PII redaction (email / IPv4 / hex-secret → sentinel) with per-pattern
     hit counts. The synthetic documents carry no PII, so each text is first
@@ -2553,6 +2605,7 @@ def build_queries() -> dict:
         "media_features": q_media_features,
         "er_clusters": q_er_clusters,
         "incremental_er_labels": q_incremental_er_labels,
+        "incremental_er_merges": q_incremental_er_merges,
     }
 
 
