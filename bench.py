@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "bloom_semi_lineitem",
     "embedding_unnest",
     "incremental_er_merges",
+    "sketch_quantiles_supplier",
 ]
 
 

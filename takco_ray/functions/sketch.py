@@ -151,3 +151,51 @@ def mg_compress(keys: np.ndarray, counts: np.ndarray, k: int) -> tuple:
     residual = counts - thresh
     keep = residual > 0
     return keys[keep], residual[keep], thresh
+
+
+def kll_compress(values: np.ndarray, weights: np.ndarray, cap: int) -> tuple:
+    """Deterministic KLL-style compression of a weighted quantile sketch to
+    ≤ ``cap`` points.
+
+    Points carry power-of-two weights (level = log2(w)). While too many
+    points are held, the lowest populated level is compacted: its points are
+    sorted and every other one survives with doubled weight — the offset is
+    the level's parity bit instead of KLL's coin flip, trading the
+    randomized guarantee's constants for bit-reproducibility (this repo's
+    contract: engines and retries must agree). Total weight is conserved up
+    to the dropped alternates, whose rank displacement is ≤ half the
+    compacted level's weight span — the classic deterministic-GK-style
+    bound, validated empirically by the pytest gate.
+    """
+    while len(values) > cap:
+        w_min = weights.min()
+        lvl = int(w_min).bit_length() - 1
+        sel = weights == w_min
+        if sel.sum() < 2:
+            # single lightest point: promote it so progress is guaranteed
+            weights = weights.copy()
+            weights[np.argmax(sel)] *= 2
+            continue
+        v_lvl, rest_v = values[sel], values[~sel]
+        w_lvl, rest_w = weights[sel], weights[~sel]
+        order = np.argsort(v_lvl, kind="stable")
+        v_lvl = v_lvl[order]
+        keep = np.arange(len(v_lvl)) % 2 == (lvl & 1)
+        values = np.concatenate([rest_v, v_lvl[keep]])
+        weights = np.concatenate([rest_w, np.full(int(keep.sum()), w_min * 2,
+                                                  dtype=np.int64)])
+    return values, weights
+
+
+def kll_quantile(values: np.ndarray, weights: np.ndarray, q: float):
+    """Weighted quantile of a sketch: smallest value whose cumulative
+    weight reaches ``ceil(q * W)`` (quantile_disc semantics on weights)."""
+    if len(values) == 0:
+        return None
+    order = np.argsort(values, kind="stable")
+    v, w = values[order], weights[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    target = max(1, int(np.ceil(q * total)))
+    idx = int(np.searchsorted(cum, target))
+    return v[min(idx, len(v) - 1)]

@@ -2452,8 +2452,11 @@ def q_priority_skew_join(sf_dir: str):
         )
     )
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    # threshold scales with the input so the broadcast-collection guard
+    # (hot rows ≤ threshold×64) holds at every sf; metadata-cheap count
+    hot_threshold = max(1000, orders.count() // 20)
     return relational.skew_join(
-        dim, orders, on="o_orderpriority", hot_threshold=1000
+        dim, orders, on="o_orderpriority", hot_threshold=hot_threshold
     )
 
 
@@ -2505,6 +2508,25 @@ SELECT vec_id,
        unnest(embedding) AS val
 FROM embeddings
 WHERE vec_id < 100
+"""
+
+
+
+def q_sketch_quantiles_supplier(sf_dir: str):
+    """KLL-style mergeable quantile sketch in its EXACT regime (points
+    under the sketch cap → no compaction → identical to quantile_disc,
+    which the oracle pins); the lossy regime's deterministic rank-error
+    bound is pytest-gated. Completes the sketch family: HLL distincts,
+    Bloom membership, Misra-Gries frequencies, KLL quantiles."""
+    sup = read_table(sf_dir, "supplier", columns=["s_acctbal"])
+    return relational.sketch_quantiles(sup, "s_acctbal", [0.25, 0.5, 0.9])
+
+
+SQL_SKETCH_QUANTILES = """
+SELECT quantile_disc(s_acctbal, 0.25) AS q25,
+       quantile_disc(s_acctbal, 0.50) AS q50,
+       quantile_disc(s_acctbal, 0.90) AS q90
+FROM supplier
 """
 
 
@@ -2586,6 +2608,7 @@ def build_queries() -> dict:
         "priority_skew_join": q_priority_skew_join,
         "bloom_semi_lineitem": q_bloom_semi_lineitem,
         "embedding_unnest": q_embedding_unnest,
+        "sketch_quantiles_supplier": q_sketch_quantiles_supplier,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2681,4 +2704,5 @@ def build_oracle_sql() -> dict:
         "priority_skew_join": SQL_PRIORITY_SKEW_JOIN,
         "bloom_semi_lineitem": SQL_BLOOM_SEMI_LINEITEM,
         "embedding_unnest": SQL_EMBEDDING_UNNEST,
+        "sketch_quantiles_supplier": SQL_SKETCH_QUANTILES,
     }

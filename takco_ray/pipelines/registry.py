@@ -651,6 +651,16 @@ def _row_number(ctx, cfg):
     )
 
 
+@op("sketch_quantiles")
+def _sketch_quantiles(ctx, cfg):
+    from ..stages.relational import sketch_quantiles
+
+    return sketch_quantiles(
+        _ds(ctx, cfg), cfg["column"], [float(q) for q in cfg["qs"]],
+        cap=int(cfg.get("cap", 4096)),
+    )
+
+
 @op("heavy_hitters")
 def _heavy_hitters(ctx, cfg):
     from ..stages.relational import heavy_hitters

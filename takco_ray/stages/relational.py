@@ -1023,3 +1023,51 @@ def bloom_semi_join(left, right, on: str, right_on: str | None = None,
 
     pruned = left.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
     return semi_join(pruned, right, on=on, right_on=rk, num_partitions=parts)
+
+
+def sketch_quantiles(ds, col: str, qs: list, cap: int = 4096):
+    """Mergeable deterministic quantile sketch (KLL-style, parity
+    compaction) — the UNBOUNDED-cardinality companion to
+    :func:`exact_quantiles`, completing the sketch family (HLL distincts,
+    Bloom membership, Misra-Gries frequencies, KLL quantiles).
+
+    Each batch compresses its values to ≤ ``cap`` weighted points
+    (`functions.sketch.kll_compress`); one final task concatenates the
+    partial sketches, re-compresses, and reads the requested quantiles off
+    the weighted CDF. Shuffle volume is ≤ ``cap × blocks`` 16-byte points
+    regardless of value cardinality — where the exact histogram route
+    shuffles every distinct value. When no compaction triggers (total
+    points ≤ cap) the sketch IS ``quantile_disc`` — the regime the SQL
+    oracle pins; the lossy regime's rank error is pytest-bounded.
+
+    Deterministic by construction (parity bit instead of KLL's coin flip):
+    engines, retries and cluster sizes agree bit-for-bit on the estimate.
+    """
+    from ..functions.sketch import kll_compress, kll_quantile
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(col).combine_chunks(), dtype=np.float64)
+        v = v[~np.isnan(v)]
+        w = np.ones(len(v), dtype=np.int64)
+        v, w = kll_compress(v, w, cap)
+        return pa.table(
+            {"value": pa.array(v, type=pa.float64()),
+             "weight": pa.array(w, type=pa.int64())}
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("value").combine_chunks(), dtype=np.float64)
+        w = np.asarray(t.column("weight").combine_chunks(), dtype=np.int64)
+        v, w = kll_compress(v, w, cap)
+        cols = {}
+        for q in qs:
+            cols[f"q{int(round(q * 100)):02d}"] = pa.array(
+                [kll_quantile(v, w, q)], type=pa.float64()
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -494,3 +494,30 @@ def test_dense_rank_rejects_beyond_float53(ray_session):
                "id": np.array([0, 1], dtype=np.int64)})
     with pytest.raises(Exception, match="2\\^53"):
         relational.dense_rank(big, "v").to_pandas()
+
+
+def test_sketch_quantiles_exact_regime(ray_session):
+    v = np.arange(1, 101, dtype=np.float64)
+    out = relational.sketch_quantiles(_ds({"v": v}), "v", [0.25, 0.5, 0.9],
+                                      cap=4096).to_pandas()
+    # quantile_disc: element at 0-based index ceil(q*n)-1
+    assert out.q25.iloc[0] == 25.0
+    assert out.q50.iloc[0] == 50.0
+    assert out.q90.iloc[0] == 90.0
+
+
+def test_sketch_quantiles_lossy_rank_error(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=60_000)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(v)})).repartition(8)
+    out = relational.sketch_quantiles(ds, "v", [0.1, 0.5, 0.9], cap=512).to_pandas()
+    sv = np.sort(v)
+    for col, q in (("q10", 0.1), ("q50", 0.5), ("q90", 0.9)):
+        rank = np.searchsorted(sv, out[col].iloc[0]) / len(v)
+        assert abs(rank - q) < 0.02, (col, rank)
+
+    # determinism: same input, same sketch, bit-identical estimates
+    out2 = relational.sketch_quantiles(ds, "v", [0.1, 0.5, 0.9], cap=512).to_pandas()
+    assert out.equals(out2)
