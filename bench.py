@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "embedding_unnest",
     "incremental_er_merges",
     "sketch_quantiles_supplier",
+    "supplier_percent_rank",
+    "grouped_price_median",
 ]
 
 

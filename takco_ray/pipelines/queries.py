@@ -2530,6 +2530,76 @@ FROM supplier
 """
 
 
+
+def q_supplier_percent_rank(sf_dir: str):
+    """Global percent_rank as exact scaled integers (rank·10⁶ // (n−1)
+    over the tie-free (balance, key) order) — no float division to round
+    differently across engines; the prefix-scan window machinery again."""
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": t.column("s_suppkey"),
+            "bal_c": _int_units(t.column("s_acctbal"), 100),
+        })
+
+    prepped = sup.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = relational.percent_rank_scaled(prepped, "bal_c", "s_suppkey",
+                                         num_buckets=64)
+    return out.rename_columns({"id": "s_suppkey", "value": "bal_c"})
+
+
+SQL_SUPPLIER_PERCENT_RANK = """
+SELECT s_suppkey,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c,
+       CAST((rank() OVER (ORDER BY round(s_acctbal * 100), s_suppkey) - 1)
+            * 1000000 // (count(*) OVER () - 1) AS BIGINT) AS pr_scaled
+FROM supplier
+"""
+
+
+def q_grouped_price_median(sf_dir: str):
+    """Per-group interpolated median (quantile_cont scaled by 2) of order
+    totals by priority — the grouped integer-exact window/quantile form;
+    only distinct (group, cents) pairs shuffle."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "cents": _int_units(t.column("o_totalprice"), 100),
+        })
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return relational.grouped_quantile_cont(
+        prepped, "cents", "o_orderpriority", 1, 2, out_name="median_cents_x2"
+    )
+
+
+SQL_GROUPED_PRICE_MEDIAN = """
+WITH v AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), s AS (
+  SELECT o_orderpriority, c,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY c) - 1 AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM v
+)
+SELECT o_orderpriority,
+       CAST(sum(CASE
+           WHEN rn = ((n - 1) * 1) // 2
+             THEN c * (2 - ((n - 1) * 1) % 2)
+           WHEN rn = least(((n - 1) * 1) // 2 + 1, n - 1)
+                AND ((n - 1) * 1) % 2 = 1
+             THEN c
+           ELSE 0
+       END) AS BIGINT) AS median_cents_x2
+FROM s
+GROUP BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2609,6 +2679,8 @@ def build_queries() -> dict:
         "bloom_semi_lineitem": q_bloom_semi_lineitem,
         "embedding_unnest": q_embedding_unnest,
         "sketch_quantiles_supplier": q_sketch_quantiles_supplier,
+        "supplier_percent_rank": q_supplier_percent_rank,
+        "grouped_price_median": q_grouped_price_median,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2705,4 +2777,6 @@ def build_oracle_sql() -> dict:
         "bloom_semi_lineitem": SQL_BLOOM_SEMI_LINEITEM,
         "embedding_unnest": SQL_EMBEDDING_UNNEST,
         "sketch_quantiles_supplier": SQL_SKETCH_QUANTILES,
+        "supplier_percent_rank": SQL_SUPPLIER_PERCENT_RANK,
+        "grouped_price_median": SQL_GROUPED_PRICE_MEDIAN,
     }

@@ -661,6 +661,28 @@ def _sketch_quantiles(ctx, cfg):
     )
 
 
+@op("percent_rank")
+def _percent_rank(ctx, cfg):
+    from ..stages.relational import percent_rank_scaled
+
+    return percent_rank_scaled(
+        _ds(ctx, cfg), cfg["value_col"], cfg["id_col"],
+        scale=int(cfg.get("scale", 1_000_000)),
+        num_buckets=int(cfg.get("num_buckets", 256)),
+    )
+
+
+@op("grouped_quantile_cont")
+def _grouped_quantile_cont(ctx, cfg):
+    from ..stages.relational import grouped_quantile_cont
+
+    return grouped_quantile_cont(
+        _ds(ctx, cfg), cfg["column"], cfg["group_col"],
+        int(cfg["q_num"]), int(cfg["q_den"]),
+        out_name=cfg.get("out_name", "qcont_scaled"),
+    )
+
+
 @op("heavy_hitters")
 def _heavy_hitters(ctx, cfg):
     from ..stages.relational import heavy_hitters

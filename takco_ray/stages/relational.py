@@ -1071,3 +1071,92 @@ def sketch_quantiles(ds, col: str, qs: list, cap: int = 4096):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def percent_rank_scaled(ds, value_col: str, id_col: str, scale: int = 1_000_000,
+                        num_buckets: int = 256):
+    """Global ``percent_rank()`` as exact scaled integers: rank·scale //
+    (n−1) over the tie-free order (value, id) — no float division to round
+    differently across engines. Built on :func:`global_row_number` (range-
+    bucket prefix scan; only per-bucket counts on the driver). Output:
+    (id, value, pr_scaled)."""
+    rn = global_row_number(ds, value_col, id_col, out_col="rn",
+                           num_buckets=num_buckets).materialize()
+    n = rn.count()
+
+    def fin(t: pa.Table) -> pa.Table:
+        r = np.asarray(t.column("rn").combine_chunks(), dtype=np.int64)
+        pr = (r * np.int64(scale)) // max(n - 1, 1)
+        return pa.table(
+            {
+                "id": t.column("id").cast(pa.int64()),
+                "value": t.column("value").cast(pa.int64()),
+                "pr_scaled": pa.array(pr, type=pa.int64()),
+            }
+        )
+
+    return rn.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_quantile_cont(ds, col: str, group_col: str, q_num: int, q_den: int,
+                          out_name: str = "qcont_scaled"):
+    """Per-group INTERPOLATED quantile in exact integer arithmetic — the
+    grouped form of :func:`quantile_cont_scaled` (result scaled by
+    ``q_den``). Same (group, value) histogram route as
+    :func:`grouped_quantiles`: only distinct pairs shuffle, each group's
+    cumsum/interpolation walk runs on its tiny histogram. ``col`` must be
+    int64 with |values| < 2^53."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        grp = t.column(group_col).combine_chunks()
+        enc = pc.dictionary_encode(grp)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        v = np.asarray(t.column(col).combine_chunks(), dtype=np.float64)
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        first = (
+            np.concatenate([[True], (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])])
+            if len(cs)
+            else np.zeros(0, dtype=bool)
+        )
+        starts = np.flatnonzero(first)
+        cnts = np.diff(np.append(starts, len(cs)))
+        return pa.table(
+            {
+                group_col: pc.take(grp, pa.array(order[starts], type=pa.int64())),
+                "value": pa.array(vs[starts], type=pa.float64()),
+                "cnt": pa.array(cnts.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "value"])
+        .aggregate(Sum("cnt"))
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        v = np.asarray(g.column("value").combine_chunks(), dtype=np.float64)
+        c = np.asarray(g.column("cnt").combine_chunks(), dtype=np.int64)
+        if len(v) and np.abs(v).max() >= 2.0**53:
+            raise ValueError(
+                "grouped_quantile_cont requires |values| < 2^53 (float64-exact)"
+            )
+        order = np.argsort(v, kind="stable")
+        v, c = v[order].astype(np.int64), c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        pos = (n - 1) * q_num
+        k, rem = pos // q_den, pos % q_den
+        lo = int(v[np.searchsorted(cum, k + 1)])
+        hi = int(v[np.searchsorted(cum, min(k + 1, n - 1) + 1)])
+        return pa.table(
+            {
+                group_col: g.column(group_col).slice(0, 1),
+                out_name: pa.array([lo * (q_den - rem) + hi * rem], type=pa.int64()),
+            }
+        )
+
+    return hist.groupby(group_col).map_groups(pick, batch_format="pyarrow")

@@ -521,3 +521,32 @@ def test_sketch_quantiles_lossy_rank_error(ray_session):
     # determinism: same input, same sketch, bit-identical estimates
     out2 = relational.sketch_quantiles(ds, "v", [0.1, 0.5, 0.9], cap=512).to_pandas()
     assert out.equals(out2)
+
+
+def test_percent_rank_and_grouped_median(ray_session):
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    v = rng.integers(0, 30, 200).astype(np.int64)
+    ids = rng.permutation(200).astype(np.int64)
+    out = (
+        relational.percent_rank_scaled(_ds({"v": v, "id": ids}), "v", "id",
+                                       scale=1000, num_buckets=5)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"v": v, "id": ids}).sort_values(["v", "id"]).reset_index(drop=True)
+    rank_of = {i: rn for rn, i in enumerate(df.id)}
+    for r in out.itertuples():
+        assert r.pr_scaled == rank_of[r.id] * 1000 // 199
+
+    g = np.repeat(["a", "b"], 100)
+    gv = np.concatenate([np.arange(100), np.arange(100) * 10]).astype(np.int64)
+    med = (
+        relational.grouped_quantile_cont(_ds({"g": list(g), "c": gv}), "c", "g", 1, 2)
+        .to_pandas()
+        .sort_values("g")
+    )
+    # n=100 even: median x2 = x[49] + x[50]
+    assert list(med.qcont_scaled) == [49 + 50, 490 + 500]
