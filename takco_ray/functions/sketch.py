@@ -32,8 +32,10 @@ def hll_registers(keys: np.ndarray, p: int = 12) -> np.ndarray:
     float64's 53-bit mantissa exactly when ``p >= 11`` — below that the
     log2-based rank can round up near powers of two, so p is validated.
     """
-    if p < 11 or p > 16:
-        raise ValueError(f"p must be in [11, 16] (float64-exact rank), got {p}")
+    if p < 11 or p > 18:
+        # lower bound is correctness (float64-exact rank needs 64-p ≤ 53);
+        # upper bound is only memory (2^18 registers = 256 KB per sketch)
+        raise ValueError(f"p must be in [11, 18] (float64-exact rank / memory), got {p}")
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     if len(keys) == 0:

@@ -321,6 +321,24 @@ def incremental_er(
 
     num_parts = cfg.num_partitions or max(16, int(_ray.cluster_resources().get("CPU", 16)))
 
+    # the base signatures MUST have been built under the same banding
+    # config — band keys from different (num_perm, num_bands) cannot
+    # collide, so a mismatch silently attaches nothing (every new file
+    # becomes a singleton). The stored schema carries both shapes; check
+    # them instead of trusting the docstring. (ERConfig's default moved
+    # 128/16 → 64/8 in round 3, making this footgun live for old runs.)
+    base_schema = base_signatures.schema()
+    for col, want in (("bands", cfg.num_bands), ("sig", cfg.num_perm)):
+        if col in base_schema.names:
+            typ = base_schema.types[base_schema.names.index(col)]
+            size = getattr(typ, "list_size", None)
+            if size is not None and size != want:
+                raise ValueError(
+                    f"base_signatures.{col} has {size} elements but cfg "
+                    f"expects {want} — the base run used a different "
+                    "signature config; re-run er_pipeline or pass its cfg"
+                )
+
     # materialized: consumed by the key collection, the band explosion AND
     # the new-marker rows — without it the corpus read + fingerprint +
     # MinHash would re-execute per consumer (ADVICE r2)
@@ -551,7 +569,11 @@ class _IncrementalPairEmitter:
 
     Small blocks emit every (new, new)/(new, base) pair; blocks over
     ``max_block_size`` cap at O(m_new): a ring over the new members plus
-    each new member × up to ``max_block_size`` id-nearest base members
+    each new member × the block's first ``max_block_size`` base members in
+    id order — a deterministic arbitrary subset (file ids are hashes, so
+    no ordering is semantically "nearer"; any fixed rule gives the same
+    recall class), with the trade that a new file whose only similar base
+    member sorts past the cap in EVERY shared band stays unattached
     (base-base connectivity already lives in ``base_labels`` — re-deriving
     it here would re-cluster the base corpus, exactly what incremental
     ingest avoids)."""

@@ -269,25 +269,43 @@ def lsh_bucket_neighbors(
         starts = segment_boundaries(bkt)
         counts = np.diff(np.append(starts, len(bkt)))
         mat = _normalize(_emb_matrix(part, "embedding").astype(np.float64))
-        # batched pair indices across all buckets, then chunked row-wise dot
-        # products — no per-bucket Python loop or tiny-matmul dispatch; the
-        # chunk bounds gather memory at ~chunk × dim × 16 B
-        ii, jj = segment_pairs(starts, counts, max_block_size=None)
-        if len(ii) == 0:
+        # pair generation in BUCKET-CHUNKS bounded by a pair budget, each
+        # chunk threshold-filtered before the next materializes — peak
+        # memory is max(budget, largest single bucket's pairs), NOT the
+        # sum over all buckets (a partition of 100×5k-vector buckets would
+        # otherwise hold ~1.2G pair slots before the first filter). Within
+        # a chunk the dot products run in fixed-size slices so the gather
+        # stays at ~slice × dim × 16 B.
+        pair_counts = counts * (counts - 1) // 2
+        budget = 1 << 21
+        keep_i1, keep_i2, keep_cos = [], [], []
+        s = 0
+        while s < len(starts):
+            e, tot = s, 0
+            while e < len(starts) and (tot == 0 or tot + pair_counts[e] <= budget):
+                tot += int(pair_counts[e])
+                e += 1
+            ii, jj = segment_pairs(starts[s:e], counts[s:e], max_block_size=None)
+            s = e
+            if len(ii) == 0:
+                continue
+            sims = np.empty(len(ii), dtype=np.float64)
+            chunk = 1 << 18
+            for c0 in range(0, len(ii), chunk):
+                c1 = min(c0 + chunk, len(ii))
+                sims[c0:c1] = np.einsum(
+                    "ij,ij->i", mat[ii[c0:c1]], mat[jj[c0:c1]]
+                )
+            keep = sims >= threshold
+            if keep.any():
+                keep_i1.append(ids_all[ii[keep]])
+                keep_i2.append(ids_all[jj[keep]])
+                keep_cos.append(np.round(sims[keep], 6))
+        if not keep_i1:
             return empty
-        sims = np.empty(len(ii), dtype=np.float64)
-        chunk = 1 << 18
-        for c0 in range(0, len(ii), chunk):
-            c1 = min(c0 + chunk, len(ii))
-            sims[c0:c1] = np.einsum(
-                "ij,ij->i", mat[ii[c0:c1]], mat[jj[c0:c1]]
-            )
-        keep = sims >= threshold
-        if not keep.any():
-            return empty
-        id1 = ids_all[ii[keep]]
-        id2 = ids_all[jj[keep]]
-        cos = np.round(sims[keep], 6)
+        id1 = np.concatenate(keep_i1)
+        id2 = np.concatenate(keep_i2)
+        cos = np.concatenate(keep_cos)
         o = np.lexsort((id2, id1))
         id1, id2, cos = id1[o], id2[o], cos[o]
         first = np.concatenate(

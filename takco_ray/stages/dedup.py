@@ -706,12 +706,31 @@ def simhash_neardup(
         b, ids, h = b[order], ids[order], h[order]
         starts = segment_boundaries(b)
         cnts = np.diff(np.append(starts, len(b)))
-        ii, jj = segment_pairs(starts, cnts, max_block_size=None)
-        keep = _hamming64(h[ii], h[jj]) <= max_hamming if len(ii) else np.zeros(0, bool)
+        # bucket-chunked pair generation under a pair budget (each chunk
+        # Hamming-filtered before the next materializes): peak memory is
+        # max(budget, largest bucket), not the sum over all buckets
+        pair_counts = cnts * (cnts - 1) // 2
+        budget = 1 << 21
+        us, vs = [], []
+        s = 0
+        while s < len(starts):
+            e, tot = s, 0
+            while e < len(starts) and (tot == 0 or tot + pair_counts[e] <= budget):
+                tot += int(pair_counts[e])
+                e += 1
+            ii, jj = segment_pairs(starts[s:e], cnts[s:e], max_block_size=None)
+            s = e
+            if len(ii) == 0:
+                continue
+            keep = _hamming64(h[ii], h[jj]) <= max_hamming
+            us.append(ids[ii[keep]])
+            vs.append(ids[jj[keep]])
+        u = np.concatenate(us) if us else np.zeros(0, np.int64)
+        v = np.concatenate(vs) if vs else np.zeros(0, np.int64)
         return pa.table(
             {
-                "u": pa.array(ids[ii[keep]] if len(ii) else np.zeros(0, np.int64), type=pa.int64()),
-                "v": pa.array(ids[jj[keep]] if len(ii) else np.zeros(0, np.int64), type=pa.int64()),
+                "u": pa.array(u, type=pa.int64()),
+                "v": pa.array(v, type=pa.int64()),
             }
         )
 
@@ -954,25 +973,14 @@ def group_set_jaccard(
     pairs = partitioned_group_map(gs, "shingle", pair_rows, parts)
 
     def count_filter(part: pa.Table) -> pa.Table:
-        pk = np.asarray(part.column("pair_key").combine_chunks(), dtype=np.int64)
         ga = part.column("group_a").combine_chunks()
         gb = part.column("group_b").combine_chunks()
-        # count identical (a, b) rows: pair_key collisions are broken by the
-        # strings themselves via a secondary encode
-        ca = np.asarray(pc.dictionary_encode(ga).indices, dtype=np.int64)
-        cb = np.asarray(pc.dictionary_encode(gb).indices, dtype=np.int64)
-        order = np.lexsort((cb, ca, pk))
-        pk_s, ca_s, cb_s = pk[order], ca[order], cb[order]
-        first = (
-            np.concatenate(
-                [[True], (pk_s[1:] != pk_s[:-1]) | (ca_s[1:] != ca_s[:-1]) | (cb_s[1:] != cb_s[:-1])]
-            )
-            if len(pk_s)
-            else np.zeros(0, dtype=bool)
-        )
+        # count identical (a, b) rows; pair_key collisions broken by the
+        # strings themselves (shared prologue)
+        order, first = _pair_group_runs(part)
         starts = np.flatnonzero(first)
-        c = np.diff(np.append(starts, len(pk_s)))
-        idx = np.asarray(order)[starts]
+        c = np.diff(np.append(starts, len(order)))
+        idx = order[starts]
         ga_u = ga.take(pa.array(idx, type=pa.int64()))
         gb_u = gb.take(pa.array(idx, type=pa.int64()))
         keys, vals = sizes_ref if not isinstance(sizes_ref, _ray.ObjectRef) else _ray.get(sizes_ref)
@@ -1152,22 +1160,11 @@ def group_minhash_neardup(
     pairs = partitioned_group_map(band_rows, "band", band_pairs, parts)
 
     def dedup_first(part: pa.Table) -> pa.Table:
-        pk = np.asarray(part.column("pair_key").combine_chunks(), dtype=np.int64)
         ga = part.column("group_a").combine_chunks()
         gb = part.column("group_b").combine_chunks()
         nm = np.asarray(part.column("n_match").combine_chunks(), dtype=np.int64)
-        ca = np.asarray(pc.dictionary_encode(ga).indices, dtype=np.int64)
-        cb = np.asarray(pc.dictionary_encode(gb).indices, dtype=np.int64)
-        order = np.lexsort((cb, ca, pk))
-        pk_s, ca_s, cb_s = pk[order], ca[order], cb[order]
-        first = (
-            np.concatenate(
-                [[True], (pk_s[1:] != pk_s[:-1]) | (ca_s[1:] != ca_s[:-1]) | (cb_s[1:] != cb_s[:-1])]
-            )
-            if len(pk_s)
-            else np.zeros(0, dtype=bool)
-        )
-        idx = np.asarray(order)[first]
+        order, first = _pair_group_runs(part)
+        idx = order[first]
         sel = pa.array(idx, type=pa.int64())
         est = nm[idx] * 1000 // num_perm
         return pa.table(
@@ -1180,6 +1177,31 @@ def group_minhash_neardup(
         )
 
     return partitioned_group_map(pairs, "pair_key", dedup_first, parts)
+
+
+def _pair_group_runs(part: pa.Table):
+    """Shared prologue for collision-safe (pair_key, group_a, group_b) run
+    detection: rows sorted by (pair_key, a-code, b-code) — the string codes
+    break 64-bit pair_key collisions — returning ``(order, first_mask)``
+    where ``first_mask`` marks the first row of each identical-pair run.
+    Used by both the set-Jaccard count filter and the MinHash pair dedup so
+    a collision-handling fix lands in one place."""
+    pk = np.asarray(part.column("pair_key").combine_chunks(), dtype=np.int64)
+    ga = part.column("group_a").combine_chunks()
+    gb = part.column("group_b").combine_chunks()
+    ca = np.asarray(pc.dictionary_encode(ga).indices, dtype=np.int64)
+    cb = np.asarray(pc.dictionary_encode(gb).indices, dtype=np.int64)
+    order = np.lexsort((cb, ca, pk))
+    pk_s, ca_s, cb_s = pk[order], ca[order], cb[order]
+    first = (
+        np.concatenate(
+            [[True], (pk_s[1:] != pk_s[:-1]) | (ca_s[1:] != ca_s[:-1]) | (cb_s[1:] != cb_s[:-1])]
+        )
+        if len(pk_s)
+        else np.zeros(0, dtype=bool)
+    )
+    return np.asarray(order), first
+
 
 
 def cluster_size_report(labels, label_column: str = "cluster_id", top_k: int = 20):
@@ -1477,9 +1499,42 @@ def semantic_dedup(
     import ray
 
     from .ann import _emb_matrix, _kmeans, _normalize
+    from .relational import SAMPLE_MIX
 
     parts = num_partitions or _parts()
-    sample_tbl = ds.limit(sample_size).to_pandas()
+    n_total = ds.count()
+    if n_total == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "file_id": pa.array([], type=pa.int64()),
+                    "cell": pa.array([], type=pa.int64()),
+                    "dup_group": pa.array([], type=pa.int64()),
+                    "is_rep": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    # k-means seeds come from a HASH-SPREAD sample, not the corpus prefix:
+    # curated parquet is typically written ordered by source/topic, and
+    # prefix-seeded centroids would all land in the leading region —
+    # boundary cells then swallow the rest of the corpus, collapsing the
+    # ~n_cells quadratic-cost reduction and splitting far-region near-dups
+    # across arbitrary cells. Deterministic (same multiplicative mix as
+    # hash_sample), so runs and engines agree on the seed set.
+    modulus = max(1, n_total // sample_size)
+
+    def spread(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_column).combine_chunks(), dtype=np.int64)
+        keep = (ids * np.int64(SAMPLE_MIX)) % np.int64(modulus) == 0
+        return t.filter(pa.array(keep))
+
+    sample_tbl = (
+        ds.map_batches(spread, batch_format="pyarrow", zero_copy_batch=True)
+        .limit(sample_size)
+        .to_pandas()
+    )
     sample = _normalize(np.stack(sample_tbl[emb_column].to_numpy()).astype(np.float64))
     cent_ref = ray.put(
         np.ascontiguousarray(_kmeans(sample, n_cells, seed), dtype=np.float64)

@@ -85,12 +85,32 @@ def pack_sequences(
     from ray.data.aggregate import Max, Min
 
     stats = counts.aggregate(Min("id"), Max("id"))
+    if stats["min(id)"] is None:
+        # every document tokenized to zero — the empty plan, not a crash
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "seq_id": pa.array([], type=pa.int64()),
+                    "tok_begin": pa.array([], type=pa.int64()),
+                    "tok_end": pa.array([], type=pa.int64()),
+                }
+            )
+        )
     lo, hi = int(stats["min(id)"]), int(stats["max(id)"])
     span = max(1, hi - lo + 1)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column("id").combine_chunks(), dtype=np.int64)
-        b = (ids - lo) * buckets // span
+        # float64 math, not `(ids-lo)*buckets//span`: the integer product
+        # overflows int64 once span > 2^63/buckets (hash-derived ids —
+        # stable_file_id, epoch_shuffle keys — have exactly that span) and
+        # silently emits negative buckets. int64→float64 and division by a
+        # positive constant are monotone, which is all bucketing needs.
+        b = ((ids - lo).astype(np.float64) * buckets / span).astype(np.int64)
+        b = np.clip(b, 0, buckets - 1)
         return t.append_column("bucket", pa.array(b, type=pa.int64()))
 
     bucketed = counts.map_batches(
@@ -113,7 +133,9 @@ def pack_sequences(
     )
     totals = np.zeros(buckets, dtype=np.int64)
     for chunk in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
-        totals[np.asarray(chunk.column("b"))] += np.asarray(chunk.column("tot"))
+        # add.at, not fancy-index +=: a chunk bundling two partial tables
+        # repeats bucket ids, and `a[idx] += v` drops all but the last add
+        np.add.at(totals, np.asarray(chunk.column("b")), np.asarray(chunk.column("tot")))
     prefix = np.concatenate([[0], np.cumsum(totals)[:-1]])  # exclusive
 
     def emit_spans(part: pa.Table) -> pa.Table:

@@ -405,6 +405,8 @@ def quantile_filter(ds, col: str, q: float = 0.25, keep: str = "ge"):
 
     DuckDB equivalence: ``WHERE col >= (SELECT quantile_disc(col, q) ...)``.
     """
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
     row = exact_quantiles(ds, col, [q]).take_all()[0]
     thr = row[f"q{int(round(q * 100)):02d}"]
 

@@ -286,3 +286,34 @@ def test_incremental_er_merge_audit(ray_session, tmp_path):
     merges = out["merges"].to_pandas().sort_values("base_cluster_id")
     assert sorted(merges.base_cluster_id) == sorted([cx, cy])
     assert set(merges.merged_into) == {min(cx, cy)}
+
+
+def test_incremental_er_rejects_mismatched_signature_config(ray_session, tmp_path):
+    """Band keys from different (num_perm, num_bands) can't collide — a
+    mismatched base would silently attach nothing, so it must raise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from takco_ray.pipelines.er import ERConfig, er_pipeline, incremental_er
+
+    d = tmp_path / "base"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r/a", "r/b"],
+                "path": ["a.py", "b.py"],
+                "commit": ["c", "c"],
+                "lang": ["py", "py"],
+                "content": pa.array(
+                    ["alpha beta gamma delta epsilon zeta", "one two three four five six"],
+                    type=pa.large_string(),
+                ),
+            }
+        ),
+        str(d / "shard_00000.parquet"),
+    )
+    base = er_pipeline(str(d), ERConfig(num_perm=128, num_bands=16))
+    with pytest.raises(ValueError, match="signature config"):
+        incremental_er(str(d), base["labels"], base["signatures"],
+                       ERConfig(num_perm=64, num_bands=8))

@@ -550,3 +550,9 @@ def test_percent_rank_and_grouped_median(ray_session):
     )
     # n=100 even: median x2 = x[49] + x[50]
     assert list(med.qcont_scaled) == [49 + 50, 490 + 500]
+
+
+def test_quantile_filter_rejects_bad_keep(ray_session):
+    ds = _ds({"v": np.arange(10, dtype=np.int64)})
+    with pytest.raises(ValueError, match="keep"):
+        relational.quantile_filter(ds, "v", q=0.5, keep="gte")

@@ -708,3 +708,38 @@ def test_license_scan_matches_duckdb(ray_session):
     assert len(got) == len(want)
     assert (got.license.to_numpy() == want.license.to_numpy()).all()
     assert (got.permissive.to_numpy() == want.permissive.to_numpy()).all()
+
+
+def test_pack_sequences_wide_hash_id_domain(ray_session):
+    """Range bucketing must survive hash-scale id spans (the old int64
+    product (ids-lo)*buckets overflowed and emitted negative buckets)."""
+    import ray.data
+    from takco_ray.stages.pack import pack_sequences
+
+    ids = np.array([0, 2**57, 2**58, 2**61], dtype=np.int64)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": ["a b c", "d e", "f", "g h i j"],
+        }
+    )
+    out = (
+        pack_sequences(ray.data.from_arrow(tbl), "doc_id", "text", seq_len=4)
+        .to_pandas()
+        .sort_values(["seq_id", "tok_begin"])
+        .reset_index(drop=True)
+    )
+    # global order is ascending id; token counts 3,2,1,4 → cuts at 4 and 8
+    assert list(out.doc_id) == [0, 2**57, 2**57, 2**58, 2**61, 2**61]
+    assert out.tok_end.max() == 10
+
+
+def test_pack_sequences_all_zero_tokens(ray_session):
+    import ray.data
+    from takco_ray.stages.pack import pack_sequences
+
+    tbl = pa.table(
+        {"doc_id": pa.array([1, 2], type=pa.int64()), "text": ["", "   "]}
+    )
+    out = pack_sequences(ray.data.from_arrow(tbl), "doc_id", "text", seq_len=8)
+    assert out.count() == 0
