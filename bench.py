@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "sketch_quantiles_supplier",
     "supplier_percent_rank",
     "grouped_price_median",
+    "event_coverage",
 ]
 
 

@@ -2600,6 +2600,60 @@ GROUP BY o_orderpriority
 """
 
 
+
+def q_event_coverage(sf_dir: str):
+    """Per-user merged-interval coverage (gaps-and-islands union): each
+    event opens an interval [ts, ts + |value|·1e6 µs + 1]; overlapping /
+    touching intervals merge, and the query reports islands + total
+    covered µs per user — the interval-union dual of event_sessions."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t.column("ts").cast(pa.int64())  # µs epoch
+        dur = pc.add(
+            pc.cast(pc.round(pc.multiply(
+                pc.abs(t.column("value").cast(pa.float64())),
+                pa.scalar(1_000_000.0))), pa.int64()),
+            pa.scalar(1, type=pa.int64()),
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "s": s,
+                "e": pc.add(s, dur),
+            }
+        )
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return temporal_stages.interval_coverage(prepped, "user_id", "s", "e").rename_columns(
+        {"covered": "covered_us"}
+    )
+
+
+SQL_EVENT_COVERAGE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(abs(value) * 1000000) AS BIGINT) + 1 AS e
+  FROM events
+), o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+), g AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e) AS island
+  FROM o
+), h AS (
+  SELECT user_id, island, max(e) - min(s) AS cov
+  FROM g GROUP BY user_id, island
+)
+SELECT user_id, count(*) AS n_islands, CAST(sum(cov) AS BIGINT) AS covered_us
+FROM h GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2681,6 +2735,7 @@ def build_queries() -> dict:
         "sketch_quantiles_supplier": q_sketch_quantiles_supplier,
         "supplier_percent_rank": q_supplier_percent_rank,
         "grouped_price_median": q_grouped_price_median,
+        "event_coverage": q_event_coverage,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2779,4 +2834,5 @@ def build_oracle_sql() -> dict:
         "sketch_quantiles_supplier": SQL_SKETCH_QUANTILES,
         "supplier_percent_rank": SQL_SUPPLIER_PERCENT_RANK,
         "grouped_price_median": SQL_GROUPED_PRICE_MEDIAN,
+        "event_coverage": SQL_EVENT_COVERAGE,
     }

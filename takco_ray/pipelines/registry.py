@@ -466,6 +466,15 @@ def _decontaminate(ctx, cfg):
     )
 
 
+@op("interval_coverage")
+def _interval_coverage(ctx, cfg):
+    from ..stages.temporal import interval_coverage
+
+    return interval_coverage(
+        _ds(ctx, cfg), cfg["key_column"], cfg["start_column"], cfg["end_column"],
+    )
+
+
 @op("sessionize")
 def _sessionize(ctx, cfg):
     from ..stages.temporal import sessionize

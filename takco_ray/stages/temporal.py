@@ -456,3 +456,71 @@ def lag_deltas(
     return partitioned_group_map(
         ds, key_column, per_partition, num_partitions or _parts()
     )
+
+
+def interval_coverage(
+    ds,
+    key_column: str,
+    start_column: str,
+    end_column: str,
+    num_partitions: int | None = None,
+):
+    """Per-key merged-interval coverage (the gaps-and-islands union): sort a
+    key's intervals by (start, end), merge any interval whose start ≤ the
+    running max end (touching merges), and emit one row per key with the
+    island count and the total covered span — the "how much wall-clock did
+    this user's sessions actually cover" report, the interval-union dual of
+    :func:`sessionize`'s point-gap sessions.
+
+    One hash shuffle on the key; inside each partition a vectorized sort +
+    per-key running-max scan (the per-key loop is over DISTINCT keys in the
+    partition, not rows). Columns must be int64 (µs epochs / integerized).
+    Output: (key_column, n_islands, covered).
+    """
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    key_column: pa.array([], type=pa.int64()),
+                    "n_islands": pa.array([], type=pa.int64()),
+                    "covered": pa.array([], type=pa.int64()),
+                }
+            )
+        k = _i64(t.column(key_column))
+        s = _i64(t.column(start_column))
+        e = _i64(t.column(end_column))
+        order = np.lexsort((e, s, k))
+        k, s, e = k[order], s[order], e[order]
+        from .groupmap import segment_boundaries
+
+        starts = segment_boundaries(k)
+        ends = np.append(starts[1:], len(k))
+        keys_out = np.empty(len(starts), dtype=np.int64)
+        islands_out = np.empty(len(starts), dtype=np.int64)
+        covered_out = np.empty(len(starts), dtype=np.int64)
+        for gi, (a, b) in enumerate(zip(starts, ends)):
+            ss, ee = s[a:b], e[a:b]
+            run_max = np.maximum.accumulate(ee)
+            # island starts: first interval, or start strictly past the
+            # running max end of everything before it
+            new = np.empty(b - a, dtype=bool)
+            new[0] = True
+            new[1:] = ss[1:] > run_max[:-1]
+            isl_starts = np.flatnonzero(new)
+            isl_ends = np.append(isl_starts[1:], b - a)
+            cov = run_max[isl_ends - 1] - ss[isl_starts]
+            keys_out[gi] = k[a]
+            islands_out[gi] = len(isl_starts)
+            covered_out[gi] = int(cov.sum())
+        return pa.table(
+            {
+                key_column: pa.array(keys_out, type=pa.int64()),
+                "n_islands": pa.array(islands_out, type=pa.int64()),
+                "covered": pa.array(covered_out, type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(
+        ds, key_column, per_partition, num_partitions or _parts()
+    )

@@ -1082,3 +1082,26 @@ def test_unnest_list_sliced_and_null_entries(ray_session):
     assert list(out.id) == [1, 1, 3]
     assert list(out.pos) == [0, 1, 0]
     assert list(out.val) == [1.0, 2.0, 5.0]
+
+
+def test_interval_coverage(ray_session):
+    import ray.data
+    from takco_ray.stages.temporal import interval_coverage
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+            # key 1: [0,10] + [5,8] merge; [10,12] touches → merges;
+            #        [20,25] separate → 2 islands, covered (12-0)+(25-20)=17
+            "s": pa.array([0, 5, 10, 20, 100], type=pa.int64()),
+            "e": pa.array([10, 8, 12, 25, 101], type=pa.int64()),
+        }
+    )
+    out = (
+        interval_coverage(ray.data.from_arrow(tbl), "k", "s", "e")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.n_islands) == [2, 1]
+    assert list(out.covered) == [17, 1]
