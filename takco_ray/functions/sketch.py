@@ -169,6 +169,8 @@ def kll_compress(values: np.ndarray, weights: np.ndarray, cap: int) -> tuple:
     compacted level's weight span — the classic deterministic-GK-style
     bound, validated empirically by the pytest gate.
     """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
     while len(values) > cap:
         w_min = weights.min()
         lvl = int(w_min).bit_length() - 1

@@ -1748,8 +1748,6 @@ def q_incremental_er_merges(sf_dir: str):
     both — so the audit rows are stable: 2 rows, both merged into the
     min base cluster id. Rows-only (LSH-banding dependent); semantics
     pytest-gated in tests/test_er.py::test_incremental_er_merge_audit."""
-    import tempfile
-
     import pyarrow.parquet as pq
 
     from .er import ERConfig, er_pipeline, incremental_er
@@ -1757,7 +1755,9 @@ def q_incremental_er_merges(sf_dir: str):
     def toks(p, lo, hi):
         return " ".join(f"{p}{j}" for j in range(lo, hi))
 
-    root = tempfile.mkdtemp(prefix="takco_merge_audit_")
+    # fixed path, overwritten each run — mkdtemp would leak a directory per
+    # invocation (bench runs this twice per session, the driver every round)
+    root = "/tmp/takco_fixtures/merge_audit"
 
     def write(dirname, rows):
         d = os.path.join(root, dirname)

@@ -276,19 +276,10 @@ def lsh_bucket_neighbors(
         # otherwise hold ~1.2G pair slots before the first filter). Within
         # a chunk the dot products run in fixed-size slices so the gather
         # stays at ~slice × dim × 16 B.
-        pair_counts = counts * (counts - 1) // 2
-        budget = 1 << 21
+        from .groupmap import budgeted_segment_pair_chunks
+
         keep_i1, keep_i2, keep_cos = [], [], []
-        s = 0
-        while s < len(starts):
-            e, tot = s, 0
-            while e < len(starts) and (tot == 0 or tot + pair_counts[e] <= budget):
-                tot += int(pair_counts[e])
-                e += 1
-            ii, jj = segment_pairs(starts[s:e], counts[s:e], max_block_size=None)
-            s = e
-            if len(ii) == 0:
-                continue
+        for ii, jj in budgeted_segment_pair_chunks(starts, counts):
             sims = np.empty(len(ii), dtype=np.float64)
             chunk = 1 << 18
             for c0 in range(0, len(ii), chunk):

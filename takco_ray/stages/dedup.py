@@ -709,19 +709,10 @@ def simhash_neardup(
         # bucket-chunked pair generation under a pair budget (each chunk
         # Hamming-filtered before the next materializes): peak memory is
         # max(budget, largest bucket), not the sum over all buckets
-        pair_counts = cnts * (cnts - 1) // 2
-        budget = 1 << 21
+        from .groupmap import budgeted_segment_pair_chunks
+
         us, vs = [], []
-        s = 0
-        while s < len(starts):
-            e, tot = s, 0
-            while e < len(starts) and (tot == 0 or tot + pair_counts[e] <= budget):
-                tot += int(pair_counts[e])
-                e += 1
-            ii, jj = segment_pairs(starts[s:e], cnts[s:e], max_block_size=None)
-            s = e
-            if len(ii) == 0:
-                continue
+        for ii, jj in budgeted_segment_pair_chunks(starts, cnts):
             keep = _hamming64(h[ii], h[jj]) <= max_hamming
             us.append(ids[ii[keep]])
             vs.append(ids[jj[keep]])
@@ -1523,7 +1514,9 @@ def semantic_dedup(
     # ~n_cells quadratic-cost reduction and splitting far-region near-dups
     # across arbitrary cells. Deterministic (same multiplicative mix as
     # hash_sample), so runs and engines agree on the seed set.
-    modulus = max(1, n_total // sample_size)
+    # ceil, not floor: floor keeps >= sample_size rows and limit() then
+    # truncates to the corpus PREFIX again for n_total < 2*sample_size
+    modulus = max(1, -(-n_total // sample_size))
 
     def spread(t: pa.Table) -> pa.Table:
         ids = np.asarray(t.column(id_column).combine_chunks(), dtype=np.int64)

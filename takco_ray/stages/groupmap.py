@@ -157,3 +157,24 @@ def segment_cross_pairs(
     ii = a_starts[seg_of] + intra // bc
     jj = b_starts[seg_of] + intra % bc
     return ii, jj
+
+
+def budgeted_segment_pair_chunks(starts, counts, budget: int = 1 << 21):
+    """Yield ``(ii, jj)`` pair-index arrays for consecutive segment groups
+    whose total pair count stays within ``budget`` — so callers can filter
+    each chunk before the next materializes and peak memory is
+    ``max(budget, largest single segment)`` instead of the sum over all
+    segments. A single oversize segment still emits whole (exactness needs
+    it); shared by the SimHash Hamming filter and the embedding-LSH cosine
+    filter so the chunk-boundary rule lives in one place."""
+    pair_counts = counts * (counts - 1) // 2
+    s = 0
+    while s < len(starts):
+        e, tot = s, 0
+        while e < len(starts) and (tot == 0 or tot + pair_counts[e] <= budget):
+            tot += int(pair_counts[e])
+            e += 1
+        ii, jj = segment_pairs(starts[s:e], counts[s:e], max_block_size=None)
+        s = e
+        if len(ii):
+            yield ii, jj

@@ -537,6 +537,8 @@ def quantile_cont_scaled(ds, col: str, q_num: int, q_den: int, out_name: str):
     float interpolation to round. Distribution is the histogram route of
     :func:`exact_quantiles`: only distinct values shuffle, the cumsum walk
     runs on that tiny table."""
+    if q_den < 1 or not (0 <= q_num <= q_den):
+        raise ValueError(f"need 0 <= q_num <= q_den, got {q_num}/{q_den}")
     hist = value_histogram(ds, col)
 
     def pick(t: pa.Table) -> pa.Table:
@@ -1047,6 +1049,9 @@ def sketch_quantiles(ds, col: str, qs: list, cap: int = 4096):
     """
     from ..functions.sketch import kll_compress, kll_quantile
 
+    if cap < 8:
+        raise ValueError(f"cap must be >= 8 (got {cap}); tiny caps degrade to noise")
+
     def partial(t: pa.Table) -> pa.Table:
         v = np.asarray(t.column(col).combine_chunks(), dtype=np.float64)
         v = v[~np.isnan(v)]
@@ -1109,6 +1114,9 @@ def grouped_quantile_cont(ds, col: str, group_col: str, q_num: int, q_den: int,
     cumsum/interpolation walk runs on its tiny histogram. ``col`` must be
     int64 with |values| < 2^53."""
     from ray.data.aggregate import Sum
+
+    if q_den < 1 or not (0 <= q_num <= q_den):
+        raise ValueError(f"need 0 <= q_num <= q_den, got {q_num}/{q_den}")
 
     def partial(t: pa.Table) -> pa.Table:
         grp = t.column(group_col).combine_chunks()

@@ -490,6 +490,12 @@ def interval_coverage(
         k = _i64(t.column(key_column))
         s = _i64(t.column(start_column))
         e = _i64(t.column(end_column))
+        if (e < s).any():
+            bad = int(np.flatnonzero(e < s)[0])
+            raise ValueError(
+                f"interval_coverage: end < start (row {bad}: {s[bad]}..{e[bad]})"
+                " — malformed intervals would silently corrupt coverage totals"
+            )
         order = np.lexsort((e, s, k))
         k, s, e = k[order], s[order], e[order]
         from .groupmap import segment_boundaries

@@ -556,3 +556,19 @@ def test_quantile_filter_rejects_bad_keep(ray_session):
     ds = _ds({"v": np.arange(10, dtype=np.int64)})
     with pytest.raises(ValueError, match="keep"):
         relational.quantile_filter(ds, "v", q=0.5, keep="gte")
+
+
+def test_sketch_quantiles_rejects_tiny_cap(ray_session):
+    with pytest.raises(ValueError, match="cap"):
+        relational.sketch_quantiles(_ds({"v": np.arange(5, dtype=np.int64)}),
+                                    "v", [0.5], cap=0)
+
+
+def test_quantile_cont_rejects_bad_q(ray_session):
+    ds = _ds({"c": np.arange(5, dtype=np.int64)})
+    with pytest.raises(ValueError, match="q_num"):
+        relational.quantile_cont_scaled(ds, "c", 3, 1, "out")
+    with pytest.raises(ValueError, match="q_num"):
+        relational.grouped_quantile_cont(
+            _ds({"g": ["a"] * 5, "c": np.arange(5, dtype=np.int64)}), "c", "g", -1, 2
+        )

@@ -1105,3 +1105,16 @@ def test_interval_coverage(ray_session):
     )
     assert list(out.n_islands) == [2, 1]
     assert list(out.covered) == [17, 1]
+
+
+def test_interval_coverage_rejects_reversed_intervals(ray_session):
+    import ray.data
+    from takco_ray.stages.temporal import interval_coverage
+
+    tbl = pa.table(
+        {"k": pa.array([1, 1], type=pa.int64()),
+         "s": pa.array([0, 20], type=pa.int64()),
+         "e": pa.array([10, 3], type=pa.int64())}
+    )
+    with pytest.raises(Exception, match="end < start"):
+        interval_coverage(ray.data.from_arrow(tbl), "k", "s", "e").to_pandas()
