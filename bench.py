@@ -446,6 +446,21 @@ def main():
         out = run_stages(sf_dir, num_cpus)
     else:
         out = run_bench(sf_dir, num_cpus, er_only=args.er_only)
+
+    # Keep the stdout line compact: the driver tail-captures a bounded window,
+    # and a 50+-query ``spread`` dict once overflowed it (BENCH_r03 parsed as
+    # null). Full per-sample spread goes to a sidecar next to this script.
+    spread = out.pop("spread", None)
+    if spread is not None:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SPREAD.json")
+        try:
+            with open(sidecar, "w") as f:
+                json.dump({"spread": spread, "metric": out.get("metric"),
+                           "sf": out.get("sf")}, f)
+            out["spread_file"] = os.path.basename(sidecar)
+        except OSError:
+            pass
     print(json.dumps(out))
 
 

@@ -1811,8 +1811,13 @@ def remove_dup_lines(
         doc = np.asarray(part.column("doc_id").combine_chunks(), dtype=np.int64)
         idx = np.asarray(part.column("idx").combine_chunks(), dtype=np.int64)
         blank = np.asarray(part.column("blank").combine_chunks(), dtype=bool)
-        lines = part.column("line").to_pandas()
-        trimmed = lines.str.strip()
+        # One trim definition end-to-end: the routing hash in ``explode``
+        # used Arrow utf8_trim_whitespace, so the in-partition DF key must
+        # too (pandas str.strip trims a different whitespace set, e.g.
+        # \x1c-\x1f, which would split a line's counts across partitions).
+        trimmed = pc.utf8_trim_whitespace(
+            part.column("line").combine_chunks()
+        ).to_pandas()
         codes, _u = pd.factorize(trimmed)
         # df = distinct docs per trimmed line, over non-blank instances only
         nb = ~blank
@@ -1850,10 +1855,14 @@ def remove_dup_lines(
         sel = np.concatenate(
             [np.arange(s, e) for s, e in zip(real_starts, ends)]
         ) if len(starts) else np.zeros(0, dtype=np.int64)
-        offs = np.zeros(len(starts) + 1, dtype=np.int32)
+        # int64 offsets + large_list: an int32 cumsum would wrap silently if
+        # one doc_id hash partition held > 2^31 kept lines (binary_join
+        # accepts large_list, so exactness costs nothing).
+        offs = np.zeros(len(starts) + 1, dtype=np.int64)
         np.cumsum(ends - real_starts, out=offs[1:])
-        lst = pa.ListArray.from_arrays(
-            pa.array(offs), lines.take(pa.array(sel, type=pa.int64()))
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()),
+            lines.take(pa.array(sel, type=pa.int64())),
         )
         return pa.table(
             {

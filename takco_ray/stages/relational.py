@@ -749,7 +749,16 @@ def heavy_hitters(ds, col: str, k: int = 16, num_sketch: int = 256):
         cnts = np.asarray(agg["cnt"], dtype=np.int64)
         keys, cnts, extra = mg_compress(keys, cnts, num_sketch)
         total_err += int(extra)
-        order = np.lexsort((keys.astype(str), -cnts))[:k]
+        # est-count ties break by value ASC in the value's native order when
+        # the column is numeric (string order would put 10 before 9); only
+        # mixed/object keys fall back to lexicographic order.
+        if pa.types.is_integer(vtype):
+            tie = keys.astype(np.int64)
+        elif pa.types.is_floating(vtype):
+            tie = keys.astype(np.float64)
+        else:
+            tie = keys.astype(str)
+        order = np.lexsort((tie, -cnts))[:k]
         return pa.table(
             {
                 "value": pa.array(list(keys[order]), type=vtype),
@@ -787,11 +796,23 @@ def global_row_number(ds, value_col: str, id_col: str, out_col: str = "rn",
 
     mm = ds.aggregate(Min(value_col), Max(value_col))
     vmin, vmax = mm[f"min({value_col})"], mm[f"max({value_col})"]
-    width = max(1, (int(vmax) - int(vmin) + num_buckets) // num_buckets)
+    span = int(vmax) - int(vmin)  # Python int: never wraps
+    width = max(1, (span + num_buckets) // num_buckets)
+    # int64 `v - vmin` wraps when the value span exceeds 2^63 (hash-derived
+    # ids hit this), producing non-monotone buckets and silently wrong row
+    # numbers. Above a conservative threshold, bucket via float64 instead:
+    # floor((v - vmin)/width) in float is monotone in v for a fixed positive
+    # divisor, which is all correctness needs (final rank sorts exactly by
+    # (value, id) inside each bucket).
+    wide_span = span >= 2 ** 62
 
     def add_bucket(t: pa.Table) -> pa.Table:
         v = np.asarray(t.column(value_col).combine_chunks(), dtype=np.int64)
-        b = np.clip((v - vmin) // width, 0, num_buckets - 1)
+        if wide_span:
+            bf = (v.astype(np.float64) - float(vmin)) / float(width)
+            b = np.clip(bf.astype(np.int64), 0, num_buckets - 1)
+        else:
+            b = np.clip((v - vmin) // width, 0, num_buckets - 1)
         return pa.table(
             {
                 "value": pa.array(v, type=pa.int64()),
