@@ -50,6 +50,82 @@ def _sorted_member_mask(sorted_arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
     return sorted_arr[pos] == keys
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filtered active set: the memory-bounded scale path.
+#
+# Below ``max_active_keys`` the active band-key set broadcasts exactly (8 B
+# per key). Above it, a fixed-size Bloom filter over the same keys broadcasts
+# instead — capped at 2^33 bits (1 GiB) no matter how many keys exist, so the
+# ~2x singleton-row shuffle cut SURVIVES 100-TB corpora instead of silently
+# disabling. A false positive only admits a band row whose key heads a
+# singleton block, and singleton blocks emit zero pairs in the grouped
+# pair-gen — so the candidate-pair output is bit-identical to the exact path
+# by construction (tested by forcing ``max_active_keys=1``). This beats the
+# naive "semi-join band rows against the >=2-count key set" shape, which
+# would either shuffle the ~300 B feature rows a second time or filter inside
+# the pair-gen exchange where the shuffle cost has already been paid.
+# ---------------------------------------------------------------------------
+
+_BLOOM_HASHES = 4
+_BLOOM_MAX_LOG2BITS = 33  # 1 GiB bit array: bounded broadcast at any corpus
+_BLOOM_BITS_PER_KEY = 10  # ~1.2% FP at k=4; an FP costs one shuffled row
+
+
+def _bloom_log2bits(expected_keys: int) -> int:
+    bits = max(64, _BLOOM_BITS_PER_KEY * max(1, int(expected_keys)))
+    return min(_BLOOM_MAX_LOG2BITS, int(np.ceil(np.log2(bits))))
+
+
+def _bloom_hash_pair(keys: np.ndarray) -> tuple:
+    """splitmix64 finalize → (h1, h2) for double hashing (Kirsch-Mitzenmacher)."""
+    x = keys.view(np.uint64) if keys.dtype == np.int64 else keys.astype(np.uint64)
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x, (x >> np.uint64(32)) | np.uint64(1)
+
+
+def bloom_from_keys(keys: np.ndarray, log2bits: int) -> np.ndarray:
+    """Allocate a bloom (uint64 words) and insert ``keys``."""
+    bits = np.zeros(1 << max(0, log2bits - 6), dtype=np.uint64)
+    bloom_insert(bits, log2bits, keys)
+    return bits
+
+
+def bloom_insert(bits: np.ndarray, log2bits: int, keys: np.ndarray) -> None:
+    if len(keys) == 0:
+        return
+    mask = np.uint64((1 << log2bits) - 1)
+    h1, h2 = _bloom_hash_pair(keys)
+    for i in range(_BLOOM_HASHES):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        np.bitwise_or.at(bits, word, bit)
+
+
+def bloom_contains(bits: np.ndarray, log2bits: int, keys: np.ndarray) -> np.ndarray:
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    mask = np.uint64((1 << log2bits) - 1)
+    h1, h2 = _bloom_hash_pair(keys)
+    ok = np.ones(len(keys), dtype=bool)
+    for i in range(_BLOOM_HASHES):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        ok &= (bits[word] & bit) != 0
+    return ok
+
+
+def _active_member_mask(active, keys: np.ndarray) -> np.ndarray:
+    """Membership against either representation of the active-key set."""
+    if isinstance(active, tuple) and active and active[0] == "bloom":
+        return bloom_contains(active[1], active[2], keys)
+    return _sorted_member_mask(active, keys)
+
+
 class _BandExploder:
     """map_batches fn: one input row → ≤num_bands (+salted) block rows.
 
@@ -97,7 +173,7 @@ class _BandExploder:
             import ray as _ray
 
             active = _ray.get(self.active_ref)  # zero-copy plasma view
-            keep = _sorted_member_mask(active, flat_keys)
+            keep = _active_member_mask(active, flat_keys)
             flat_keys, flat_rows = flat_keys[keep], flat_rows[keep]
 
         if len(self._hot_arr):
@@ -141,6 +217,7 @@ def band_key_stats(
     seed: int = DEFAULT_SEED,
     hot_threshold: int = 512,
     max_active_keys: int = 50_000_000,
+    driver_merge_threshold: int = 40_000_000,
 ) -> tuple:
     """ONE count pre-pass → ``(active_keys, {hot_key: count})``.
 
@@ -153,9 +230,11 @@ def band_key_stats(
     The count shuffle moves 16 bytes × num_bands per file; the savings on
     the feature-row shuffle it enables are ~300 bytes per dropped row.
     Driver + broadcast cost is 8 B per active key; above ``max_active_keys``
-    (~400 MB) the active filter is disabled (returns ``None``) and only hot
-    detection is kept — at that corpus scale the filter belongs in a
-    distributed semi-join of band rows against active keys instead.
+    (~400 MB) the EXACT set is replaced by a fixed-size Bloom filter over
+    the same keys (``("bloom", bits, log2bits, k)``, ≤1 GiB broadcast at any
+    corpus size) so the singleton-row cut survives 100-TB inputs. Bloom
+    false positives admit only singleton-block rows, which the grouped
+    pair-gen drops — pair output is identical to the exact path.
     """
 
     def local_counts(batch: pa.Table) -> pa.Table:
@@ -182,7 +261,7 @@ def band_key_stats(
         n_rows_bound = ds.count() * num_bands
     except Exception:
         n_rows_bound = None
-    if n_rows_bound is not None and n_rows_bound <= 40_000_000:
+    if n_rows_bound is not None and n_rows_bound <= driver_merge_threshold:
         k_parts: list = []
         n_parts: list = []
         for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
@@ -203,7 +282,8 @@ def band_key_stats(
         hot_mask = cnts > hot_threshold
         hot = {int(kk): int(c) for kk, c in zip(keys[hot_mask], cnts[hot_mask])}
         if len(keys) > max_active_keys:
-            return None, hot
+            log2bits = _bloom_log2bits(len(keys))
+            return ("bloom", bloom_from_keys(keys, log2bits), log2bits, _BLOOM_HASHES), hot
         return keys, hot
 
     def active_in_partition(part: pa.Table) -> pa.Table:
@@ -228,24 +308,45 @@ def band_key_stats(
         partials, "band_key", active_in_partition, default_concurrency()[1]
     )
     keys_parts: list = []
-    cnt_parts: list = []
     # iter_batches, not take_all: millions of active keys stream to the
-    # driver as Arrow blocks, never as Python row dicts
+    # driver as Arrow blocks, never as Python row dicts. Hot detection is
+    # per batch — ``partitioned_group_map`` co-locates every partial of a
+    # key, so each streamed count is already the exact global count.
+    # Above ``max_active_keys`` the collected parts spill into a Bloom
+    # filter sized from the band-row bound, capping driver memory at the
+    # bloom size instead of 8 B x keys.
+    hot: dict = {}
+    bloom = None
+    log2bits = (
+        _bloom_log2bits(n_rows_bound)
+        if n_rows_bound is not None
+        else _BLOOM_MAX_LOG2BITS
+    )
+    total = 0
     for b in rows.iter_batches(batch_format="pyarrow", batch_size=None):
-        keys_parts.append(np.asarray(b.column("band_key").combine_chunks(), dtype=np.int64))
-        cnt_parts.append(np.asarray(b.column("n").combine_chunks(), dtype=np.int64))
+        k = np.asarray(b.column("band_key").combine_chunks(), dtype=np.int64)
+        c = np.asarray(b.column("n").combine_chunks(), dtype=np.int64)
+        hm = c > hot_threshold
+        if hm.any():
+            hot.update(
+                (int(kk), int(cc)) for kk, cc in zip(k[hm], c[hm])
+            )
+        total += len(k)
+        if bloom is None and total > max_active_keys:
+            bloom = np.zeros(1 << max(0, log2bits - 6), dtype=np.uint64)
+            for kp in keys_parts:
+                bloom_insert(bloom, log2bits, kp)
+            keys_parts = []
+        if bloom is not None:
+            bloom_insert(bloom, log2bits, k)
+        else:
+            keys_parts.append(k)
+    if bloom is not None:
+        return ("bloom", bloom, log2bits, _BLOOM_HASHES), hot
     if keys_parts:
-        keys = np.concatenate(keys_parts)
-        cnts = np.concatenate(cnt_parts)
-        order = np.argsort(keys)
-        keys, cnts = keys[order], cnts[order]
+        keys = np.sort(np.concatenate(keys_parts))
     else:
         keys = np.zeros(0, dtype=np.int64)
-        cnts = np.zeros(0, dtype=np.int64)
-    hot_mask = cnts > hot_threshold
-    hot = {int(k): int(c) for k, c in zip(keys[hot_mask], cnts[hot_mask])}
-    if len(keys) > max_active_keys:
-        return None, hot
     return keys, hot
 
 
@@ -481,6 +582,7 @@ def candidate_pairs(
     num_partitions: int = 64,
     scorer_kwargs: dict | None = None,
     dedup_edges: bool = False,
+    max_active_keys: int = 50_000_000,
 ):
     """Full blocking: count pre-pass → explode (active only) → grouped pair-gen.
 
@@ -500,10 +602,12 @@ def candidate_pairs(
         active, hot = None, {}
     else:
         active, hot = band_key_stats(
-            ds, num_bands=num_bands, seed=seed, hot_threshold=hot_threshold
+            ds, num_bands=num_bands, seed=seed, hot_threshold=hot_threshold,
+            max_active_keys=max_active_keys,
         )
     active_ref = None
-    if active is not None and len(active):
+    is_bloom = isinstance(active, tuple) and active and active[0] == "bloom"
+    if active is not None and (is_bloom or len(active)):
         import ray as _ray
 
         active_ref = _ray.put(active)

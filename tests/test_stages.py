@@ -1118,3 +1118,57 @@ def test_interval_coverage_rejects_reversed_intervals(ray_session):
     )
     with pytest.raises(Exception, match="end < start"):
         interval_coverage(ray.data.from_arrow(tbl), "k", "s", "e").to_pandas()
+
+
+def test_bloom_active_filter_pairs_identical(ray_session, test_corpus):
+    """Above max_active_keys the active band-key set becomes a Bloom filter
+    (bounded broadcast at any corpus size). False positives only admit
+    singleton-block rows, which pair-gen drops, so forcing the Bloom path
+    (max_active_keys=1) must yield candidate pairs IDENTICAL to the exact
+    broadcast path — via both the driver fast count path and the
+    distributed streaming count path."""
+    import numpy as np
+
+    from takco_ray.sources import read_files_corpus
+    from takco_ray.stages.normalize import fingerprint
+    from takco_ray.stages.minhash import make_signature_fn
+    from takco_ray.stages.blocking import (
+        band_key_stats,
+        bloom_contains,
+        candidate_pairs,
+    )
+
+    files = read_files_corpus(test_corpus["files"])
+    sigs = (
+        fingerprint(files)
+        .map_batches(make_signature_fn(), batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["file_id", "path", "size", "lang", "sig", "bands"])
+        .materialize()
+    )
+
+    def pair_set(ds):
+        df = ds.select_columns(["id1", "id2"]).to_pandas()
+        return set(zip(df.id1.tolist(), df.id2.tolist()))
+
+    exact = pair_set(candidate_pairs(sigs, num_partitions=8))
+    bloom = pair_set(candidate_pairs(sigs, num_partitions=8, max_active_keys=1))
+    assert len(exact) > 0
+    assert bloom == exact
+
+    # representation checks: no false negatives vs the exact active set,
+    # from BOTH build paths (driver merge and distributed streaming merge)
+    exact_keys, hot_exact = band_key_stats(sigs)
+    for kwargs in (
+        {"max_active_keys": 1},
+        {"max_active_keys": 1, "driver_merge_threshold": 0},
+    ):
+        active, hot = band_key_stats(sigs, **kwargs)
+        assert isinstance(active, tuple) and active[0] == "bloom"
+        assert bloom_contains(active[1], active[2], exact_keys).all()
+        assert hot == hot_exact
+        # non-member FP rate stays near the design point (~1.2% at 10 b/key)
+        rng = np.random.default_rng(7)
+        probes = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+        probes = probes[~np.isin(probes, exact_keys)]
+        fp = bloom_contains(active[1], active[2], probes).mean()
+        assert fp < 0.05
