@@ -16,8 +16,60 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _PK_MIX = np.uint64(0x9E3779B97F4A7C15)
+_NULL_KEY_HASH = np.int64(-0x61C8864680B583EB)
+
+
+def group_key_hash(col) -> np.ndarray:
+    """Vectorized int64 hash of an arbitrary-typed key column.
+
+    Dictionary-encodes the column (the per-batch dictionary is small even
+    when the batch is wide), hashes only the dictionary values, and gathers
+    per row — no per-row Python hashing. Nulls map to a fixed sentinel so
+    they co-partition like any other key.
+    """
+    import pandas as pd
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = pc.dictionary_encode(arr)
+    codes = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    out = np.full(len(codes), _NULL_KEY_HASH, dtype=np.int64)
+    if len(enc.dictionary):
+        dv = enc.dictionary.to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(dv, categorize=False).astype(np.uint64).view(np.int64)
+        m = codes >= 0
+        out[m] = h[codes[m]]
+    return out
+
+
+def partitioned_group_map_any(ds, key: str, fn, num_partitions: int = 64):
+    """Partition-level grouped map for ARBITRARY key dtypes (strings etc.).
+
+    Routes every row of a key to one hash partition (via
+    :func:`group_key_hash`) and applies ``fn`` ONCE per partition, like
+    :func:`partitioned_group_map` — the shape that replaces one-Python-call-
+    per-group ``map_groups`` in the many-tiny-groups regime. Unlike the
+    int64 variant, rows arrive UNSORTED and 64-bit hash collisions between
+    distinct keys are possible: ``fn`` must group on the real key column
+    (e.g. ``pc.dictionary_encode`` codes or an Arrow sort), never on hash
+    value runs.
+    """
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        hk = group_key_hash(t.column(key)).view(np.uint64)
+        pk = ((hk * _PK_MIX) >> np.uint64(33)) % np.uint64(num_partitions)
+        return t.append_column("__pk", pa.array(pk.astype(np.int64), type=pa.int64()))
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        return fn(g.drop_columns(["__pk"]))
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pk")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
 
 
 def partitioned_group_map(ds, key: str, fn, num_partitions: int = 64):

@@ -477,28 +477,88 @@ def rollup_aggregate(ds, keys: list, value_col: str, sum_name: str = "value_sum"
     )
 
 
-def grouped_mode(ds, group_col: str, value_col: str):
-    """Per-group most-frequent value, ties broken by smallest value — the
-    reference's ``Counter.most_common(1)`` family (header voting,
-    ``takco/cluster/cluster.py:692-700``) as a two-stage distributed op:
-    a (group, value) hash-count aggregate (map-side partials) shrinks the
-    data to distinct pairs, then a per-group argmax over each group's tiny
-    count table. Output: (group_col, mode, mode_n)."""
-    from ray.data.aggregate import Count
+def grouped_mode(ds, group_col: str, value_col: str, num_partitions: int = 64):
+    """Per-group most-frequent value, ties broken by smallest value (nulls
+    last) — the reference's ``Counter.most_common(1)`` family (header
+    voting, ``takco/cluster/cluster.py:692-700``) as a two-stage distributed
+    op: a map-side (group, value) partial count shrinks batches to distinct
+    pairs, then ONE grouped exchange hashed on the group lands every pair of
+    a group in the same partition, where a vectorized segment argmax picks
+    the mode for ALL groups at once — no per-group Python calls (the
+    ``map_groups``-per-group shape measured ~50x slower at millions of
+    groups elsewhere in this repo). Output: (group_col, mode, mode_n)."""
+    from .groupmap import partitioned_group_map_any
 
-    counts = ds.groupby([group_col, value_col]).aggregate(Count())
+    def _codes(arr: pa.Array) -> np.ndarray:
+        enc = pc.dictionary_encode(arr)
+        return (
+            pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64),
+            enc.dictionary,
+        )
 
-    def pick(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("count()", "descending"), (value_col, "ascending")])
+    def partial(t: pa.Table) -> pa.Table:
+        sub = t.select([group_col, value_col])
+        gc, _ = _codes(sub.column(group_col).combine_chunks())
+        vc, _ = _codes(sub.column(value_col).combine_chunks())
+        order = np.lexsort((vc, gc))
+        gs, vs = gc[order], vc[order]
+        first = (
+            np.concatenate([[True], (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])])
+            if len(gs)
+            else np.zeros(0, dtype=bool)
+        )
+        starts = np.flatnonzero(first)
+        cnts = np.diff(np.append(starts, len(gs)))
+        out = sub.take(pa.array(order[starts], type=pa.int64()))
+        return out.append_column("cnt", pa.array(cnts.astype(np.int64), type=pa.int64()))
+
+    def pick_partition(g: pa.Table) -> pa.Table:
+        grp = g.column(group_col).combine_chunks()
+        val = g.column(value_col).combine_chunks()
+        cnt = np.asarray(g.column("cnt").combine_chunks(), dtype=np.int64)
+        gc, _gd = _codes(grp)
+        vc, vd = _codes(val)
+        # tie-break needs VALUE order, not code (first-appearance) order:
+        # rank only the partition's small dictionary, gather per row
+        if len(vd):
+            sidx = pc.sort_indices(vd).to_numpy(zero_copy_only=False).astype(np.int64)
+            rank_of = np.empty(len(vd), dtype=np.int64)
+            rank_of[sidx] = np.arange(len(vd), dtype=np.int64)
+            vrank = np.where(vc >= 0, rank_of[np.maximum(vc, 0)], len(vd))
+        else:
+            vrank = np.zeros(len(vc), dtype=np.int64)
+        # sum duplicate (group, value) partials from different upstream
+        # batches, then argmax per group = first row of each group under
+        # (count desc, value-rank asc) — all one lexsort + reduceat
+        order = np.lexsort((vrank, vc, gc))
+        gs, vs, cs = gc[order], vc[order], cnt[order]
+        first = (
+            np.concatenate([[True], (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])])
+            if len(gs)
+            else np.zeros(0, dtype=bool)
+        )
+        pstarts = np.flatnonzero(first)
+        psum = np.add.reduceat(cs, pstarts) if len(pstarts) else np.zeros(0, dtype=np.int64)
+        pg = gs[pstarts]
+        pvr = vrank[order][pstarts]
+        prow = order[pstarts]
+        order2 = np.lexsort((pvr, -psum, pg))
+        g2 = pg[order2]
+        gfirst = (
+            np.concatenate([[True], g2[1:] != g2[:-1]]) if len(g2) else np.zeros(0, dtype=bool)
+        )
+        pick = order2[np.flatnonzero(gfirst)]
+        sel = pa.array(prow[pick], type=pa.int64())
         return pa.table(
             {
-                group_col: g.column(group_col).slice(0, 1),
-                "mode": g.column(value_col).slice(0, 1),
-                "mode_n": g.column("count()").slice(0, 1),
+                group_col: pc.take(grp, sel),
+                "mode": pc.take(val, sel),
+                "mode_n": pa.array(psum[pick], type=pa.int64()),
             }
         )
 
-    return counts.groupby(group_col).map_groups(pick, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_group_map_any(partials, group_col, pick_partition, num_partitions)
 
 
 def string_agg_per_group(ds, group_col: str, value_col: str, sep: str = ","):
@@ -507,19 +567,51 @@ def string_agg_per_group(ds, group_col: str, value_col: str, sep: str = ","):
     the result order-independent of block arrival, so it is deterministic
     across engines and cluster sizes. NULL values are skipped (SQL
     ``string_agg`` semantics); ``n_values`` counts the non-null values.
+    One grouped exchange hashed on the group; inside each partition ONE
+    Arrow sort arranges (group asc, value asc, nulls last) and a
+    ``binary_join`` over offset-built list segments concatenates every
+    group at once — no per-group Python calls.
     Output: (group_col, n_values, agg)."""
+    from .groupmap import partitioned_group_map_any
 
-    def agg(g: pa.Table) -> pa.Table:
-        vals = sorted(v for v in g.column(value_col).to_pylist() if v is not None)
+    def agg_partition(g: pa.Table) -> pa.Table:
+        tbl = g.select([group_col, value_col]).sort_by(
+            [(group_col, "ascending"), (value_col, "ascending")]
+        )
+        grp = tbl.column(group_col).combine_chunks()
+        val = tbl.column(value_col).combine_chunks()
+        # equal groups are contiguous after the sort; boundaries via local
+        # dictionary codes (null group = its own trailing segment)
+        gc = (
+            pc.fill_null(pc.dictionary_encode(grp).indices, -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        starts = (
+            np.concatenate([[0], np.flatnonzero(gc[1:] != gc[:-1]) + 1]).astype(np.int64)
+            if len(gc)
+            else np.zeros(0, dtype=np.int64)
+        )
+        valid = pc.is_valid(val)
+        validn = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+        # nulls sort last within each group, so each group's kept values are
+        # a contiguous run of the filtered array; offsets = kept-prefix sums
+        cum = np.concatenate([[0], np.cumsum(validn)]).astype(np.int64)
+        offs = cum[np.append(starts, len(gc))]
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), val.filter(valid)
+        )
+        n_values = np.diff(offs)
         return pa.table(
             {
-                group_col: g.column(group_col).slice(0, 1),
-                "n_values": pa.array([len(vals)], type=pa.int64()),
-                "agg": pa.array([sep.join(vals)], type=pa.string()),
+                group_col: pc.take(grp, pa.array(starts, type=pa.int64())),
+                "n_values": pa.array(n_values, type=pa.int64()),
+                "agg": pc.binary_join(lst, sep).cast(pa.string()),
             }
         )
 
-    return ds.groupby(group_col).map_groups(agg, batch_format="pyarrow")
+    return partitioned_group_map_any(ds.select_columns([group_col, value_col]),
+                                     group_col, agg_partition)
 
 
 def quantile_cont_scaled(ds, col: str, q_num: int, q_den: int, out_name: str):
@@ -892,8 +984,9 @@ def skew_join(left, right, on: str, right_on: str | None = None,
        (caller raises ``hot_threshold`` or pre-aggregates);
     3. both inputs split by a vectorized broadcast membership probe: cold
        rows flow through the native hash join, hot left rows join against
-       the broadcast table INSIDE map_batches (pandas merge per batch —
-       no shuffle, every worker joins its own slice);
+       the broadcast Arrow table INSIDE map_batches (``pa.Table.join``,
+       Acero hash join per batch — no shuffle, no pandas round-trip,
+       every worker joins its own slice);
     4. the two streams union under one explicit column projection.
        Same result as a plain join, no straggler task.
     """
@@ -953,7 +1046,10 @@ def skew_join(left, right, on: str, right_on: str | None = None,
             f"skew_join hot side has {n_hot_rows} rows (> threshold×64); "
             "raise hot_threshold or pre-aggregate the right side"
         )
-    hot_ref = ray.put(hot_right.to_pandas())
+    hot_tbl = pa.concat_tables(
+        hot_right.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).combine_chunks()
+    hot_ref = ray.put(hot_tbl)
 
     cold_joined = None
     if cold_right_rows:
@@ -965,15 +1061,9 @@ def skew_join(left, right, on: str, right_on: str | None = None,
         ).select_columns(out_cols)
 
     def bcast_join(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = t.to_pandas()
-        rt = ray.get(hot_ref)
-        if rk == on:
-            out = df.merge(rt, on=on, how="inner")
-        else:
-            out = df.merge(rt, left_on=on, right_on=rk, how="inner").drop(columns=[rk])
-        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+        rt = ray.get(hot_ref)  # zero-copy plasma view
+        out = t.join(rt, keys=[on], right_keys=[rk], join_type="inner")
+        return out.select(out_cols)
 
     hot_joined = left.map_batches(
         split(on, True), batch_format="pyarrow", zero_copy_batch=True

@@ -8,6 +8,8 @@ import pandas as pd
 import numpy as np
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional second arg: comma-separated query names for a focused run
+ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 
 ray.init(address="local", num_cpus=8, include_dashboard=False, ignore_reinit_error=True)
 
@@ -36,6 +38,8 @@ def canon(df):
 
 fails = []
 for name, sql in sorted(oracles.items()):
+    if ONLY is not None and name not in ONLY:
+        continue
     try:
         ray_df = canon(to_df(qs[name](SF)))
         ora_df = canon(con.sql(sql).df())
@@ -68,7 +72,10 @@ for name, sql in sorted(oracles.items()):
         traceback.print_exc()
 
 no_oracle = sorted(set(qs) - set(oracles))
-print(f"\noracled: {len(oracles)}  pass: {len(oracles)-len(fails)}  fail: {len(fails)}")
+n_checked = len(oracles) if ONLY is None else len(ONLY & set(oracles))
+if ONLY is not None:
+    no_oracle = [n for n in no_oracle if n in ONLY]
+print(f"\noracled: {n_checked}  pass: {n_checked-len(fails)}  fail: {len(fails)}")
 print(f"rows-only (no oracle): {no_oracle}")
 for name in no_oracle:
     try:
