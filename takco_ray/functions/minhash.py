@@ -130,13 +130,23 @@ class MinHasher:
         so the two paths agree wherever their tokenizations agree (always,
         for ASCII).
         """
+        return self.signatures_and_shingles_arrow(col)[0]
+
+    def signatures_and_shingles_arrow(self, col) -> tuple:
+        """Signature matrix PLUS the flat shingle stream it was computed
+        from — lets a hashed-TF embedding (``functions.featurize``) reuse
+        the tokenize+shingle work instead of re-scanning the content."""
         from .tokenize import token_stream
 
         stream, _lens, counts = token_stream(col, self.seed)
         if len(counts) == 0:
-            return np.empty((0, self.num_perm), dtype=np.uint32)
+            return (
+                np.empty((0, self.num_perm), dtype=np.uint32),
+                np.zeros(0, dtype=np.uint64),
+                np.zeros(0, dtype=np.int64),
+            )
         flat_sh, sh_counts = self._flat_shingles(stream, counts)
-        return self.signatures_from_flat(flat_sh, sh_counts)
+        return self.signatures_from_flat(flat_sh, sh_counts), flat_sh, sh_counts
 
     def _flat_shingles(self, stream: np.ndarray, counts: np.ndarray) -> tuple:
         """Token-hash stream + per-doc counts → (flat shingles, per-doc counts).

@@ -60,6 +60,13 @@ class ERConfig:
     max_block_size: int = 64
     min_size_ratio: float = 0.4
     scorer_batch_size: int = 4096
+    # >0 appends a hashed shingle-TF embedding column ("emb",
+    # fixed_size_list<float32, emb_dim>) in the signature stage (one shared
+    # tokenize pass) and carries it through blocking so the scorer's
+    # emb_cos channel is live — reference EmbeddingMatcher analog
+    # (takco/cluster/matchers/embedding.py:222-246). Reference the channel
+    # from agg_expr, e.g. "@max(content_minhash, @pow(emb_cos, 4))".
+    emb_dim: int = 0
     scorer_concurrency: int | tuple | None = None
     sig_concurrency: int | tuple | None = None
     join_partitions: int = 16
@@ -114,6 +121,7 @@ def signatures_for_paths(paths, cfg: ERConfig):
             shingle_k=cfg.shingle_k,
             seed=cfg.seed,
             content_column=src_col,
+            emb_dim=cfg.emb_dim,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -186,6 +194,7 @@ def er_pipeline(
 
     def build_edges():
         scorer_kwargs = dict(agg_expr=cfg.agg_expr, threshold=cfg.threshold)
+        extras = ("emb",) if cfg.emb_dim else ()
         if cfg.scoring_mode == "fused":
             return candidate_pairs(
                 sigs,
@@ -197,6 +206,7 @@ def er_pipeline(
                 min_size_ratio=cfg.min_size_ratio,
                 num_partitions=num_parts,
                 scorer_kwargs=scorer_kwargs,
+                extra_feature_cols=extras,
             )
         pairs = candidate_pairs(
             sigs,
@@ -207,6 +217,7 @@ def er_pipeline(
             max_block_size=cfg.max_block_size,
             min_size_ratio=cfg.min_size_ratio,
             num_partitions=num_parts,
+            extra_feature_cols=extras,
         )
         return score_pairs(
             pairs,

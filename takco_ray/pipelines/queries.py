@@ -813,6 +813,74 @@ WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id
 """
 
 
+def q_embedding_pair_cos(sf_dir: str, bucket_width: int = 4096):
+    """Per-pair cosine channel — the flagship scorer's ``emb_cos`` kernel
+    (``functions.featurize.cosine_rows``, reference EmbeddingMatcher
+    ``embedding.py:222-246``) exercised over consecutive-id embedding
+    pairs. Acero rejects list-typed non-key join fields, so the pairing
+    uses the repo's temporal bucket-shuffle shape: rows hash to
+    ``vec_id // bucket_width`` buckets (bucket-boundary rows duplicated
+    into the previous bucket), one grouped exchange, then a vectorized
+    merge scan pairs adjacent ids. Thresholded membership keeps the value
+    hash float-safe: min |cos − 0.2| ≥ 2.5e-4 at every SF, ≫ the ~1e-6
+    numpy-vs-DuckDB float divergence."""
+    from ..functions.featurize import cosine_rows
+    from ..stages.ann import _emb_matrix
+    from ..stages.groupmap import partitioned_group_map
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    B = bucket_width
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t.column("vec_id").combine_chunks(), dtype=np.int64)
+        b = vid // B
+        extra = np.flatnonzero(vid % B == 0)  # pairs with vid-1 in bucket b-1
+        idx = np.concatenate([np.arange(len(vid), dtype=np.int64), extra])
+        bucket = np.concatenate([b, b[extra] - 1])
+        tt = t.take(pa.array(idx, type=pa.int64()))
+        return tt.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    def pair_in_bucket(g: pa.Table) -> pa.Table:
+        vid = np.asarray(g.column("vec_id").combine_chunks(), dtype=np.int64)
+        bkt = np.asarray(g.column("bucket").combine_chunks(), dtype=np.int64)
+        order = np.lexsort((vid, bkt))
+        vs, bs = vid[order], bkt[order]
+        # (v, v+1) adjacent within a bucket segment; emit only in v's HOME
+        # bucket so the duplicated boundary row never double-pairs
+        adj = (
+            (vs[1:] == vs[:-1] + 1)
+            & (bs[1:] == bs[:-1])
+            & (vs[:-1] // B == bs[:-1])
+            if len(vs) > 1
+            else np.zeros(0, dtype=bool)
+        )
+        li = np.flatnonzero(adj)
+        left = g.take(pa.array(order[li], type=pa.int64()))
+        right = g.take(pa.array(order[li + 1], type=pa.int64()))
+        cos = cosine_rows(
+            _emb_matrix(left, "embedding"), _emb_matrix(right, "embedding")
+        )
+        return pa.table(
+            {
+                "id1": left.column("vec_id").cast(pa.int64()),
+                "id2": right.column("vec_id").cast(pa.int64()),
+                "near": pa.array((cos >= 0.2).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    bucketed = emb.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_group_map(
+        bucketed, "bucket", pair_in_bucket, default_join_partitions()
+    )
+
+
+SQL_EMBEDDING_PAIR_COS = """
+SELECT e1.vec_id AS id1, e2.vec_id AS id2,
+       CAST(list_cosine_similarity(e1.embedding, e2.embedding) >= 0.2 AS BIGINT) AS near
+FROM embeddings e1 JOIN embeddings e2 ON e2.vec_id = e1.vec_id + 1
+"""
+
+
 # --------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: LSH clustering, heuristics, ER)
 # --------------------------------------------------------------------------
@@ -2713,6 +2781,7 @@ def _build_queries_unordered() -> dict:
         "token_counts_docs": q_token_counts_docs,
         "doc_char_stats": q_doc_char_stats,
         "embedding_neighbors": q_embedding_neighbors,
+        "embedding_pair_cos": q_embedding_pair_cos,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "simhash_docs": q_simhash_docs,
@@ -2810,6 +2879,7 @@ def build_oracle_sql() -> dict:
         "token_counts_docs": SQL_TOKEN_COUNTS,
         "doc_char_stats": SQL_DOC_CHAR_STATS,
         "embedding_neighbors": SQL_EMBEDDING_NEIGHBORS,
+        "embedding_pair_cos": SQL_EMBEDDING_PAIR_COS,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         # IVF at full probe is exactly brute force — same oracle, same result
         "ivf_topk": SQL_EMBEDDING_TOPK,

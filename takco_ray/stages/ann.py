@@ -36,6 +36,8 @@ def _emb_matrix(batch: pa.Table, column: str) -> np.ndarray:
     if pa.types.is_fixed_size_list(col.type):
         return np.asarray(col.values).reshape(len(col), col.type.list_size)
     # variable list<float>: offsets are uniform in practice; reshape via flatten
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float32)
     flat = np.asarray(col.flatten(), dtype=np.float32)
     dim = len(flat) // len(col)
     return flat.reshape(len(col), dim)

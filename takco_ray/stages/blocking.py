@@ -147,12 +147,16 @@ class _BandExploder:
         seed: int = DEFAULT_SEED,
         salt_target: int = 512,
         active_ref=None,
+        extra_feature_cols: tuple = (),
     ):
         self.hot_sizes = hot_sizes or {}
         self.num_bands = num_bands
         self.seed = seed
         self.salt_target = salt_target
         self.active_ref = active_ref
+        # explicit opt-in keeps the wide shuffle pruned: only named extras
+        # (e.g. the scorer's optional "emb" channel column) ride along
+        self.extra_feature_cols = tuple(extra_feature_cols)
         if self.hot_sizes:
             self._hot_arr = np.sort(np.fromiter(self.hot_sizes.keys(), dtype=np.int64))
             cnts = np.asarray(
@@ -202,11 +206,14 @@ class _BandExploder:
                 flat_keys = np.concatenate([flat_keys, mixed])
                 flat_rows = np.concatenate([flat_rows, np.concatenate([hr, hr])])
 
-        take = batch.select(list(FEATURE_COLUMNS)).take(pa.array(flat_rows, type=pa.int64()))
+        feat_cols = list(FEATURE_COLUMNS) + [
+            c for c in self.extra_feature_cols if c in batch.column_names
+        ]
+        take = batch.select(feat_cols).take(pa.array(flat_rows, type=pa.int64()))
         return pa.table(
             {
                 "block_key": pa.array(flat_keys, type=pa.int64()),
-                **{c: take.column(c) for c in FEATURE_COLUMNS},
+                **{c: take.column(c) for c in feat_cols},
             }
         )
 
@@ -441,16 +448,15 @@ class _PartitionPairEmitter:
         self.scorer_kwargs = scorer_kwargs
         self._scorer = None
 
-    def _empty(self, sig_type):
-        return _empty_edges_keyed() if self.scorer_kwargs is not None else _empty_pairs(sig_type)
+    def _empty(self, schema):
+        return _empty_edges_keyed() if self.scorer_kwargs is not None else _empty_pairs(schema)
 
     def __call__(self, part: pa.Table) -> pa.Table:
         keys = np.asarray(part.column("block_key").combine_chunks(), dtype=np.int64)
         ids = np.asarray(part.column("file_id").combine_chunks(), dtype=np.int64)
-        sig_type = part.column("sig").type
         n = len(keys)
         if n == 0:
-            return self._empty(sig_type)
+            return self._empty(part.schema)
         order = np.lexsort((ids, keys))
         keys = keys[order]
         starts = segment_boundaries(keys)
@@ -460,7 +466,7 @@ class _PartitionPairEmitter:
         # millions-of-tiny-blocks LSH regime (oversized blocks: O(m) pairs)
         ii, jj = segment_pairs(starts, counts, self.max_block_size, oversize="ring_spoke")
         if len(ii) == 0:
-            return self._empty(sig_type)
+            return self._empty(part.schema)
 
         part = part.take(pa.array(order, type=pa.int64()))
         sizes = np.asarray(part.column("size").combine_chunks(), dtype=np.float64)
@@ -469,7 +475,7 @@ class _PartitionPairEmitter:
         keep = ratio >= self.min_size_ratio
         ii, jj = ii[keep], jj[keep]
         if len(ii) == 0:
-            return self._empty(sig_type)
+            return self._empty(part.schema)
         left = part.take(pa.array(ii, type=pa.int64()))
         right = part.take(pa.array(jj, type=pa.int64()))
         id1 = np.asarray(left.column("file_id").combine_chunks(), dtype=np.int64)
@@ -483,7 +489,11 @@ class _PartitionPairEmitter:
             "id1": pa.array(id1, type=pa.int64()),
             "id2": pa.array(id2, type=pa.int64()),
         }
-        for c in ("path", "size", "lang", "sig"):
+        # feature columns ride pair rows as <name>1/<name>2 — schema-driven,
+        # so opt-in extras (e.g. "emb") flow to the scorer automatically
+        for c in part.column_names:
+            if c in ("block_key", "file_id"):
+                continue
             cols[f"{c}1"] = left.column(c)
             cols[f"{c}2"] = right.column(c)
         pair_table = pa.table(cols)
@@ -500,22 +510,21 @@ class _PartitionPairEmitter:
         return edges.append_column("pair_key", pa.array(pk, type=pa.int64()))
 
 
-def _empty_pairs(sig_type: pa.DataType) -> pa.Table:
-    return pa.table(
-        {
-            "pair_key": pa.array([], type=pa.int64()),
-            "id1": pa.array([], type=pa.int64()),
-            "id2": pa.array([], type=pa.int64()),
-            "path1": pa.array([], type=pa.string()),
-            "path2": pa.array([], type=pa.string()),
-            "size1": pa.array([], type=pa.int64()),
-            "size2": pa.array([], type=pa.int64()),
-            "lang1": pa.array([], type=pa.string()),
-            "lang2": pa.array([], type=pa.string()),
-            "sig1": pa.array([], type=sig_type),
-            "sig2": pa.array([], type=sig_type),
-        }
-    )
+def _empty_pairs(schema: pa.Schema) -> pa.Table:
+    """Empty pair table matching the partition's feature schema (<c>1/<c>2
+    per feature column) — schema-stable even when extras like ``emb`` ride."""
+    cols = {
+        "pair_key": pa.array([], type=pa.int64()),
+        "id1": pa.array([], type=pa.int64()),
+        "id2": pa.array([], type=pa.int64()),
+    }
+    for name in schema.names:
+        if name in ("block_key", "file_id"):
+            continue
+        t = schema.field(name).type
+        cols[f"{name}1"] = pa.array([], type=t)
+        cols[f"{name}2"] = pa.array([], type=t)
+    return pa.table(cols)
 
 
 def _empty_edges_keyed() -> pa.Table:
@@ -555,6 +564,7 @@ def emit_band_rows(
     seed: int = DEFAULT_SEED,
     salt_target: int = 512,
     active_ref=None,
+    extra_feature_cols: tuple = (),
 ):
     """files-with-sig Dataset → (block_key, features) rows."""
     return ds.map_batches(
@@ -564,6 +574,7 @@ def emit_band_rows(
             seed=seed,
             salt_target=salt_target,
             active_ref=active_ref,
+            extra_feature_cols=extra_feature_cols,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -583,6 +594,7 @@ def candidate_pairs(
     scorer_kwargs: dict | None = None,
     dedup_edges: bool = False,
     max_active_keys: int = 50_000_000,
+    extra_feature_cols: tuple = (),
 ):
     """Full blocking: count pre-pass → explode (active only) → grouped pair-gen.
 
@@ -618,6 +630,7 @@ def candidate_pairs(
         seed=seed,
         salt_target=salt_target,
         active_ref=active_ref,
+        extra_feature_cols=extra_feature_cols,
     )
     pairs = partitioned_group_map(
         bands,

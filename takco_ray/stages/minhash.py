@@ -47,17 +47,28 @@ def make_signature_fn(
     seed: int = DEFAULT_SEED,
     content_column: str = "content",
     drop_content: bool = True,
+    emb_dim: int = 0,
 ):
     """Task-based batch fn computing bands + truncated signature.
 
     Same output as :class:`SignatureStage`; see its docstring for the
-    16-bit truncation rationale.
+    16-bit truncation rationale. With ``emb_dim > 0`` an ``emb``
+    column (``fixed_size_list<float32, emb_dim>``) is appended — a hashed
+    shingle-TF embedding computed from the SAME shingle stream as the
+    signature (one tokenize pass), feeding the scorer's optional
+    ``emb_cos`` channel.
     """
+    from ..functions.featurize import hashed_embedding_from_shingles
     from ..functions.minhash import band_keys
 
     def fn(batch: pa.Table) -> pa.Table:
         hasher = _cached_hasher(num_perm, shingle_k, seed)
-        sigs = hasher.signatures_arrow(batch.column(content_column))
+        if emb_dim:
+            sigs, flat_sh, sh_counts = hasher.signatures_and_shingles_arrow(
+                batch.column(content_column)
+            )
+        else:
+            sigs = hasher.signatures_arrow(batch.column(content_column))
         bands = band_keys(sigs, num_bands, seed=seed).view(np.int64)
         band_col = pa.FixedSizeListArray.from_arrays(
             pa.array(bands.reshape(-1), type=pa.int64()), bands.shape[1]
@@ -67,6 +78,14 @@ def make_signature_fn(
             pa.array(sig16.reshape(-1), type=pa.uint16()), sigs.shape[1]
         )
         out = batch.append_column("bands", band_col).append_column("sig", sig_col)
+        if emb_dim:
+            emb = hashed_embedding_from_shingles(flat_sh, sh_counts, emb_dim)
+            out = out.append_column(
+                "emb",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.reshape(-1), type=pa.float32()), emb_dim
+                ),
+            )
         if drop_content:
             out = out.drop_columns([content_column])
         return out

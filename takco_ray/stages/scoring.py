@@ -72,6 +72,18 @@ class PairScorer:
         channels["lang_eq"] = (
             np.asarray(batch.column("lang1")) == np.asarray(batch.column("lang2"))
         ).astype(np.float64)
+        if "emb1" in batch.column_names and "emb2" in batch.column_names:
+            # optional embedding channel — the reference's EmbeddingMatcher
+            # (embedding.py:222-246) as a per-pair cosine over whatever
+            # vector column rode through blocking. Cheap (one einsum), so
+            # computed up front with the other always-on channels; when the
+            # column is absent the DSL sees NaN and skips it (aggdsl).
+            from ..functions.featurize import cosine_rows
+
+            channels["emb_cos"] = cosine_rows(
+                _pair_vectors(batch.column("emb1")),
+                _pair_vectors(batch.column("emb2")),
+            )
         if self.compute_path_channels:
             # Bound-gating: every DSL op (max/min/mean/sum/prod/pow with
             # constant exponents) is monotone nondecreasing in its channel
@@ -123,6 +135,13 @@ class PairScorer:
                 "score": pa.array(score[idx], type=pa.float64()),
             }
         )
+
+
+def _pair_vectors(col) -> np.ndarray:
+    """fixed_size_list<float> column → (n, d) matrix (slice-safe)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    d = arr.type.list_size
+    return np.asarray(arr.flatten(), dtype=np.float64).reshape(len(arr), d)
 
 
 def _empty_edges() -> pa.Table:

