@@ -90,6 +90,12 @@ class ERConfig:
     # edges with score >= refine_threshold, splitting weak transitive
     # chains; None = plain transitive components (the north-rule default)
     refine_threshold: float | None = None
+    # "threshold" = strong-edge CC above (needs refine_threshold);
+    # "modularity" = one Louvain level per cluster over ALL its weighted
+    # edges (splits dense-communities-plus-sparse-bridge clusters that a
+    # score cut provably cannot — every edge may clear the threshold)
+    refine_mode: str = "threshold"
+    refine_resolution: float = 1.0
 
 
 def signatures_for_paths(paths, cfg: ERConfig):
@@ -242,11 +248,18 @@ def er_pipeline(
             driver_limit=cfg.broadcast_label_limit,
         )
         side = sigs.select_columns(["file_id", "sha256", "repo", "path"])
-        if cfg.refine_threshold is not None:
-            from ..stages.components import refine_clusters
+        if cfg.refine_mode == "modularity":
+            from ..stages.components import refine_clusters_modularity
 
             # refinement reads edges a second time (scores are gone after
             # CC) — the edge stage is re-executed lazily for this consumer
+            raw = refine_clusters_modularity(
+                label_rows(star), edges, num_parts, resolution=cfg.refine_resolution
+            )
+            labels = _merge_labels(raw, side, num_parts)
+        elif cfg.refine_threshold is not None:
+            from ..stages.components import refine_clusters
+
             raw = refine_clusters(
                 label_rows(star), edges, cfg.refine_threshold, num_parts
             )

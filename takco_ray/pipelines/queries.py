@@ -1726,6 +1726,39 @@ def q_media_features(sf_dir: str):
     return extract_media_features(media, batch_size=16)
 
 
+def q_cluster_manifest_docs(sf_dir: str):
+    """Per-cluster manifest over text near-dup clusters of ``documents``:
+    size, merit rep (quality_u), ascending member sample, quality range,
+    distinct-source provenance count — the reference merge-step audit
+    artifact (cluster.py:532-649) as one grouped exchange. Rows-only
+    (list-typed member sample); the underlying clustering and quality
+    signals are oracled elsewhere (``cluster_reps``, ``doc_quality``)."""
+    from ..stages.components import cluster_manifest
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    labels = dedup_stages.text_neardup_clusters(
+        docs, text_column="text", id_column="doc_id", shingle_k=3, threshold=0.5
+    )
+    with_src = labels.join(  # labels are (file_id, cluster_id)
+        docs.select_columns(["doc_id", "source"]),
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("file_id",),
+        right_on=("doc_id",),
+    )
+    quality = textstats.quality_scores(
+        docs, text_column="text", id_column="doc_id", units=True
+    ).select_columns(["id", "quality_u"])
+    return cluster_manifest(
+        with_src,
+        signals=quality,
+        label_column="cluster_id",
+        id_column="file_id",
+        source_column="source",
+        sample_size=8,
+    )
+
+
 def q_cluster_size_report(sf_dir: str):
     """Cluster-size audit over the MinHash near-dup labeling of documents —
     the operator that drives the reference's ``max_cluster_size`` re-chunk
@@ -2830,6 +2863,7 @@ def _build_queries_unordered() -> dict:
         "embedding_lsh_pairs": q_embedding_lsh_pairs,
         # rows-only audit operators (single-row summaries)
         "cluster_size_report": q_cluster_size_report,
+        "cluster_manifest_docs": q_cluster_manifest_docs,
         "block_size_stats": q_block_size_stats,
         "embedding_neardup": q_embedding_neardup,
         "semdedup_docs": q_semdedup_docs,

@@ -921,6 +921,31 @@ def _rechunk_clusters(ctx, cfg):
     )
 
 
+@op("cluster_manifest")
+def _cluster_manifest(ctx, cfg):
+    """One row per cluster: size, rep_id, member sample, quality range,
+    distinct-source count (reference merge-step manifest analog,
+    takco/cluster/cluster.py:532-649). Optional ``signals`` input names a
+    (id, quality) dataset for merit-based rep + quality range."""
+    from ..stages.components import cluster_manifest
+
+    kw = {
+        k: cfg[k]
+        for k in (
+            "label_column",
+            "id_column",
+            "signal_id_column",
+            "quality_column",
+            "source_column",
+            "sample_size",
+            "num_partitions",
+        )
+        if k in cfg
+    }
+    signals = _ds(ctx, cfg, "signals") if "signals" in cfg else None
+    return cluster_manifest(_ds(ctx, cfg), signals=signals, **kw)
+
+
 @op("score_clusters")
 def _score_clusters(ctx, cfg):
     from ..stages.report import score_clusters

@@ -349,10 +349,12 @@ def rechunk_clusters(labels, max_cluster_size: int, num_partitions: int = 64):
     return partitioned_group_map(labels, "cluster_id", split, num_partitions)
 
 
-def refine_clusters(labels, edges, min_score: float, num_partitions: int = 64):
-    """Score-weighted cluster sharpening: within each transitive cluster,
-    re-run CC over only STRONG edges (``score >= min_score``); members held
-    together only by weak near-threshold chains split apart.
+def _tagged_cluster_edges(labels, edges, num_partitions: int, min_score=None):
+    """Shared refinement core: stamp every (optionally score-filtered) edge
+    with its u-side node's cluster id and co-partition by cluster — two
+    grouped exchanges, nothing driver-side (see :func:`refine_clusters`).
+    Returns rows (u, v, w, cluster_id, is_member), partition-sorted by
+    cluster_id; member rows carry the nodes, edge rows the weights.
 
     The Ray-Data analog of the reference's Louvain ``edge_exp`` sharpening
     (``takco/cluster/cluster.py:74-106``), which the reference runs
@@ -375,15 +377,18 @@ def refine_clusters(labels, edges, min_score: float, num_partitions: int = 64):
     """
 
     def strong_rows(t: pa.Table) -> pa.Table:
-        mask = pc.greater_equal(
-            t.column("score").cast(pa.float64()), pa.scalar(float(min_score))
-        )
-        kept = t.filter(mask)
+        kept = t
+        if min_score is not None:
+            mask = pc.greater_equal(
+                t.column("score").cast(pa.float64()), pa.scalar(float(min_score))
+            )
+            kept = t.filter(mask)
         n = kept.num_rows
         return pa.table(
             {
                 "key": kept.column("u").cast(pa.int64()),
                 "v": kept.column("v").cast(pa.int64()),
+                "w": kept.column("score").cast(pa.float64()),
                 "cluster_id": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
                 "is_member": pa.array(np.zeros(n, dtype=bool), type=pa.bool_()),
             }
@@ -395,6 +400,7 @@ def refine_clusters(labels, edges, min_score: float, num_partitions: int = 64):
             {
                 "key": t.column("file_id").cast(pa.int64()),
                 "v": pa.array(np.zeros(n, dtype=np.int64), type=pa.int64()),
+                "w": pa.array(np.zeros(n, dtype=np.float64), type=pa.float64()),
                 "cluster_id": t.column("cluster_id").cast(pa.int64()),
                 "is_member": pa.array(np.ones(n, dtype=bool), type=pa.bool_()),
             }
@@ -427,12 +433,29 @@ def refine_clusters(labels, edges, min_score: float, num_partitions: int = 64):
             {
                 "u": out.column("key"),
                 "v": out.column("v"),
+                "w": out.column("w"),
                 "cluster_id": pa.array(stamped, type=pa.int64()),
                 "is_member": out.column("is_member"),
             }
         )
 
-    tagged = partitioned_group_map(by_node, "key", tag_partition, num_partitions)
+    return partitioned_group_map(by_node, "key", tag_partition, num_partitions)
+
+
+def refine_clusters(labels, edges, min_score: float, num_partitions: int = 64):
+    """Score-weighted cluster sharpening: within each transitive cluster,
+    re-run CC over only STRONG edges (``score >= min_score``); members held
+    together only by weak near-threshold chains split apart.
+
+    The Ray-Data analog of the reference's Louvain ``edge_exp`` sharpening
+    (``takco/cluster/cluster.py:74-106``), which the reference runs
+    driver-side on the whole graph. Refinement can only split, never merge;
+    labels stay min-member-id canonical. See also
+    :func:`refine_clusters_modularity` for the density-sensitive variant.
+
+    ``labels``: (file_id, cluster_id); ``edges``: (u, v, score).
+    """
+    tagged = _tagged_cluster_edges(labels, edges, num_partitions, min_score=min_score)
 
     def per_partition(t: pa.Table) -> pa.Table:
         u = np.asarray(t.column("u").combine_chunks(), dtype=np.int64)
@@ -449,6 +472,140 @@ def refine_clusters(labels, edges, min_score: float, num_partitions: int = 64):
             {
                 "file_id": pa.array(members, type=pa.int64()),
                 "cluster_id": pa.array(new_label, type=pa.int64()),
+            }
+        )
+
+    return partitioned_group_map(tagged, "cluster_id", per_partition, num_partitions)
+
+
+def _louvain_one_level(
+    members: np.ndarray,
+    eu: np.ndarray,
+    ev: np.ndarray,
+    ew: np.ndarray,
+    resolution: float = 1.0,
+    max_sweeps: int = 10,
+) -> np.ndarray:
+    """One Louvain level (Blondel et al. 2008, phase 1) on a small weighted
+    graph — deterministic: nodes sweep in ascending id order, gain ties
+    break to the smallest community id. Returns the community index per
+    member (aligned with the SORTED ``members`` array)."""
+    nodes = members  # sorted unique
+    n = len(nodes)
+    iu = np.searchsorted(nodes, eu)
+    iv = np.searchsorted(nodes, ev)
+    w = np.maximum(np.asarray(ew, dtype=np.float64), 0.0)
+    # undirected CSR (each edge in both directions)
+    src = np.concatenate([iu, iv])
+    dst = np.concatenate([iv, iu])
+    wgt = np.concatenate([w, w])
+    order = np.argsort(src, kind="stable")
+    src, dst, wgt = src[order], dst[order], wgt[order]
+    indptr = np.concatenate([[0], np.cumsum(np.bincount(src, minlength=n))]).astype(
+        np.int64
+    )
+    deg = np.bincount(src, weights=wgt, minlength=n)
+    two_m = float(wgt.sum())
+    comm = np.arange(n, dtype=np.int64)
+    if two_m <= 0:
+        return comm
+    comm_tot = deg.copy()
+    for _ in range(max_sweeps):
+        moved = False
+        for i in range(n):
+            lo, hi = indptr[i], indptr[i + 1]
+            if lo == hi:
+                continue
+            ci = comm[i]
+            comm_tot[ci] -= deg[i]
+            cs = comm[dst[lo:hi]]
+            uc, inv = np.unique(cs, return_inverse=True)
+            kin = np.bincount(inv, weights=wgt[lo:hi])
+            gains = kin - resolution * deg[i] * comm_tot[uc] / two_m
+            stay_pos = np.searchsorted(uc, ci)
+            stay = (
+                gains[stay_pos]
+                if stay_pos < len(uc) and uc[stay_pos] == ci
+                else -resolution * deg[i] * comm_tot[ci] / two_m
+            )
+            best = int(np.flatnonzero(gains == gains.max())[0])  # uc sorted asc
+            if gains[best] > stay + 1e-12:
+                comm[i] = uc[best]
+                moved = True
+            comm_tot[comm[i]] += deg[i]
+        if not moved:
+            break
+    return comm
+
+
+def refine_clusters_modularity(
+    labels,
+    edges,
+    num_partitions: int = 64,
+    resolution: float = 1.0,
+    min_refine_size: int = 3,
+):
+    """Density-sensitive cluster sharpening: within each transitive cluster,
+    one level of weighted-modularity optimization (Louvain phase 1) over ALL
+    the cluster's edges — the reference's actual Louvain step
+    (``takco/cluster/cluster.py:74-106``), not just a score cut. Splits a
+    cluster whose members form two dense communities joined by a sparse
+    bridge even when every edge clears the score threshold (the case
+    :func:`refine_clusters` provably cannot split).
+
+    Distribution shape is identical to :func:`refine_clusters` (two grouped
+    exchanges); the per-cluster kernel is a Python sweep, which is fine
+    because clusters are small by construction (CC + ``max_cluster_size``
+    capping) — the partitioning assumption is max cluster size ≪ partition
+    size. Clusters with < ``min_refine_size`` members pass through
+    untouched. Refinement only splits, never merges; labels stay
+    min-member-id canonical.
+
+    ``labels``: (file_id, cluster_id); ``edges``: (u, v, score).
+    """
+    tagged = _tagged_cluster_edges(labels, edges, num_partitions, min_score=None)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("u").combine_chunks(), dtype=np.int64)
+        v = np.asarray(t.column("v").combine_chunks(), dtype=np.int64)
+        w = np.asarray(t.column("w").combine_chunks(), dtype=np.float64)
+        cl = np.asarray(t.column("cluster_id").combine_chunks(), dtype=np.int64)
+        mem = np.asarray(t.column("is_member").combine_chunks(), dtype=bool)
+        starts = segment_boundaries(cl)  # partition arrives sorted by cluster
+        ends = np.append(starts[1:], len(cl))
+        out_f: list = []
+        out_c: list = []
+        for s, e in zip(starts, ends):
+            m = mem[s:e]
+            members = np.unique(u[s:e][m])
+            if len(members) == 0:
+                continue
+            em = ~m
+            eu, ev_, ew = u[s:e][em], v[s:e][em], w[s:e][em]
+            if len(members) < min_refine_size or len(eu) == 0:
+                out_f.append(members)
+                out_c.append(np.full(len(members), cl[s], dtype=np.int64))
+                continue
+            comm = _louvain_one_level(members, eu, ev_, ew, resolution=resolution)
+            # canonical label: min member id per community
+            order = np.argsort(comm, kind="stable")
+            cstarts = segment_boundaries(comm[order])
+            mins = np.minimum.reduceat(members[order], cstarts)
+            lab_of_comm = np.zeros(comm.max() + 1, dtype=np.int64)
+            lab_of_comm[comm[order][cstarts]] = mins
+            out_f.append(members)
+            out_c.append(lab_of_comm[comm])
+        if not out_f:
+            return pa.table(
+                {
+                    "file_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "file_id": pa.array(np.concatenate(out_f), type=pa.int64()),
+                "cluster_id": pa.array(np.concatenate(out_c), type=pa.int64()),
             }
         )
 
@@ -475,3 +632,115 @@ def attach_singletons(labels, all_ids):
     return partitioned_group_map(
         labels.union(self_labels), "file_id", _min_label_partition, 64
     )
+
+
+def cluster_manifest(
+    labels,
+    signals=None,
+    label_column: str = "cluster_id",
+    id_column: str = "file_id",
+    signal_id_column: str = "id",
+    quality_column: str = "quality_u",
+    source_column: str | None = None,
+    sample_size: int = 8,
+    num_partitions: int | None = None,
+):
+    """One row PER CLUSTER: size, rep_id, a deterministic member sample,
+    quality range, distinct-source count — the audit/merge artifact of the
+    reference's cluster merge step (``takco/cluster/cluster.py:532-649``),
+    which walks clusters driver-side; here it is ONE grouped exchange with
+    a fully vectorized segment kernel.
+
+    Output columns: ``cluster_id``, ``size``, ``rep_id`` (best
+    ``quality_column`` member, ties by min id, when ``signals`` is given;
+    min member id otherwise), ``members_sample`` (ascending member ids,
+    capped at ``sample_size``) — plus ``quality_min``/``quality_max`` when
+    ``signals`` is given and ``n_sources`` when ``source_column`` names a
+    column of ``labels`` (provenance spread). Write via the ``write_shards``
+    sink for resumable sharded output.
+
+    ``labels``: (id_column, label_column[, source_column]);
+    ``signals``: optional (signal_id_column, quality_column) int64 signal.
+    """
+    from .groupmap import partitioned_group_map, segment_boundaries
+
+    parts = num_partitions
+    if parts is None:
+        from ..util import default_join_partitions
+
+        parts = default_join_partitions()
+
+    cols = [id_column, label_column] + ([source_column] if source_column else [])
+    ds = labels.select_columns(cols)
+    if signals is not None:
+        ds = ds.join(
+            signals.select_columns([signal_id_column, quality_column]),
+            join_type="inner",
+            num_partitions=parts,
+            on=(id_column,),
+            right_on=(signal_id_column,),
+        )
+
+    has_quality = signals is not None
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        cl = np.asarray(t.column(label_column).combine_chunks(), dtype=np.int64)
+        ids = np.asarray(t.column(id_column).combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ids, cl))
+        cl_s, ids_s = cl[order], ids[order]
+        starts = segment_boundaries(cl_s)
+        ends = np.append(starts[1:], len(cl_s))
+        size = ends - starts
+        # deterministic ascending-id member sample, one flat gather
+        cap = np.minimum(size, sample_size)
+        total = int(cap.sum())
+        base = np.repeat(starts, cap)
+        cum0 = np.concatenate([[0], np.cumsum(cap)[:-1]]).astype(np.int64)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum0, cap)
+        offsets = np.concatenate([[0], np.cumsum(cap)]).astype(np.int64)
+        sample = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(ids_s[base + intra], type=pa.int64()),
+        )
+        out = {
+            "cluster_id": pa.array(cl_s[starts], type=pa.int64()),
+            "size": pa.array(size.astype(np.int64), type=pa.int64()),
+        }
+        if has_quality:
+            q = np.asarray(t.column(quality_column).combine_chunks(), dtype=np.int64)
+            # rep = best quality, ties by min id: first of each segment
+            # under the (cluster, -q, id) order
+            order2 = np.lexsort((ids, -q, cl))
+            starts2 = segment_boundaries(cl[order2])
+            out["rep_id"] = pa.array(ids[order2][starts2], type=pa.int64())
+            q_s = q[order]
+            out["quality_min"] = pa.array(
+                np.minimum.reduceat(q_s, starts), type=pa.int64()
+            )
+            out["quality_max"] = pa.array(
+                np.maximum.reduceat(q_s, starts), type=pa.int64()
+            )
+        else:
+            out["rep_id"] = pa.array(ids_s[starts], type=pa.int64())
+        out["members_sample"] = sample
+        if source_column:
+            src = t.column(source_column).combine_chunks()
+            codes = (
+                pc.fill_null(pc.dictionary_encode(src).indices, -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            o3 = np.lexsort((codes, cl))
+            cl3, cd3 = cl[o3], codes[o3]
+            first = (
+                np.concatenate([[True], (cl3[1:] != cl3[:-1]) | (cd3[1:] != cd3[:-1])])
+                if len(cl3)
+                else np.zeros(0, dtype=bool)
+            )
+            starts3 = segment_boundaries(cl3)
+            out["n_sources"] = pa.array(
+                np.add.reduceat(first.astype(np.int64), starts3), type=pa.int64()
+            )
+        return pa.table(out)
+
+    return partitioned_group_map(ds, label_column, per_partition, parts)

@@ -432,3 +432,47 @@ def test_curation_pipeline_example_toml(ray_session, tmp_path):
     ids = [i for t in tabs for i in t.column("doc_id").to_pylist()]
     assert len(ids) == len(set(ids))
     assert set(os.path.basename(os.path.dirname(f)).split("=")[0] for f in files) == {"shard"}
+
+
+def test_cluster_manifest_toml_stage_pipeline(ray_session, tmp_path):
+    """[[stage]] TOML: near-dup cluster documents, join provenance back on,
+    emit the per-cluster manifest (VERDICT r3 #7), write via the sharded
+    sink — the reference merge-step artifact path composed from config."""
+    import pyarrow.parquet as pq
+    from takco_ray.run import run_config
+
+    outdir = str(tmp_path / "manifest")
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        f'workdir = "{tmp_path / "ckpt"}"\n'
+        "[[stage]]\n"
+        'op = "read_parquet"\npath = "/root/testdata/sf0.001/documents.parquet"\n'
+        'columns = ["doc_id", "text", "source"]\noutput = "docs"\n'
+        "[[stage]]\n"
+        'op = "text_neardup_clusters"\ninput = "docs"\noutput = "labels"\n'
+        "[[stage]]\n"
+        'op = "select_columns"\ninput = "docs"\ncolumns = ["doc_id", "source"]\noutput = "src"\n'
+        "[[stage]]\n"
+        'op = "join"\ninput = "labels"\nright = "src"\non = ["file_id"]\nright_on = ["doc_id"]\noutput = "tagged"\n'
+        "[[stage]]\n"
+        'op = "cluster_manifest"\ninput = "tagged"\nsource_column = "source"\nsample_size = 4\noutput = "manifest"\n'
+        "[[stage]]\n"
+        'op = "write_shards"\ninput = "manifest"\npath = "' + outdir + '"\nnum_shards = 4\nid_column = "cluster_id"\n'
+    )
+    run_config(str(cfg))
+    t = pq.read_table(outdir)
+    df = t.to_pandas()
+    assert set(df.columns) >= {
+        "cluster_id", "size", "rep_id", "members_sample", "n_sources", "shard"
+    }
+    n_docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    ).num_rows
+    assert df["size"].sum() == n_docs  # every doc in exactly one cluster row
+    assert (df["n_sources"] >= 1).all()
+    caps = df["members_sample"].map(len)
+    assert (caps == df["size"].clip(upper=4)).all()
+    assert df["rep_id"].isin(
+        pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id"]).column("doc_id").to_pylist()
+    ).all()
