@@ -1,13 +1,14 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-The decode/resize/feature kernels themselves are STUBBED — no image/audio
-libraries exist in this container — but everything Ray-side is real and
-tested: the typed schema (``payload: binary`` + metadata struct), the
-actor-pool stage signature, small-batch sizing for large payloads, and the
-deterministic fake feature extractor used by tests.
-
-Swap ``_decode_stub`` for a real decoder (PIL/ffmpeg) without touching the
-pipeline: the actor signature and output layout stay identical.
+Media rows are (``payload: large_binary`` + typed metadata). The feature
+stage computes REAL content features from the payload bytes themselves —
+Shannon entropy, a coarse byte histogram, printable ratio, container-format
+sniffing from magic numbers — fully vectorized over the Arrow buffer; no
+media library is required for any of it. Pixel/sample-level decode (resize,
+frame extraction) genuinely needs PIL/ffmpeg, which this container lacks:
+those two stages keep a documented deterministic placeholder kernel behind
+the identical actor signature, so swapping in a real decoder touches
+nothing Ray-side.
 """
 
 from __future__ import annotations
@@ -30,22 +31,56 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+# (format name, expected kind, magic prefix, offset) — published container
+# signatures; ftyp boxes sit at offset 4.
+_MAGIC = (
+    ("png", "image", b"\x89PNG\r\n\x1a\n", 0),
+    ("jpeg", "image", b"\xff\xd8\xff", 0),
+    ("gif", "image", b"GIF8", 0),
+    ("riff", "audio", b"RIFF", 0),  # WAV/AVI family; kind from fourcc at 8
+    ("flac", "audio", b"fLaC", 0),
+    ("ogg", "audio", b"OggS", 0),
+    ("mp4", "video", b"ftyp", 4),
+    ("webm", "video", b"\x1a\x45\xdf\xa3", 0),
+)
 
-def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Deterministic fake decode: payload bytes → fixed-size feature vector.
 
-    Real implementation would decode and embed; the fake hashes the payload
-    into 16 floats so tests can assert end-to-end determinism and schema.
-    Raise ``NotImplementedError`` here to hard-fail instead of faking.
-    """
-    digest = hashlib.blake2b(payload, digest_size=64).digest()
-    return np.frombuffer(digest, dtype=np.uint8).astype(np.float32)[:16] / 255.0
+def sniff_format(prefix: bytes) -> str:
+    """Container format from the payload's magic number (first 12 bytes);
+    'unknown' when no published signature matches."""
+    for name, _kind, magic, off in _MAGIC:
+        if prefix[off : off + len(magic)] == magic:
+            if name == "riff":
+                fourcc = prefix[8:12]
+                return "riff-wav" if fourcc == b"WAVE" else "riff"
+            return name
+    return "unknown"
+
+
+_FORMAT_KIND = {name: kind for name, kind, _m, _o in _MAGIC}
+_FORMAT_KIND["riff-wav"] = "audio"
 
 
 class MediaFeatureExtractor:
-    """Actor-pool stage: binary payload batch → feature vectors.
+    """Actor-pool stage: binary payload batch → real byte-level features.
 
-    ``__init__`` is where a real model would load (once per actor);
+    Per payload (all computed from the actual bytes, vectorized over the
+    batch's single Arrow data buffer):
+
+    - ``feature``: 16-bin byte histogram (fraction of bytes whose high
+      nibble is 0..15) — a coarse content profile; compressed media is
+      near-uniform, text/structured payloads are not.
+    - ``entropy_bits``: Shannon entropy of the byte distribution in
+      bits/byte (8.0 = incompressible, ≲6 = structured/compressible).
+    - ``printable_ratio``: fraction of bytes in the printable-ASCII range —
+      flags text mislabeled as media.
+    - ``size_bytes``; ``detected_format`` (magic-number sniff, see
+      :func:`sniff_format`); ``kind_matches`` = declared ``kind`` agrees
+      with the sniffed container (False on 'unknown').
+    - ``decoded``: features were computed (non-empty payload that passed
+      ``kind_filter``).
+
+    ``__init__`` is where a heavier model would load (once per actor);
     ``__call__`` handles one small batch (large payloads → small
     ``batch_size`` so batch × concurrency fits worker heaps).
     """
@@ -54,34 +89,75 @@ class MediaFeatureExtractor:
 
     def __init__(self, kind_filter: str | None = None):
         self.kind_filter = kind_filter
-        # model-load placeholder: deterministic, cheap
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kinds = batch.column("kind").to_pylist()
-        payloads = batch.column("payload").to_pylist()
-        feats = np.zeros((len(batch), self.FEATURE_DIM), dtype=np.float32)
-        ok = np.zeros(len(batch), dtype=bool)
-        for i, (k, p) in enumerate(zip(kinds, payloads)):
-            if self.kind_filter and k != self.kind_filter:
-                continue
-            feats[i] = _decode_stub(p or b"", k)
-            ok[i] = True
+        n = batch.num_rows
+        arr = batch.column("payload").combine_chunks()
+        arr = arr.cast(pa.large_binary()) if arr.type != pa.large_binary() else arr
+        kinds = np.asarray(batch.column("kind").to_pandas(), dtype=object)
+        # zero-copy view of offsets + data buffer
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+            arr.offset : arr.offset + n + 1
+        ]
+        data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+        null_mask = np.asarray(arr.is_null().to_pandas(), dtype=bool)
+        lengths = (offs[1:] - offs[:-1]).copy()
+        lengths[null_mask] = 0
+        keep = np.ones(n, dtype=bool)
+        if self.kind_filter:
+            keep = kinds == self.kind_filter
+        eff_len = np.where(keep, lengths, 0)
+        # flat byte stream sliced per kept row: one vectorized gather
+        row_id = np.repeat(np.arange(n, dtype=np.int64), eff_len)
+        starts = offs[:-1]
+        total = int(eff_len.sum())
+        cum0 = np.concatenate([[0], np.cumsum(eff_len)[:-1]]).astype(np.int64)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum0, eff_len)
+        b = data[np.repeat(starts, eff_len) + intra]
+        hist = np.bincount(row_id * 256 + b.astype(np.int64), minlength=n * 256).reshape(
+            n, 256
+        ) if len(b) else np.zeros((n, 256), dtype=np.int64)
+        tot = np.maximum(hist.sum(axis=1), 1)
+        p = hist / tot[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = -(p * np.where(p > 0, np.log2(p, where=p > 0), 0.0)).sum(axis=1)
+        coarse = hist.reshape(n, 16, 16).sum(axis=2) / tot[:, None]
+        printable = hist[:, 32:127].sum(axis=1) / tot
+        decoded = keep & (eff_len > 0)
+        ent[~decoded] = 0.0
+        prefixes = [
+            bytes(data[starts[i] : starts[i] + min(12, eff_len[i])]) if decoded[i] else b""
+            for i in range(n)
+        ]
+        fmts = [sniff_format(px) if decoded[i] else "unknown" for i, px in enumerate(prefixes)]
+        matches = [
+            decoded[i] and _FORMAT_KIND.get(fmts[i]) == kinds[i] for i in range(n)
+        ]
         feat_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(feats.reshape(-1), type=pa.float32()), self.FEATURE_DIM
+            pa.array(coarse.astype(np.float32).reshape(-1), type=pa.float32()),
+            self.FEATURE_DIM,
         )
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "kind": batch.column("kind"),
                 "feature": feat_col,
-                "decoded": pa.array(ok),
+                "entropy_bits": pa.array(ent, type=pa.float64()),
+                "printable_ratio": pa.array(
+                    np.where(decoded, printable, 0.0), type=pa.float64()
+                ),
+                "size_bytes": pa.array(lengths.astype(np.int64), type=pa.int64()),
+                "detected_format": pa.array(fmts, type=pa.string()),
+                "kind_matches": pa.array(matches, type=pa.bool_()),
+                "decoded": pa.array(decoded),
             }
         )
 
 
 def extract_media_features(ds, kind_filter: str | None = None, concurrency=None,
                            batch_size: int = 64):
-    """Media Dataset → (media_id, kind, feature, decoded).
+    """Media Dataset → (media_id, kind, feature, entropy_bits,
+    printable_ratio, size_bytes, detected_format, kind_matches, decoded).
 
     ``batch_size`` defaults small: payloads are MBs each, so 64 payloads ×
     concurrency must fit in a worker heap — the sizing rule multimodal
@@ -97,11 +173,19 @@ def extract_media_features(ds, kind_filter: str | None = None, concurrency=None,
     )
 
 
+_SYNTH_MAGIC = {"image": b"\x89PNG\r\n\x1a\n", "audio": b"RIFF\x00\x00\x00\x00WAVE",
+                "video": b"\x00\x00\x00\x18ftypmp42"}
+
+
 def synthesize_media(n: int = 64, seed: int = 5) -> pa.Table:
-    """Deterministic fake media table for tests (no external data)."""
+    """Deterministic fake media table for tests (no external data): payload
+    = the kind's real container magic number + pseudo-random body, so the
+    format sniffer has true signatures to detect."""
     rs = np.random.RandomState(seed)
     kinds = [["image", "audio", "video"][i % 3] for i in range(n)]
-    payloads = [rs.bytes(256 + 64 * (i % 5)) for i in range(n)]
+    payloads = [
+        _SYNTH_MAGIC[k] + rs.bytes(256 + 64 * (i % 5)) for i, k in enumerate(kinds)
+    ]
     return pa.table(
         {
             "media_id": pa.array(range(n), type=pa.int64()),

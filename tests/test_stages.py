@@ -180,12 +180,65 @@ def test_media_features_deterministic_schema(ray_session):
     assert len(out) == 32
     assert out.decoded.all()
     assert all(len(f) == 16 for f in out.feature)
+    # features are REAL byte statistics, checked against a pure-python oracle
+    import collections
+    import math
+
+    payloads = {int(r["media_id"]): r["payload"]
+                for r in synthesize_media(n=32).to_pylist()}
+    for _, row in out.iterrows():
+        p = payloads[int(row.media_id)]
+        assert row.size_bytes == len(p)
+        cnt = collections.Counter(p)
+        ent = -sum((c / len(p)) * math.log2(c / len(p)) for c in cnt.values())
+        assert row.entropy_bits == pytest.approx(ent, abs=1e-9)
+        coarse = np.bincount(np.frombuffer(p, np.uint8) >> 4, minlength=16) / len(p)
+        assert np.allclose(np.asarray(row.feature), coarse, atol=1e-6)
+        printable = sum(1 for b in p if 32 <= b < 127) / len(p)
+        assert row.printable_ratio == pytest.approx(printable, abs=1e-9)
+    # magic-number sniff: synthetic payloads carry true container signatures
+    fmt = out.set_index("kind").detected_format
+    assert set(fmt.loc["image"]) == {"png"}
+    assert set(fmt.loc["audio"]) == {"riff-wav"}
+    assert set(fmt.loc["video"]) == {"mp4"}
+    assert out.kind_matches.all()
     out2 = extract_media_features(
         ray.data.from_arrow(synthesize_media(n=32)), batch_size=8
     ).to_pandas()
     a = np.stack(out.sort_values("media_id").feature.to_numpy())
     b = np.stack(out2.sort_values("media_id").feature.to_numpy())
     assert np.array_equal(a, b)
+
+
+def test_media_features_kind_filter_and_mismatch(ray_session):
+    """kind_filter skips rows (decoded=False, zeroed stats) and a payload
+    whose magic disagrees with its declared kind gets kind_matches=False."""
+    import pyarrow as pa
+    import ray.data
+    from takco_ray.stages.multimodal import extract_media_features
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3], type=pa.int64()),
+            "kind": pa.array(["image", "audio", "image"]),
+            # 1: real PNG magic; 2: PNG magic but declared audio; 3: garbage
+            "payload": pa.array(
+                [b"\x89PNG\r\n\x1a\n" + b"abc", b"\x89PNG\r\n\x1a\n" + b"x", b"zzzz"],
+                type=pa.large_binary(),
+            ),
+        }
+    )
+    out = extract_media_features(ray.data.from_arrow(tbl), batch_size=2).to_pandas()
+    out = out.set_index("media_id").sort_index()
+    assert out.loc[1, "detected_format"] == "png" and out.loc[1, "kind_matches"]
+    assert out.loc[2, "detected_format"] == "png" and not out.loc[2, "kind_matches"]
+    assert out.loc[3, "detected_format"] == "unknown" and not out.loc[3, "kind_matches"]
+    only_img = extract_media_features(
+        ray.data.from_arrow(tbl), kind_filter="image", batch_size=2
+    ).to_pandas().set_index("media_id").sort_index()
+    assert list(only_img.decoded) == [True, False, True]
+    assert only_img.loc[2, "entropy_bits"] == 0.0
+    assert only_img.loc[2, "size_bytes"] == 9  # true length still reported
 
 
 def test_score_clusters_report(ray_session):
