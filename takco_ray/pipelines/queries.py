@@ -2755,6 +2755,132 @@ FROM h GROUP BY user_id
 """
 
 
+def q_pfd_orders(sf_dir: str):
+    """Probabilistic-FD profile o_custkey → {status, priority} (SURVEY §2 A11;
+    reference ``perTuple_pFDs``/``pfd_prob_pervalue``, ``takco/link/profile.py``).
+    Map-side (det, dep, val) count partials → one det-hash exchange →
+    per-partition segment max/sum → tiny final agg; scores floored to ppm."""
+    from ..stages.profile import pfd_scores
+
+    ds = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+    return pfd_scores(ds, "o_custkey", ["o_orderstatus", "o_orderpriority"])
+
+
+def _sql_pfd_one(dep: str) -> str:
+    return f"""
+SELECT '{dep}' AS dep_col,
+       CAST(sum(mx) * 1000000 // (SELECT count(*) FROM orders) AS BIGINT) AS pfd_ppm,
+       CAST(sum(mx * 1000000 // tot) // count(*) AS BIGINT) AS pfd_pv_ppm
+FROM (
+  SELECT det, max(cnt) AS mx, sum(cnt) AS tot
+  FROM (
+    SELECT CAST(o_custkey AS VARCHAR) AS det, CAST({dep} AS VARCHAR) AS v,
+           count(*) AS cnt
+    FROM orders GROUP BY 1, 2
+  ) GROUP BY det
+)"""
+
+
+SQL_PFD_ORDERS = (
+    _sql_pfd_one("o_orderstatus") + "\nUNION ALL" + _sql_pfd_one("o_orderpriority")
+)
+
+
+def q_column_profile_customer(sf_dir: str):
+    """Numeric-fraction / uniqueness column profile + heuristic-key flag over
+    customer (SURVEY §2 M15; reference ``numscore``/``uniqscore``/
+    ``heuristic_key``, ``takco/link/__init__.py:96-118``). One (col, value)
+    count shuffle serves every column; integer ppm + exact integer threshold
+    comparisons keep the oracle hash-stable."""
+    from ..stages.profile import column_profile
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    return column_profile(read_table(sf_dir, "customer", columns=cols), cols)
+
+
+_PUNCT_SQL = r"[!-/:-@\[-`{-~ ]"
+
+
+def _sql_profile_one(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name,
+       CAST(nnum * 1000000 // n AS BIGINT) AS num_ppm,
+       CAST(ndist * 1000000 // n AS BIGINT) AS uniq_ppm,
+       (2 * nnum < n AND 10 * ndist > 9 * n) AS is_key
+FROM (
+  SELECT count(*) AS n, count(DISTINCT {col}) AS ndist,
+         sum(CASE WHEN length(s2) > 0
+                   AND 2 * length(regexp_replace(s2, '[^0-9]', '', 'g')) > length(s2)
+             THEN 1 ELSE 0 END) AS nnum
+  FROM (SELECT {col},
+               regexp_replace(CAST({col} AS VARCHAR), '{_PUNCT_SQL}', '', 'g') AS s2
+        FROM customer)
+)"""
+
+
+SQL_COLUMN_PROFILE = "\nUNION ALL".join(
+    _sql_profile_one(c)
+    for c in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+)
+
+
+def q_coltype_events(sf_dir: str):
+    """Majority-vote column typing over events (SURVEY §2 M16; reference
+    ``coltypes`` + ``Typer.coltype`` majority rule,
+    ``takco/link/__init__.py:152-172``). Cells vote integer/number/date/text
+    by first-match priority; a column keeps the plurality type only on a
+    strict majority. Partial counts per batch; the shuffle moves ≤
+    cols × 4 rows per block."""
+    from ..stages.profile import coltype_votes
+
+    cols = ["event_id", "ts", "event_type", "props"]
+    return coltype_votes(read_table(sf_dir, "events", columns=cols), cols)
+
+
+_RE_INT = "^[+-]?[0-9]+$"
+_RE_NUM = r"^[+-]?[0-9]*\.[0-9]+([eE][+-]?[0-9]+)?$"
+_RE_DATE = "^[0-9]{4}-[0-9]{2}-[0-9]{2}"
+
+
+def _sql_coltype_one(col: str) -> str:
+    return f"""
+SELECT col_name,
+       CASE WHEN 2 * w > n THEN wname ELSE 'text' END AS coltype,
+       CAST((CASE WHEN 2 * w > n THEN w ELSE n_text END) * 1000000 // n AS BIGINT)
+         AS vote_ppm
+FROM (
+  SELECT col_name, n, n_text,
+         CASE WHEN n_int >= n_num AND n_int >= n_date AND n_int >= n_text THEN n_int
+              WHEN n_num >= n_date AND n_num >= n_text THEN n_num
+              WHEN n_date >= n_text THEN n_date ELSE n_text END AS w,
+         CASE WHEN n_int >= n_num AND n_int >= n_date AND n_int >= n_text THEN 'integer'
+              WHEN n_num >= n_date AND n_num >= n_text THEN 'number'
+              WHEN n_date >= n_text THEN 'date' ELSE 'text' END AS wname
+  FROM (
+    SELECT '{col}' AS col_name, nn AS n,
+           n_int, n_num, n_date, nn - n_int - n_num - n_date AS n_text
+    FROM (
+      SELECT
+        sum(CASE WHEN regexp_matches(s, '{_RE_INT}') THEN 1 ELSE 0 END) AS n_int,
+        sum(CASE WHEN NOT regexp_matches(s, '{_RE_INT}')
+                  AND regexp_matches(s, '{_RE_NUM}') THEN 1 ELSE 0 END) AS n_num,
+        sum(CASE WHEN NOT regexp_matches(s, '{_RE_INT}')
+                  AND NOT regexp_matches(s, '{_RE_NUM}')
+                  AND regexp_matches(s, '{_RE_DATE}') THEN 1 ELSE 0 END) AS n_date,
+        count(*) AS nn
+      FROM (SELECT CAST({col} AS VARCHAR) AS s FROM events)
+    )
+  )
+)"""
+
+
+SQL_COLTYPE_EVENTS = "\nUNION ALL".join(
+    _sql_coltype_one(c) for c in ["event_id", "ts", "event_type", "props"]
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2854,6 +2980,9 @@ def _build_queries_unordered() -> dict:
         "supplier_percent_rank": q_supplier_percent_rank,
         "grouped_price_median": q_grouped_price_median,
         "event_coverage": q_event_coverage,
+        "pfd_orders": q_pfd_orders,
+        "column_profile_customer": q_column_profile_customer,
+        "coltype_events": q_coltype_events,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -2955,4 +3084,7 @@ def build_oracle_sql() -> dict:
         "supplier_percent_rank": SQL_SUPPLIER_PERCENT_RANK,
         "grouped_price_median": SQL_GROUPED_PRICE_MEDIAN,
         "event_coverage": SQL_EVENT_COVERAGE,
+        "pfd_orders": SQL_PFD_ORDERS,
+        "column_profile_customer": SQL_COLUMN_PROFILE,
+        "coltype_events": SQL_COLTYPE_EVENTS,
     }

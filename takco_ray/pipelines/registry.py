@@ -958,6 +958,30 @@ def _score_clusters(ctx, cfg):
     return score_clusters(_ds(ctx, cfg), _ds(ctx, cfg, "gold"), **kw)
 
 
+@op("pfd_scores")
+def _pfd_scores(ctx, cfg):
+    from ..stages.profile import pfd_scores
+
+    return pfd_scores(
+        _ds(ctx, cfg), cfg["det_col"], list(cfg["dep_cols"]),
+        num_partitions=int(cfg.get("num_partitions", 64)),
+    )
+
+
+@op("column_profile")
+def _column_profile(ctx, cfg):
+    from ..stages.profile import column_profile
+
+    return column_profile(_ds(ctx, cfg), list(cfg["columns"]))
+
+
+@op("coltype_votes")
+def _coltype_votes(ctx, cfg):
+    from ..stages.profile import coltype_votes
+
+    return coltype_votes(_ds(ctx, cfg), list(cfg["columns"]))
+
+
 # ---- executor ------------------------------------------------------------
 
 def run_pipeline(cfg: dict) -> dict:
