@@ -2881,6 +2881,52 @@ SQL_COLTYPE_EVENTS = "\nUNION ALL".join(
 )
 
 
+_MELT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_unpivot_lineitem(sf_dir: str):
+    """Wide→long unpivot of four lineitem measures (SURVEY §2 M9; reference
+    ``unpivot_tables`` melt, ``takco/reshape/findpivot.py:100-158``). The
+    melt is a pure per-block transform (k stacked zero-copy views); the
+    subset filter bounds driver output. Measures are integerized ×10000 so
+    both engines hash identically."""
+    from ..stages.reshape import melt
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"] + _MELT_COLS
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ok % 101 == 7))
+        cols = {
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+        }
+        for c in _MELT_COLS:
+            cols[c] = _int_units(t.column(c), 10000)
+        return pa.table(cols)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return melt(
+        prepped,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=_MELT_COLS,
+        var_name="variable",
+        value_name="value_u",
+        value_type=pa.int64(),
+    )
+
+
+SQL_UNPIVOT_LINEITEM = "\nUNION ALL".join(
+    f"""
+SELECT l_orderkey, l_linenumber, '{c}' AS variable,
+       CAST(round({c} * 10000) AS BIGINT) AS value_u
+FROM lineitem WHERE l_orderkey % 101 = 7"""
+    for c in _MELT_COLS
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2983,6 +3029,7 @@ def _build_queries_unordered() -> dict:
         "pfd_orders": q_pfd_orders,
         "column_profile_customer": q_column_profile_customer,
         "coltype_events": q_coltype_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -3087,4 +3134,5 @@ def build_oracle_sql() -> dict:
         "pfd_orders": SQL_PFD_ORDERS,
         "column_profile_customer": SQL_COLUMN_PROFILE,
         "coltype_events": SQL_COLTYPE_EVENTS,
+        "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
     }

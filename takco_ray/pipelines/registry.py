@@ -958,6 +958,23 @@ def _score_clusters(ctx, cfg):
     return score_clusters(_ds(ctx, cfg), _ds(ctx, cfg, "gold"), **kw)
 
 
+@op("melt")
+def _melt(ctx, cfg):
+    import pyarrow as pa
+
+    from ..stages.reshape import melt
+
+    vt = cfg.get("value_type")
+    return melt(
+        _ds(ctx, cfg),
+        id_cols=list(cfg["id_cols"]),
+        value_cols=list(cfg["value_cols"]),
+        var_name=cfg.get("var_name", "variable"),
+        value_name=cfg.get("value_name", "value"),
+        value_type={"int64": pa.int64(), "string": pa.string()}.get(vt) if vt else None,
+    )
+
+
 @op("pfd_scores")
 def _pfd_scores(ctx, cfg):
     from ..stages.profile import pfd_scores
