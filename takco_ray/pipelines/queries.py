@@ -2927,6 +2927,90 @@ FROM lineitem WHERE l_orderkey % 101 = 7"""
 )
 
 
+def q_link_customer_nations(sf_dir: str):
+    """Cell-mention → entity-id broadcast lookup (SURVEY §2 M14; reference
+    ``lookup_hyperlinks`` / label-DB lookup, ``takco/link/__init__.py:24-74``).
+    Deterministic mentions ('nation_<custkey mod 30>', 5 of 30 unresolvable)
+    link against the nation label index — built once, ``ray.put`` once,
+    probed per batch via dictionary-encode + ``index_in``."""
+    from ..stages.linking import build_label_index, link_cells
+
+    nation = pa.Table.from_pandas(
+        read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    )
+    index_ref = build_label_index(nation, "n_name", "n_nationkey")
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def add_mention(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        mention = np.char.add("nation_", (ck % 30).astype(str))
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "mention": pa.array(mention, type=pa.string()),
+            }
+        )
+
+    withm = cust.map_batches(add_mention, batch_format="pyarrow", zero_copy_batch=True)
+    return link_cells(withm, "mention", index_ref)
+
+
+SQL_LINK_CUSTOMER_NATIONS = """
+WITH t AS (
+  SELECT c_custkey, 'nation_' || CAST(c_custkey % 30 AS VARCHAR) AS mention
+  FROM customer
+)
+SELECT t.c_custkey, t.mention,
+       CAST(COALESCE(n.n_nationkey, -1) AS BIGINT) AS entity_id,
+       n.n_nationkey IS NOT NULL AS matched
+FROM t LEFT JOIN nation n ON lower(trim(n.n_name)) = t.mention
+"""
+
+
+def q_novelty_customer_segments(sf_dir: str):
+    """Per-triple KB novelty classes (SURVEY §2 M20; reference
+    ``get_cell_noveltyhashes``, ``takco/evaluate/novelty.py:8-58``). Pred
+    triples (custkey, segment) check against a deterministically degraded KB
+    (custkey%3==0 absent → attnovel; custkey%5==0 wrong object → valnovel).
+    One left hash join + per-triple any-match reduction; counts per class."""
+    from ..stages.linking import novelty_classify, novelty_counts
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def kb_prep(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ck % 3 != 0))
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        seg = t.column("c_mktsegment").to_numpy(zero_copy_only=False).astype(object)
+        seg[ck % 5 == 0] = "UNKNOWN"
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_mktsegment": pa.array(seg, type=pa.string()),
+            }
+        )
+
+    kb = cust.map_batches(kb_prep, batch_format="pyarrow", zero_copy_batch=True)
+    classified = novelty_classify(cust, kb, ["c_custkey"], "c_mktsegment")
+    return novelty_counts(classified)
+
+
+SQL_NOVELTY_CUSTOMER_SEGMENTS = """
+WITH kb AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS v
+  FROM customer WHERE c_custkey % 3 <> 0
+)
+SELECT CASE WHEN kb.c_custkey IS NULL THEN 'attnovel'
+            WHEN t.c_mktsegment = kb.v THEN 'existing'
+            ELSE 'valnovel' END AS novelty,
+       count(*) AS n
+FROM customer t LEFT JOIN kb ON t.c_custkey = kb.c_custkey
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3030,6 +3114,8 @@ def _build_queries_unordered() -> dict:
         "column_profile_customer": q_column_profile_customer,
         "coltype_events": q_coltype_events,
         "unpivot_lineitem": q_unpivot_lineitem,
+        "link_customer_nations": q_link_customer_nations,
+        "novelty_customer_segments": q_novelty_customer_segments,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -3135,4 +3221,6 @@ def build_oracle_sql() -> dict:
         "column_profile_customer": SQL_COLUMN_PROFILE,
         "coltype_events": SQL_COLTYPE_EVENTS,
         "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
+        "link_customer_nations": SQL_LINK_CUSTOMER_NATIONS,
+        "novelty_customer_segments": SQL_NOVELTY_CUSTOMER_SEGMENTS,
     }

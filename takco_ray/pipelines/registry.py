@@ -958,6 +958,33 @@ def _score_clusters(ctx, cfg):
     return score_clusters(_ds(ctx, cfg), _ds(ctx, cfg, "gold"), **kw)
 
 
+@op("link_cells")
+def _link_cells(ctx, cfg):
+    import pyarrow as pa
+
+    from ..stages.linking import build_label_index, link_cells
+
+    kb_ds = _ds(ctx, cfg, "kb")
+    kb = pa.Table.from_pandas(kb_ds.to_pandas())
+    ref = build_label_index(kb, cfg["label_col"], cfg["id_col"])
+    return link_cells(
+        _ds(ctx, cfg), cfg["mention_col"], ref,
+        entity_col=cfg.get("entity_col", "entity_id"),
+        missing_id=int(cfg.get("missing_id", -1)),
+    )
+
+
+@op("novelty")
+def _novelty(ctx, cfg):
+    from ..stages.linking import novelty_classify, novelty_counts
+
+    classified = novelty_classify(
+        _ds(ctx, cfg), _ds(ctx, cfg, "kb"),
+        key_cols=list(cfg["key_cols"]), val_col=cfg["val_col"],
+    )
+    return novelty_counts(classified) if cfg.get("counts", False) else classified
+
+
 @op("melt")
 def _melt(ctx, cfg):
     import pyarrow as pa
@@ -1021,7 +1048,7 @@ def run_pipeline(cfg: dict) -> dict:
         out_name = st.pop("output", None)
         upstream = [
             fps[st[k]]
-            for k in ("input", "input_a", "input_b", "right", "other", "gold", "benchmark", "signals", "base_labels", "base_signatures")
+            for k in ("input", "input_a", "input_b", "right", "other", "gold", "benchmark", "signals", "base_labels", "base_signatures", "kb")
             if k in st and st[k] in fps
         ]
         extra = {}
