@@ -958,6 +958,26 @@ def _score_clusters(ctx, cfg):
     return score_clusters(_ds(ctx, cfg), _ds(ctx, cfg, "gold"), **kw)
 
 
+@op("build_duckdb")
+def _build_duckdb(ctx, cfg):
+    from ..sources.dbsink import build_duckdb
+
+    build_duckdb(
+        _ds(ctx, cfg), cfg["db_path"], cfg["table_name"],
+        mode=cfg.get("mode", "view"), shard_dir=cfg.get("shard_dir"),
+    )
+
+
+@op("build_sqlite_labels")
+def _build_sqlite_labels(ctx, cfg):
+    from ..sources.dbsink import build_sqlite_labels
+
+    build_sqlite_labels(
+        _ds(ctx, cfg), cfg["db_path"], cfg["label_col"], cfg["id_col"],
+        table_name=cfg.get("table_name", "labels"),
+    )
+
+
 @op("link_cells")
 def _link_cells(ctx, cfg):
     import pyarrow as pa
