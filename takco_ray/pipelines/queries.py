@@ -3011,6 +3011,57 @@ GROUP BY 1
 """
 
 
+def q_html_tables_roundtrip(sf_dir: str):
+    """HTML page → table extraction round-trip (SURVEY §2 S5/M2; reference
+    ``Extractor.parse`` span expansion, ``takco/extract/htmltables.py:52-150``).
+    Deterministic pages (a colspan header + a rowspan body) are generated
+    from doc ids and parsed back; the oracle derives the expected table
+    shapes directly from the generator's formula — a genuine end-to-end
+    check of the parser + grid expansion, since any misplacement changes
+    n_rows/n_cols."""
+    from ..sources.htmltables import extract_tables_stage
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids[ids % 11 == 0]
+        pages = []
+        for i in ids:
+            extra = "".join(
+                f"<tr><td>e{j}</td><td>f</td><td>g</td></tr>" for j in range(i % 3)
+            )
+            pages.append(
+                f"<html><body><p>noise</p><table>"
+                f'<tr><th colspan="2">doc {i}</th><th>x</th></tr>'
+                f'<tr><td rowspan="2">r</td><td><a href="/e{i}">a{i}</a></td>'
+                f"<td>b</td></tr>"
+                f"<tr><td>c</td><td>d</td></tr>{extra}</table></body></html>"
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "html": pa.array(pages, type=pa.string()),
+            }
+        )
+
+    pages = docs.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+    parsed = extract_tables_stage(pages, "html", "doc_id")
+    return parsed.select_columns(
+        ["page_id", "table_idx", "n_head", "n_rows", "n_cols"]
+    )
+
+
+SQL_HTML_TABLES_ROUNDTRIP = """
+SELECT doc_id AS page_id,
+       CAST(0 AS BIGINT) AS table_idx,
+       CAST(1 AS BIGINT) AS n_head,
+       CAST(3 + doc_id % 3 AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS n_cols
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3116,6 +3167,7 @@ def _build_queries_unordered() -> dict:
         "unpivot_lineitem": q_unpivot_lineitem,
         "link_customer_nations": q_link_customer_nations,
         "novelty_customer_segments": q_novelty_customer_segments,
+        "html_tables_roundtrip": q_html_tables_roundtrip,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -3223,4 +3275,5 @@ def build_oracle_sql() -> dict:
         "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
         "link_customer_nations": SQL_LINK_CUSTOMER_NATIONS,
         "novelty_customer_segments": SQL_NOVELTY_CUSTOMER_SEGMENTS,
+        "html_tables_roundtrip": SQL_HTML_TABLES_ROUNDTRIP,
     }

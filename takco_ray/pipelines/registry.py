@@ -958,6 +958,16 @@ def _score_clusters(ctx, cfg):
     return score_clusters(_ds(ctx, cfg), _ds(ctx, cfg, "gold"), **kw)
 
 
+@op("extract_html_tables")
+def _extract_html_tables(ctx, cfg):
+    from ..sources.htmltables import extract_tables_stage
+
+    return extract_tables_stage(
+        _ds(ctx, cfg), cfg["html_col"], cfg["id_col"],
+        split_subheaders=bool(cfg.get("split_subheaders", False)),
+    )
+
+
 @op("build_duckdb")
 def _build_duckdb(ctx, cfg):
     from ..sources.dbsink import build_duckdb
