@@ -3062,6 +3062,49 @@ FROM documents WHERE doc_id % 11 = 0
 """
 
 
+def q_compound_split_parts(sf_dir: str):
+    """Compound-identifier splitting (SURVEY §2 M10 analog; reference
+    ``CompoundSplitter.find_splits``, ``takco/reshape/compound.py:90-95``).
+    Part names are snake_cased into identifiers, split back by the
+    vectorized boundary splitter; the oracle recomputes part counts from the
+    original spaced form — a round-trip through the splitter's separator
+    logic. Camel/digit boundaries are pytest-gated (SQL can't express the
+    chain compactly)."""
+    from ..functions.compound import compound_parts_stage
+
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def to_ident(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "ident": pc.replace_substring(t.column("p_name"), " ", "_"),
+            }
+        )
+
+    idents = parts.map_batches(to_ident, batch_format="pyarrow", zero_copy_batch=True)
+    split = compound_parts_stage(idents, "ident")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "n_parts": t.column("n_parts"),
+                "first_part": pc.list_element(t.column("parts"), 0),
+            }
+        )
+
+    return split.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_COMPOUND_SPLIT = """
+SELECT p_partkey,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_parts,
+       lower(string_split(p_name, ' ')[1]) AS first_part
+FROM part
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3168,6 +3211,7 @@ def _build_queries_unordered() -> dict:
         "link_customer_nations": q_link_customer_nations,
         "novelty_customer_segments": q_novelty_customer_segments,
         "html_tables_roundtrip": q_html_tables_roundtrip,
+        "compound_split_parts": q_compound_split_parts,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -3276,4 +3320,5 @@ def build_oracle_sql() -> dict:
         "link_customer_nations": SQL_LINK_CUSTOMER_NATIONS,
         "novelty_customer_segments": SQL_NOVELTY_CUSTOMER_SEGMENTS,
         "html_tables_roundtrip": SQL_HTML_TABLES_ROUNDTRIP,
+        "compound_split_parts": SQL_COMPOUND_SPLIT,
     }

@@ -958,6 +958,16 @@ def _score_clusters(ctx, cfg):
     return score_clusters(_ds(ctx, cfg), _ds(ctx, cfg, "gold"), **kw)
 
 
+@op("split_compounds")
+def _split_compounds(ctx, cfg):
+    from ..functions.compound import compound_parts_stage
+
+    return compound_parts_stage(
+        _ds(ctx, cfg), cfg["column"],
+        out_col=cfg.get("out_col", "parts"), n_col=cfg.get("n_col", "n_parts"),
+    )
+
+
 @op("extract_html_tables")
 def _extract_html_tables(ctx, cfg):
     from ..sources.htmltables import extract_tables_stage
