@@ -105,6 +105,15 @@ BENCH_QUERIES = [
     "supplier_percent_rank",
     "grouped_price_median",
     "event_coverage",
+    # round-4 additions
+    "pfd_orders",
+    "column_profile_customer",
+    "coltype_events",
+    "unpivot_lineitem",
+    "link_customer_nations",
+    "novelty_customer_segments",
+    "html_tables_roundtrip",
+    "compound_split_parts",
 ]
 
 

@@ -67,6 +67,12 @@ class ERConfig:
     # (takco/cluster/matchers/embedding.py:222-246). Reference the channel
     # from agg_expr, e.g. "@max(content_minhash, @pow(emb_cos, 4))".
     emb_dim: int = 0
+    # appends a "type_hist" column (5-bin char-class distribution,
+    # fixed_size_list<float32, 5>) in the signature stage and carries it to
+    # the scorer's type_cos channel — reference TypeCosMatcher analog
+    # (takco/cluster/matchers/typecos.py). Reference from agg_expr, e.g.
+    # "@mean(content_minhash, type_cos)".
+    type_channel: bool = False
     scorer_concurrency: int | tuple | None = None
     sig_concurrency: int | tuple | None = None
     join_partitions: int = 16
@@ -128,6 +134,7 @@ def signatures_for_paths(paths, cfg: ERConfig):
             seed=cfg.seed,
             content_column=src_col,
             emb_dim=cfg.emb_dim,
+            type_hist=cfg.type_channel,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -200,7 +207,9 @@ def er_pipeline(
 
     def build_edges():
         scorer_kwargs = dict(agg_expr=cfg.agg_expr, threshold=cfg.threshold)
-        extras = ("emb",) if cfg.emb_dim else ()
+        extras = (("emb",) if cfg.emb_dim else ()) + (
+            ("type_hist",) if cfg.type_channel else ()
+        )
         if cfg.scoring_mode == "fused":
             return candidate_pairs(
                 sigs,

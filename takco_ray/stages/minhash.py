@@ -48,6 +48,7 @@ def make_signature_fn(
     content_column: str = "content",
     drop_content: bool = True,
     emb_dim: int = 0,
+    type_hist: bool = False,
 ):
     """Task-based batch fn computing bands + truncated signature.
 
@@ -86,11 +87,46 @@ def make_signature_fn(
                     pa.array(emb.reshape(-1), type=pa.float32()), emb_dim
                 ),
             )
+        if type_hist:
+            out = out.append_column(
+                "type_hist", char_class_histogram(batch.column(content_column))
+            )
         if drop_content:
             out = out.drop_columns([content_column])
         return out
 
     return fn
+
+
+_TYPE_CLASS_RES = ("[A-Za-z]", "[0-9]", r"\s", r"[!-/:-@\[-`{-~]")
+
+
+def char_class_histogram(content) -> pa.FixedSizeListArray:
+    """L2-normalized 5-bin character-class distribution per string.
+
+    Bins: alpha, digit, whitespace, ASCII punctuation, other — the file-level
+    analog of the reference ``TypeCosMatcher`` column-type distribution
+    (``takco/cluster/matchers/typecos.py``): two files whose contents draw
+    from different character populations (prose vs code vs data dumps) point
+    in different directions even when shingle sets overlap. Four Arrow regex
+    count kernels + numpy; no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    total = pc.utf8_length(content).to_numpy(zero_copy_only=False).astype(np.float64)
+    counts = [
+        pc.count_substring_regex(content, p)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        for p in _TYPE_CLASS_RES
+    ]
+    other = np.maximum(total - sum(counts), 0.0)
+    h = np.stack(counts + [other], axis=1)
+    norm = np.sqrt((h * h).sum(axis=1, keepdims=True))
+    h = h / np.maximum(norm, 1e-12)
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(h.astype(np.float32).reshape(-1), type=pa.float32()), 5
+    )
 
 
 class SignatureStage:

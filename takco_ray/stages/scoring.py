@@ -72,6 +72,17 @@ class PairScorer:
         channels["lang_eq"] = (
             np.asarray(batch.column("lang1")) == np.asarray(batch.column("lang2"))
         ).astype(np.float64)
+        if "type_hist1" in batch.column_names and "type_hist2" in batch.column_names:
+            # reference TypeCosMatcher analog (takco/cluster/matchers/
+            # typecos.py): cosine between the two files' character-class
+            # distributions (computed once in the signature stage, 5 floats
+            # per side riding the pair rows)
+            from ..functions.featurize import cosine_rows
+
+            channels["type_cos"] = cosine_rows(
+                _pair_vectors(batch.column("type_hist1")),
+                _pair_vectors(batch.column("type_hist2")),
+            )
         if "emb1" in batch.column_names and "emb2" in batch.column_names:
             # optional embedding channel — the reference's EmbeddingMatcher
             # (embedding.py:222-246) as a per-pair cosine over whatever

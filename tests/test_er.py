@@ -383,3 +383,86 @@ def test_pair_scorer_emb_cos_channel(ray_session):
     # absent emb columns: channel NaN-skips inside @max, no crash, no 0-bias
     s3 = scorer(pairs_table(False)).to_pandas().sort_values("u")
     assert np.allclose(s3.score.to_numpy(), [1.0, 1.0], atol=1e-6)
+
+
+def test_char_class_histogram_unit():
+    """type_hist bins are L2-normalized char-class distributions."""
+    import numpy as np
+    import pyarrow as pa
+
+    from takco_ray.stages.minhash import char_class_histogram
+
+    h = char_class_histogram(pa.array(["abc123", "   ", "!!!", ""]))
+    m = np.asarray(h.values).reshape(-1, 5)
+    # "abc123": 3 alpha + 3 digit → equal weight, no other classes
+    assert np.allclose(m[0], [3, 3, 0, 0, 0] / np.sqrt(18), atol=1e-6)
+    assert np.allclose(m[1], [0, 0, 1, 0, 0], atol=1e-6)  # all whitespace
+    assert np.allclose(m[2], [0, 0, 0, 1, 0], atol=1e-6)  # all punct
+    assert np.allclose(m[3], 0.0)  # empty string → zero vector
+
+
+def test_pair_scorer_type_cos_channel(ray_session):
+    """type_cos is live when type_hist1/2 ride the pair rows (reference
+    TypeCosMatcher analog) and NaN-skips when absent."""
+    import numpy as np
+    import pyarrow as pa
+
+    from takco_ray.stages.scoring import PairScorer
+
+    def pairs_table(with_th):
+        sig = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.arange(8, dtype=np.uint16)), 4
+        )
+        cols = {
+            "id1": pa.array([1, 3], type=pa.int64()),
+            "id2": pa.array([2, 4], type=pa.int64()),
+            "path1": pa.array(["a", "b"]),
+            "path2": pa.array(["a", "b"]),
+            "size1": pa.array([10, 10], type=pa.int64()),
+            "size2": pa.array([10, 10], type=pa.int64()),
+            "lang1": pa.array(["py", "py"]),
+            "lang2": pa.array(["py", "py"]),
+            "sig1": sig,
+            "sig2": sig,
+        }
+        if with_th:
+            t1 = np.array(
+                [[1, 0, 0, 0, 0], [1, 0, 0, 0, 0]], dtype=np.float32
+            )
+            t2 = np.array(
+                [[1, 0, 0, 0, 0], [0, 1, 0, 0, 0]], dtype=np.float32
+            )  # cos 1, 0
+            cols["type_hist1"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(t1.reshape(-1), type=pa.float32()), 5
+            )
+            cols["type_hist2"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(t2.reshape(-1), type=pa.float32()), 5
+            )
+        return pa.table(cols)
+
+    scorer = PairScorer(agg_expr="type_cos", keep_all=True, threshold=-1.0)
+    s = scorer(pairs_table(True)).to_pandas().sort_values("u")
+    assert np.allclose(s.score.to_numpy(), [1.0, 0.0], atol=1e-6)
+    # absent type_hist: NaN-skip inside @max, no crash
+    scorer2 = PairScorer(agg_expr="@max(content_minhash, type_cos)", keep_all=True)
+    s2 = scorer2(pairs_table(False)).to_pandas().sort_values("u")
+    assert np.allclose(s2.score.to_numpy(), [1.0, 1.0], atol=1e-6)
+
+
+def test_type_channel_f1_not_worse(er_result, test_corpus, ray_session):
+    """With type_cos added to the default DSL via @max, gold-corpus F1 must
+    be >= the channel-off run (same guarantee the emb channel carries)."""
+    import pyarrow.parquet as pq
+
+    pairs = pq.read_table(test_corpus["dir"] + "/labeled_pairs.parquet").to_pandas()
+    _, labels_off, _ = er_result
+    f1_off, _, _ = _pairwise_f1(labels_off, pairs)
+
+    cfg_on = ERConfig(
+        type_channel=True,
+        agg_expr="@max(content_minhash, @mean(content_minhash, @pow(path_jw, 4)),"
+        " @mean(content_minhash, type_cos))",
+    )
+    labels_on = er_pipeline(test_corpus["files"], cfg_on)["labels"].to_pandas()
+    f1_on, _, _ = _pairwise_f1(labels_on, pairs)
+    assert f1_on >= f1_off - 1e-12, f"on={f1_on} off={f1_off}"
