@@ -476,3 +476,39 @@ def test_cluster_manifest_toml_stage_pipeline(ray_session, tmp_path):
         pq.read_table("/root/testdata/sf0.001/documents.parquet",
                       columns=["doc_id"]).column("doc_id").to_pylist()
     ).all()
+
+
+def test_table_pipeline_toml_example(ray_session, tmp_path):
+    """examples/table_pipeline.toml end-to-end: profile → pFD → link →
+    novelty over the customer/nation tables, run as-is (workdir/output
+    redirected), output invariants checked."""
+    import glob
+    import os
+    import tomllib
+
+    import pyarrow.parquet as pq
+
+    from takco_ray.pipelines.registry import run_pipeline
+
+    with open("examples/table_pipeline.toml", "rb") as f:
+        cfg = tomllib.load(f)
+    cfg["workdir"] = str(tmp_path / "wd")
+    outdir = str(tmp_path / "novelty")
+    for st in cfg["stage"]:
+        if st["op"] == "write_parquet":
+            st["path"] = outdir
+    result = run_pipeline(cfg)
+
+    prof = result["datasets"]["profile"].to_pandas().set_index("col_name")
+    assert set(prof.index) == {"c_custkey", "c_name", "c_mktsegment"}
+    pfd = result["datasets"]["pfd"].to_pandas().set_index("dep_col")
+    # custkey is a key: every dependent is a perfect FD of it
+    assert int(pfd.loc["c_mktsegment", "pfd_ppm"]) == 1_000_000
+    linked = result["datasets"]["linked"].to_pandas()
+    # customer names never match nation labels → all unresolved
+    assert (linked["entity_id"] == -1).all()
+    files = glob.glob(os.path.join(outdir, "*.parquet"))
+    assert files
+    nov = pq.read_table(files[0]).to_pandas().set_index("novelty")
+    # KB == triples → everything existing
+    assert set(nov.index) == {"existing"}
