@@ -23,7 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 from ..sources import read_table
-from ..util import default_join_partitions
+from ..util import default_join_partitions, join_remote_args
 from ..functions.hashing import sha256_hex
 from ..stages import dedup as dedup_stages
 from ..stages import textstats
@@ -137,6 +137,7 @@ def q_nation_revenue(sf_dir: str):
         cust,
         join_type="inner",
         num_partitions=default_join_partitions(),
+        aggregator_ray_remote_args=join_remote_args(default_join_partitions()),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -181,6 +182,7 @@ def q_segment_orders(sf_dir: str):
         cust,
         join_type="inner",
         num_partitions=default_join_partitions(),
+        aggregator_ray_remote_args=join_remote_args(default_join_partitions()),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -571,6 +573,7 @@ def q_customer_f_order_counts(sf_dir: str):
         f_orders.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True),
         join_type="left_outer",
         num_partitions=default_join_partitions(),
+        aggregator_ray_remote_args=join_remote_args(default_join_partitions()),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -628,6 +631,7 @@ def q_name_distances(sf_dir: str):
         cust.map_batches(as_right, batch_format="pyarrow", zero_copy_batch=True),
         join_type="inner",
         num_partitions=default_join_partitions(),
+        aggregator_ray_remote_args=join_remote_args(default_join_partitions()),
         on=("next_key",),
         right_on=("rkey",),
     )
@@ -1743,6 +1747,7 @@ def q_cluster_manifest_docs(sf_dir: str):
         docs.select_columns(["doc_id", "source"]),
         join_type="inner",
         num_partitions=default_join_partitions(),
+        aggregator_ray_remote_args=join_remote_args(default_join_partitions()),
         on=("file_id",),
         right_on=("doc_id",),
     )
@@ -2173,6 +2178,7 @@ def q_priority_mode_by_segment(sf_dir: str):
         cust,
         join_type="inner",
         num_partitions=default_join_partitions(),
+        aggregator_ray_remote_args=join_remote_args(default_join_partitions()),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -2460,6 +2466,7 @@ def q_urgent_low_counts(sf_dir: str):
         right,
         join_type="full_outer",
         num_partitions=default_join_partitions(),
+        aggregator_ray_remote_args=join_remote_args(default_join_partitions()),
         on=("ck_u",),
         right_on=("ck_l",),
     )

@@ -238,13 +238,17 @@ def _fingerprints(ctx, cfg):
 
 @op("join")
 def _join(ctx, cfg):
+    from ..util import join_remote_args
+
     right = _ds(ctx, cfg, "right")
+    parts = int(cfg["num_partitions"]) if "num_partitions" in cfg else _join_parts()
     return _ds(ctx, cfg).join(
         right,
         join_type=cfg.get("join_type", "inner"),
-        num_partitions=int(cfg["num_partitions"]) if "num_partitions" in cfg else _join_parts(),
+        num_partitions=parts,
         on=tuple(cfg["on"]),
         right_on=tuple(cfg["right_on"]) if "right_on" in cfg else None,
+        aggregator_ray_remote_args=join_remote_args(parts),
     )
 
 

@@ -673,12 +673,15 @@ def cluster_manifest(
     cols = [id_column, label_column] + ([source_column] if source_column else [])
     ds = labels.select_columns(cols)
     if signals is not None:
+        from ..util import join_remote_args
+
         ds = ds.join(
             signals.select_columns([signal_id_column, quality_column]),
             join_type="inner",
             num_partitions=parts,
             on=(id_column,),
             right_on=(signal_id_column,),
+            aggregator_ray_remote_args=join_remote_args(parts),
         )
 
     has_quality = signals is not None

@@ -612,12 +612,15 @@ def cluster_representatives(
         from ..util import default_join_partitions
 
         parts = default_join_partitions()
+    from ..util import join_remote_args
+
     joined = labels.join(
         signals,
         join_type="inner",
         num_partitions=parts,
         on=(id_column,),
         right_on=(signal_id_column,),
+        aggregator_ray_remote_args=join_remote_args(parts),
     )
     top = top_n_per_group(
         joined, label_column, order_column, 1, tiebreak_col=id_column
@@ -1432,13 +1435,17 @@ def cross_doc_dup_spans(
             }
         )
 
+    from ..util import join_remote_args
+
     tot = ds.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+    jparts = default_join_partitions()
     joined = tot.join(
         agg,
         join_type="left_outer",
-        num_partitions=default_join_partitions(),
+        num_partitions=jparts,
         on=("id",),
         right_on=("doc",),
+        aggregator_ray_remote_args=join_remote_args(jparts),
     )
 
     def finish(t: pa.Table) -> pa.Table:

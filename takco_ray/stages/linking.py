@@ -122,12 +122,16 @@ def novelty_classify(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    from ..util import join_remote_args
+
+    _jparts = default_join_partitions()
     joined = triples.join(
         kb_named,
         join_type="left_outer",
-        num_partitions=default_join_partitions(),
+        num_partitions=_jparts,
         on=tuple(key_cols),
         right_on=tuple(f"__kb_{i}" for i in range(len(key_cols))),
+        aggregator_ray_remote_args=join_remote_args(_jparts),
     )
 
     def classify(t: pa.Table) -> pa.Table:

@@ -38,27 +38,31 @@ def semi_join(left, right, on: str, right_on: str | None = None, num_partitions:
     ``num_partitions`` defaults to the cluster CPU count — a fixed constant
     is a straggler factory once the cluster grows.
     """
-    from ..util import default_join_partitions
+    from ..util import default_join_partitions, join_remote_args
 
+    parts = num_partitions or default_join_partitions()
     return left.join(
         right,
         join_type="left_semi",
-        num_partitions=num_partitions or default_join_partitions(),
+        num_partitions=parts,
         on=(on,),
         right_on=(right_on or on,),
+        aggregator_ray_remote_args=join_remote_args(parts),
     )
 
 
 def anti_join(left, right, on: str, right_on: str | None = None, num_partitions: int | None = None):
     """Rows of ``left`` with NO match in ``right`` (Ray native left_anti)."""
-    from ..util import default_join_partitions
+    from ..util import default_join_partitions, join_remote_args
 
+    parts = num_partitions or default_join_partitions()
     return left.join(
         right,
         join_type="left_anti",
-        num_partitions=num_partitions or default_join_partitions(),
+        num_partitions=parts,
         on=(on,),
         right_on=(right_on or on,),
+        aggregator_ray_remote_args=join_remote_args(parts),
     )
 
 
@@ -741,14 +745,16 @@ def dense_rank(ds, col: str, out_col: str = "rank", descending: bool = False,
     ranks = partitioned_group_map(bucketed, "bucket", assign,
                                   num_partitions=min(64, num_buckets))
 
-    from ..util import default_join_partitions
+    from ..util import default_join_partitions, join_remote_args
 
+    jparts = default_join_partitions()
     return ds.join(
         ranks,
         join_type="inner",
-        num_partitions=default_join_partitions(),
+        num_partitions=jparts,
         on=(col,),
         right_on=("value",),
+        aggregator_ray_remote_args=join_remote_args(jparts),
     )
 
 
@@ -1015,9 +1021,12 @@ def skew_join(left, right, on: str, right_on: str | None = None,
     ]
 
     if not hot_keys:
+        from ..util import join_remote_args
+
         return left.join(
             right, join_type="inner", num_partitions=parts,
             on=(on,), right_on=(rk,),
+            aggregator_ray_remote_args=join_remote_args(parts),
         ).select_columns(out_cols)
 
     # cold RIGHT row total, from the counts relation already in hand: when
@@ -1053,11 +1062,14 @@ def skew_join(left, right, on: str, right_on: str | None = None,
 
     cold_joined = None
     if cold_right_rows:
+        from ..util import join_remote_args
+
         cold_joined = left.map_batches(
             split(on, False), batch_format="pyarrow", zero_copy_batch=True
         ).join(
             right.map_batches(split(rk, False), batch_format="pyarrow", zero_copy_batch=True),
             join_type="inner", num_partitions=parts, on=(on,), right_on=(rk,),
+            aggregator_ray_remote_args=join_remote_args(parts),
         ).select_columns(out_cols)
 
     def bcast_join(t: pa.Table) -> pa.Table:

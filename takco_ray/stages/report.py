@@ -45,11 +45,14 @@ def score_clusters(
         import ray as _ray
 
         num_partitions = max(2, min(16, int(_ray.cluster_resources().get("CPU", 4))))
+    from ..util import join_remote_args
+
     joined = labels.select_columns([id_column, label_column]).join(
         gold.select_columns([id_column, gold_column]),
         join_type="inner",
         num_partitions=num_partitions,
         on=(id_column,),
+        aggregator_ray_remote_args=join_remote_args(num_partitions),
     )
 
     def slim(t: pa.Table) -> pa.Table:
