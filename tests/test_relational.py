@@ -572,3 +572,49 @@ def test_quantile_cont_rejects_bad_q(ray_session):
         relational.grouped_quantile_cont(
             _ds({"g": ["a"] * 5, "c": np.arange(5, dtype=np.int64)}), "c", "g", -1, 2
         )
+
+
+def test_join_remote_args_quarter_budget(ray_session):
+    """Regression for the concurrent-join aggregator deadlock: Ray's default
+    gives each join operator HALF the cluster's CPUs for aggregator actors,
+    so two concurrent joins reserve 100 % and the tasks feeding them can
+    never schedule (observed as a 45-min pytest hang on the 4-CPU test
+    cluster). join_remote_args must keep ONE join's total aggregator
+    reservation at a quarter of the cluster, so two joins + feeding tasks
+    always fit."""
+    import ray
+
+    from takco_ray.util import join_remote_args
+
+    cpus = float(ray.cluster_resources().get("CPU", 4.0))
+    for parts in (2, 8, 31, 64, 256):
+        args = join_remote_args(parts)
+        assert 0 < args["num_cpus"] <= 1.0
+        total = args["num_cpus"] * parts
+        # one join's pool ≤ 25 % of the cluster (+ float slack)
+        assert total <= cpus * 0.25 + 1e-9
+        # memory reservation and SPREAD mirrored from Ray's defaults
+        assert args["scheduling_strategy"] == "SPREAD"
+        assert args.get("memory", 1) > 0
+
+
+def test_two_concurrent_joins_complete_on_small_cluster(ray_session):
+    """A single plan with two join operators must complete on the 4-CPU
+    test cluster (the deadlock shape: labels ⋈ sources ⋈ quality)."""
+    left = _ds({"k": list(range(200)), "a": list(range(200))})
+    mid = _ds({"mk": list(range(200)), "b": [i * 2 for i in range(200)]})
+    right = _ds({"rk": list(range(0, 200, 2)), "c": [i * 3 for i in range(100)]})
+    from takco_ray.util import join_remote_args
+
+    j1 = left.join(
+        mid, join_type="inner", num_partitions=8, on=("k",), right_on=("mk",),
+        aggregator_ray_remote_args=join_remote_args(8),
+    )
+    j2 = j1.join(
+        right, join_type="inner", num_partitions=8, on=("k",), right_on=("rk",),
+        aggregator_ray_remote_args=join_remote_args(8),
+    )
+    rows = j2.take_all()
+    assert len(rows) == 100
+    got = {r["k"]: (r["a"], r["b"], r["c"]) for r in rows}
+    assert got[10] == (10, 20, 15)
