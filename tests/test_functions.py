@@ -193,3 +193,21 @@ def test_segment_pairs_matches_per_block_loop():
     # empty / all-singleton inputs
     ii, jj = segment_pairs(np.array([0, 1], dtype=np.int64), np.array([1, 1], dtype=np.int64), 64)
     assert len(ii) == 0 and len(jj) == 0
+
+
+def test_word_mask_matches_lut_all_bytes():
+    """The range-compare word classifier must agree with the \\w LUT on every
+    byte value that can appear in an ascii_lower'ed ASCII buffer (and, for
+    safety, on all 256 byte values — uppercase can't appear post-lower, and
+    A-Z are non-word under the lowered classifier by design)."""
+    import numpy as np
+
+    from takco_ray.functions.tokenize import _WORD_LUT, _word_mask_lowered
+
+    buf = np.arange(256, dtype=np.uint8)
+    out = np.empty(256, dtype=bool)
+    _word_mask_lowered(buf, out, np.empty(256, dtype=np.uint8))
+    lowered_lut = _WORD_LUT.copy()
+    lowered_lut[ord("A"): ord("Z") + 1] = False  # never present post-lower
+    assert (out[:128] == lowered_lut[:128]).all()
+    assert not out[128:].any()  # non-ASCII bytes are non-word on this path
