@@ -5,10 +5,11 @@ stage computes REAL content features from the payload bytes themselves —
 Shannon entropy, a coarse byte histogram, printable ratio, container-format
 sniffing from magic numbers — fully vectorized over the Arrow buffer; no
 media library is required for any of it. Pixel/sample-level decode (resize,
-frame extraction) genuinely needs PIL/ffmpeg, which this container lacks:
-those two stages keep a documented deterministic placeholder kernel behind
-the identical actor signature, so swapping in a real decoder touches
-nothing Ray-side.
+frame extraction) genuinely needs PIL/ffmpeg: those stages take an EXPLICIT
+``decoder=`` argument — the real decoder (default) raises ImportError at
+plan-build time when its library is absent, and ``decoder="stub"`` is an
+opt-in deterministic kernel that exercises the Ray-side plumbing (schema,
+actor shape, small batches) without pretending to decode pixels.
 """
 
 from __future__ import annotations
@@ -212,15 +213,28 @@ except ImportError:
 class ImageResizer:
     """Actor-pool stage: image payloads → resized payloads + new dims.
 
-    With PIL present this decodes/resizes for real; here the decode is the
-    documented stub (deterministic payload-derived bytes), so the Ray-side
-    plumbing — schema, actor shape, small batches — is real and testable.
+    Pixel decode genuinely needs PIL, which this container lacks, so the
+    decoder is an EXPLICIT choice — never a silent fallback:
+
+    - ``decoder="pil"``: real decode+resize (raises ImportError when PIL is
+      absent, at actor construction, not per batch);
+    - ``decoder="stub"``: the deterministic payload-derived placeholder
+      kernel, for exercising the Ray-side plumbing (schema, actor shape,
+      small batches) in environments without a decoder — opt-in only.
     """
 
-    def __init__(self, width: int, height: int):
+    def __init__(self, width: int, height: int, decoder: str = "pil"):
+        if decoder not in ("pil", "stub"):
+            raise ValueError(f"decoder must be 'pil' or 'stub', got {decoder!r}")
+        if decoder == "pil" and not _HAS_PIL:
+            raise ImportError(
+                "decoder='pil' requires PIL, which is not installed; pass "
+                "decoder='stub' explicitly to run the plumbing with the "
+                "deterministic placeholder kernel"
+            )
         self.width = int(width)
         self.height = int(height)
-        self.real = _HAS_PIL
+        self.decoder = decoder
 
     def _resize_stub(self, payload: bytes) -> bytes:
         # deterministic fake: stream blake2b bytes sized to the target
@@ -241,7 +255,16 @@ class ImageResizer:
             if k != "image":
                 outs.append(p)
                 continue
-            outs.append(self._resize_stub(p or b""))  # PIL path would decode+resize
+            if self.decoder == "pil":
+                import io as _io
+
+                img = _PIL_Image.open(_io.BytesIO(p or b""))
+                img = img.resize((self.width, self.height))
+                buf = _io.BytesIO()
+                img.save(buf, format="PNG")
+                outs.append(buf.getvalue())
+            else:
+                outs.append(self._resize_stub(p or b""))
         n = len(batch)
         return pa.table(
             {
@@ -255,10 +278,13 @@ class ImageResizer:
 
 
 def resize_images(ds, width: int = 224, height: int = 224, concurrency=None,
-                  batch_size: int = 32):
+                  batch_size: int = 32, decoder: str = "pil"):
+    # validate the decoder choice eagerly on the driver so a missing
+    # library fails at plan-build time, not wrapped inside an actor error
+    ImageResizer(width, height, decoder=decoder)
     return ds.map_batches(
         ImageResizer,
-        fn_constructor_kwargs=dict(width=width, height=height),
+        fn_constructor_kwargs=dict(width=width, height=height, decoder=decoder),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -267,13 +293,25 @@ def resize_images(ds, width: int = 224, height: int = 224, concurrency=None,
 
 
 def sample_frames(ds, every_ms: int = 1000, max_frames: int = 32,
-                  concurrency=None, batch_size: int = 16):
+                  concurrency=None, batch_size: int = 16,
+                  decoder: str = "ffmpeg"):
     """Video rows → one row per sampled frame (flat_map shape, 1→n).
 
-    Frame payloads come from the decode stub (a real path would seek+decode
-    with ffmpeg); frame count = duration / every_ms capped at ``max_frames``
-    — the cap is LOGGED in the output (`truncated` flag), never silent.
+    Frame decode needs ffmpeg (absent here), so like :class:`ImageResizer`
+    the decoder is explicit: ``decoder="ffmpeg"`` raises ImportError in this
+    environment; ``decoder="stub"`` (opt-in) emits deterministic
+    payload-derived frame bytes so the 1→n plumbing is testable. Frame
+    count = duration / every_ms capped at ``max_frames`` — the cap is
+    LOGGED in the output (`truncated` flag), never silent.
     """
+    if decoder not in ("ffmpeg", "stub"):
+        raise ValueError(f"decoder must be 'ffmpeg' or 'stub', got {decoder!r}")
+    if decoder == "ffmpeg":
+        raise ImportError(
+            "decoder='ffmpeg' requires an ffmpeg binding, which is not "
+            "installed; pass decoder='stub' explicitly to run the plumbing "
+            "with deterministic placeholder frames"
+        )
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()

@@ -54,20 +54,55 @@ def join_remote_args(num_partitions: int, budget_frac: float = 0.25) -> dict:
     dict (hash_shuffle.py:462), so the memory reservation and SPREAD
     placement that the default provides are mirrored here (memory via
     Ray's own estimator when importable; it only depends on the static
-    target block size, not the data).
+    target block size, not the data). Like Ray's default, the per-actor
+    reservation accounts for the aggregator-pool cap
+    (``DataContext.max_hash_shuffle_aggregators``): above the cap each actor
+    handles ``ceil(partitions/aggregators)`` partitions, so CPU and memory
+    scale by that ratio.
     """
+    import math
+
+    cpus = 4.0
     try:
         import ray
 
-        cpus = (
-            float(ray.cluster_resources().get("CPU", 4.0))
-            if ray.is_initialized()
-            else 4.0
-        )
+        # Prefer the cluster-config max (autoscaling-aware, like Ray's own
+        # _get_aggregator_num_cpus_per_partition) so the budget is computed
+        # against the cluster's eventual size, not the node count at
+        # plan-build time; fall back to live resources.
+        max_res = None
+        try:
+            max_res = ray._private.state.state.get_max_resources_from_cluster_config()
+        except Exception:
+            max_res = None
+        if max_res and (max_res.get("CPU") or 0) > 0:
+            cpus = float(max_res["CPU"])
+        elif ray.is_initialized():
+            cpus = float(ray.cluster_resources().get("CPU", 4.0))
     except Exception:
-        cpus = 4.0
+        pass
+
+    # Ray caps the aggregator POOL at DataContext.max_hash_shuffle_aggregators
+    # (default 64); above that each actor owns ceil(parts/aggregators)
+    # partitions, so both the CPU and memory reservations must scale by that
+    # ratio or the pool is under-reserved by ~parts/64 at large clusters.
+    num_aggregators = max(1, num_partitions)
+    try:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        max_aggs = (
+            getattr(ctx, "max_hash_shuffle_aggregators", None)
+            or getattr(ctx, "default_hash_shuffle_parallelism", None)
+            or num_partitions
+        )
+        num_aggregators = max(1, min(num_partitions, int(max_aggs)))
+    except Exception:  # pragma: no cover - context API moved
+        pass
+    ratio = math.ceil(max(1, num_partitions) / num_aggregators)
+
     args: dict = {
-        "num_cpus": min(1.0, (cpus * budget_frac) / max(1, num_partitions)),
+        "num_cpus": min(1.0, (cpus * budget_frac) / max(1, num_partitions)) * ratio,
         "scheduling_strategy": "SPREAD",
     }
     try:
@@ -77,7 +112,7 @@ def join_remote_args(num_partitions: int, budget_frac: float = 0.25) -> dict:
         target = DataContext.get_current().target_max_block_size
         if target:
             args["memory"] = JoinOperator._estimate_aggregator_memory_allocation(
-                num_aggregators=num_partitions,
+                num_aggregators=num_aggregators,
                 num_partitions=num_partitions,
                 partition_byte_size_estimate=target,
             )

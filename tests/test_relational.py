@@ -586,16 +586,34 @@ def test_join_remote_args_quarter_budget(ray_session):
 
     from takco_ray.util import join_remote_args
 
+    from ray.data import DataContext
+
     cpus = float(ray.cluster_resources().get("CPU", 4.0))
+    ctx = DataContext.get_current()
+    max_aggs = (
+        getattr(ctx, "max_hash_shuffle_aggregators", None)
+        or getattr(ctx, "default_hash_shuffle_parallelism", None)
+        or 10**9
+    )
     for parts in (2, 8, 31, 64, 256):
         args = join_remote_args(parts)
-        assert 0 < args["num_cpus"] <= 1.0
-        total = args["num_cpus"] * parts
+        n_aggs = min(parts, int(max_aggs))
+        ratio = -(-parts // n_aggs)
+        # per-actor CPUs scale with the partitions-per-aggregator ratio
+        # (mirrors Ray's _get_default_aggregator_ray_remote_args)
+        assert 0 < args["num_cpus"] <= float(ratio)
+        total = args["num_cpus"] * n_aggs
         # one join's pool ≤ 25 % of the cluster (+ float slack)
         assert total <= cpus * 0.25 + 1e-9
         # memory reservation and SPREAD mirrored from Ray's defaults
         assert args["scheduling_strategy"] == "SPREAD"
-        assert args.get("memory", 1) > 0
+        # must NOT pass vacuously when the private estimator import failed:
+        # the mirrored memory reservation is the point of this test
+        assert "memory" in args and args["memory"] > 0
+        # the memory reservation must account for multi-partition aggregators
+        if parts > int(max_aggs):
+            base = join_remote_args(n_aggs)
+            assert args["memory"] >= base["memory"]
 
 
 def test_two_concurrent_joins_complete_on_small_cluster(ray_session):

@@ -370,22 +370,38 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     from takco_ray.stages.multimodal import synthesize_media, resize_images, sample_frames
 
     media = ray.data.from_arrow(synthesize_media(n=24))
-    resized = resize_images(media, width=32, height=32).to_pandas()
+    resized = resize_images(media, width=32, height=32, decoder="stub").to_pandas()
     assert len(resized) == 24
     assert (resized.width == 32).all()
     imgs = resized[resized.kind == "image"]
     assert len(imgs) and all(len(p) == max(16, 32 * 32 // 64) for p in imgs.payload)
     # determinism
-    again = resize_images(ray.data.from_arrow(synthesize_media(n=24)), 32, 32).to_pandas()
+    again = resize_images(
+        ray.data.from_arrow(synthesize_media(n=24)), 32, 32, decoder="stub"
+    ).to_pandas()
     assert list(again.payload) == list(resized.payload)
 
-    frames = sample_frames(media, every_ms=500, max_frames=4).to_pandas()
+    frames = sample_frames(media, every_ms=500, max_frames=4, decoder="stub").to_pandas()
     assert set(frames.columns) == {"media_id", "frame_idx", "ts_ms", "frame_payload", "truncated"}
     assert len(frames) > 0
     assert (frames.frame_idx < 4).all()
     vids = synthesize_media(n=24).to_pandas()
     vid_ids = set(vids[vids.kind == "video"].media_id)
     assert set(frames.media_id) <= vid_ids
+
+    # decoders are explicit, never a silent fallback: the real decoder
+    # raises at construction when its library is absent, and unknown
+    # decoder names are rejected
+    import pytest as _pytest
+    from takco_ray.stages.multimodal import _HAS_PIL
+
+    if not _HAS_PIL:
+        with _pytest.raises(ImportError, match="decoder='stub'"):
+            resize_images(media, 32, 32)
+    with _pytest.raises(ImportError, match="decoder='stub'"):
+        sample_frames(media)
+    with _pytest.raises(ValueError, match="decoder"):
+        sample_frames(media, decoder="magic")
 
 
 def test_csv_and_jsonl_readers_roundtrip(ray_session, tmp_path):

@@ -81,12 +81,29 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(WINDOW))
     args = ap.parse_args()
 
-    if not os.path.exists(os.path.join(args.scaled_dir, "lineitem.parquet")):
+    # A marker file records how an existing scaled dir was built; reusing a
+    # dir built with a different --k (or base) would silently skew every
+    # reported ratio, so mismatches force a rebuild.
+    marker_path = os.path.join(args.scaled_dir, "_SCALE_MARKER.json")
+    want_marker = {"base_dir": os.path.abspath(args.base_dir), "k": args.k}
+    have_marker = None
+    if os.path.exists(marker_path):
+        try:
+            with open(marker_path) as f:
+                have_marker = json.load(f)
+        except Exception:
+            have_marker = None
+    if (
+        not os.path.exists(os.path.join(args.scaled_dir, "lineitem.parquet"))
+        or have_marker != want_marker
+    ):
         from tools.make_sf_scale import main as make_scale
 
         print(f"# building {args.scaled_dir} = {args.base_dir} x{args.k}",
               file=sys.stderr)
         make_scale(args.base_dir, args.scaled_dir, args.k)
+        with open(marker_path, "w") as f:
+            json.dump(want_marker, f)
 
     import ray
 
@@ -111,7 +128,9 @@ def main() -> None:
             for _ in range(args.repeats):
                 b_samples += _time_query(fn, args.base_dir, 1)
                 s_samples += _time_query(fn, args.scaled_dir, 1)
-            base[name] = min(b_samples)
+            # a sub-millisecond sample rounds to 0.0; floor the divisor so
+            # the ratio stays finite (and conservative) instead of raising
+            base[name] = max(min(b_samples), 1e-3)
             scaled[name] = min(s_samples)
             spread[name] = {"base": b_samples, "scaled": s_samples}
             print(f"# {name}: base {base[name]}s scaled {scaled[name]}s "
