@@ -224,3 +224,154 @@ def load_t2d(root: str) -> dict:
         "properties": load_t2d_properties(propdir, keycols),
         "classes": load_t2d_classes(classfile, keycols),
     }
+
+
+# --------------------------------------------------------------------------
+# SemTab layout (reference takco/evaluate/dataset/semtab.py:17-45)
+# --------------------------------------------------------------------------
+
+_SEMTAB_ISNUMBER = __import__("re").compile(r"^[\d.,\-\+\%]+$")
+
+
+def load_semtab_tables(root: str) -> ray.data.Dataset:
+    """SemTab challenge layout: ``<root>/tables/*.csv``, first row = header.
+
+    One output row per table — ``(table, n_rows, n_cols, header:
+    list<string>, rows_json, entcols: list<int64>)``. ``entcols`` mirrors
+    the reference's entity-column heuristic (``semtab.py:32-37``): columns
+    where fewer than half the cells are numeric. Parsing runs distributed
+    over the file list."""
+    import json
+
+    def parse(t: pa.Table) -> pa.Table:
+        names, n_rows, n_cols, headers, rows_json, entcols = [], [], [], [], [], []
+        for p in t.column("path").to_pylist():
+            raw = open(p, "rb").read().decode("utf-8", errors="ignore")
+            rows = list(csv.reader(raw.splitlines()))
+            if not rows:
+                continue
+            ec = [
+                ci
+                for ci, col in enumerate(zip(*rows))
+                if sum(bool(_SEMTAB_ISNUMBER.match(c)) for c in col) < len(col) / 2
+            ]
+            names.append(_name(p))
+            headers.append(rows[0])
+            rows_json.append(json.dumps(rows[1:]))
+            n_rows.append(len(rows) - 1)
+            n_cols.append(max((len(r) for r in rows), default=0))
+            entcols.append(ec)
+        return pa.table(
+            {
+                "table": pa.array(names, type=pa.string()),
+                "n_rows": pa.array(n_rows, type=pa.int64()),
+                "n_cols": pa.array(n_cols, type=pa.int64()),
+                "header": pa.array(headers, type=pa.list_(pa.string())),
+                "rows_json": pa.array(rows_json, type=pa.string()),
+                "entcols": pa.array(entcols, type=pa.list_(pa.int64())),
+            }
+        )
+
+    return _files_ds(os.path.join(root, "tables")).map_batches(
+        parse, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def load_semtab_cea(targetfile: str) -> pa.Table:
+    """Cell-Entity-Annotation gold: csv rows ``(table, ri, ci[, uri])``
+    (reference CEA target format, ``semtab.py:79-103``; 1-based row index
+    counts the header, shifted to 0-based body rows here). Driver-side —
+    one small csv."""
+    names, ris, cis, uris = [], [], [], []
+    with open(targetfile, encoding="utf-8", errors="ignore") as f:
+        for row in csv.reader(f):
+            if not row:
+                continue
+            if len(row) < 4:
+                row = row + [""] * (4 - len(row))
+            table, ri, ci, uri = row[:4]
+            names.append(table)
+            ris.append(int(ri) - 1)
+            cis.append(int(ci))
+            uris.append(fix_uri(uri) if uri else "")
+    return pa.table(
+        {
+            "table": pa.array(names, type=pa.string()),
+            "row_idx": pa.array(ris, type=pa.int64()),
+            "col_idx": pa.array(cis, type=pa.int64()),
+            "uri": pa.array(uris, type=pa.string()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# WebDataCommons layout (reference takco/evaluate/dataset/wdc.py:13-60)
+# --------------------------------------------------------------------------
+
+def load_wdc_tables(fnames: list[str]) -> ray.data.Dataset:
+    """WDC web-table jsonl: each line one doc with a COLUMN-MAJOR
+    ``relation`` matrix; only ``headerPosition == "FIRST_ROW"`` docs
+    convert (reference ``WebDataCommons.convert``, ``wdc.py:43-74``):
+    the relation transposes to rows, first row becomes the single header
+    row, and the page domain comes from the URL.
+
+    One output row per table — ``(table, table_num, url, domain,
+    page_title, caption, n_cols, n_rows, header: list<string>,
+    rows_json)``. One task per jsonl shard."""
+    import json
+    import urllib.parse as _url
+
+    ds = ray.data.from_items([{"path": p} for p in sorted(fnames)])
+
+    def parse(t: pa.Table) -> pa.Table:
+        cols: dict = {
+            k: []
+            for k in (
+                "table", "table_num", "url", "domain", "page_title",
+                "caption", "n_cols", "n_rows", "header", "rows_json",
+            )
+        }
+        for p in t.column("path").to_pylist():
+            fname = os.path.basename(p)
+            with open(p, encoding="utf-8", errors="ignore") as f:
+                for li, line in enumerate(f):
+                    if not line.strip():
+                        continue
+                    doc = json.loads(line)
+                    if "table" in doc:
+                        doc = doc["table"]
+                    if doc.get("headerPosition") != "FIRST_ROW":
+                        continue
+                    rel = doc.get("relation") or []
+                    if not rel:
+                        continue
+                    header, *body = zip(*rel)  # column-major → rows
+                    url = doc.get("url", "")
+                    cols["table"].append(f"{fname}#{li}")
+                    cols["table_num"].append(int(doc.get("tableNum", 0)))
+                    cols["url"].append(url)
+                    cols["domain"].append(_url.urlparse(url).netloc if url else "")
+                    cols["page_title"].append(
+                        (doc.get("pageTitle") or "").strip() or url
+                    )
+                    cols["caption"].append((doc.get("title") or "").strip())
+                    cols["n_cols"].append(len(header))
+                    cols["n_rows"].append(len(body))
+                    cols["header"].append(list(header))
+                    cols["rows_json"].append(json.dumps([list(r) for r in body]))
+        return pa.table(
+            {
+                "table": pa.array(cols["table"], type=pa.string()),
+                "table_num": pa.array(cols["table_num"], type=pa.int64()),
+                "url": pa.array(cols["url"], type=pa.string()),
+                "domain": pa.array(cols["domain"], type=pa.string()),
+                "page_title": pa.array(cols["page_title"], type=pa.string()),
+                "caption": pa.array(cols["caption"], type=pa.string()),
+                "n_cols": pa.array(cols["n_cols"], type=pa.int64()),
+                "n_rows": pa.array(cols["n_rows"], type=pa.int64()),
+                "header": pa.array(cols["header"], type=pa.list_(pa.string())),
+                "rows_json": pa.array(cols["rows_json"], type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)

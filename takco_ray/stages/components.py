@@ -518,9 +518,17 @@ def _louvain_one_level(
                 continue
             ci = comm[i]
             comm_tot[ci] -= deg[i]
-            cs = comm[dst[lo:hi]]
+            # self-loops stay with the node wherever it goes: they count in
+            # deg/two_m but must not tally as links to the node's own
+            # community (they'd bias staying; they appear once aggregation
+            # levels condense intra-community mass)
+            nb = dst[lo:hi] != i
+            if not nb.any():
+                comm_tot[ci] += deg[i]
+                continue
+            cs = comm[dst[lo:hi][nb]]
             uc, inv = np.unique(cs, return_inverse=True)
-            kin = np.bincount(inv, weights=wgt[lo:hi])
+            kin = np.bincount(inv, weights=wgt[lo:hi][nb])
             gains = kin - resolution * deg[i] * comm_tot[uc] / two_m
             stay_pos = np.searchsorted(uc, ci)
             stay = (
@@ -538,12 +546,56 @@ def _louvain_one_level(
     return comm
 
 
+def _louvain_multilevel(
+    members: np.ndarray,
+    eu: np.ndarray,
+    ev: np.ndarray,
+    ew: np.ndarray,
+    resolution: float = 1.0,
+    max_levels: int = 16,
+) -> np.ndarray:
+    """Full multi-level Louvain (Blondel et al. 2008; the reference's igraph
+    ``community_multilevel``, ``takco/cluster/cluster.py:74-106``): repeat
+    (phase 1 local moves → phase 2 graph aggregation) until a level makes no
+    merge. Aggregation lets whole communities move as units, escaping the
+    over-fragmented local optima single-level node moves get stuck in
+    (e.g. heavy inter-community bridges freeze phase 1 at size-2
+    fragments). Deterministic like :func:`_louvain_one_level`. Returns the
+    community index per member (aligned with sorted ``members``)."""
+    n = len(members)
+    assign = np.arange(n, dtype=np.int64)  # original node → current community
+    # current level graph in index space
+    gu = np.searchsorted(members, eu).astype(np.int64)
+    gv = np.searchsorted(members, ev).astype(np.int64)
+    gw = np.maximum(np.asarray(ew, dtype=np.float64), 0.0)
+    cur_n = n
+    for _ in range(max_levels):
+        comm = _louvain_one_level(
+            np.arange(cur_n, dtype=np.int64), gu, gv, gw, resolution=resolution
+        )
+        uc, comp = np.unique(comm, return_inverse=True)
+        if len(uc) == cur_n:  # no merge this level → local optimum
+            break
+        assign = comp[assign]
+        # phase 2: condense communities into super-nodes; parallel edges sum,
+        # intra-community mass becomes self-loops (kept: they weight degrees
+        # and two_m at the next level)
+        cu, cv = comp[gu], comp[gv]
+        key = cu * len(uc) + cv
+        uk, inv = np.unique(key, return_inverse=True)
+        gw = np.bincount(inv, weights=gw, minlength=len(uk))
+        gu, gv = (uk // len(uc)).astype(np.int64), (uk % len(uc)).astype(np.int64)
+        cur_n = len(uc)
+    return assign
+
+
 def refine_clusters_modularity(
     labels,
     edges,
     num_partitions: int = 64,
     resolution: float = 1.0,
     min_refine_size: int = 3,
+    levels: int = 1,
 ):
     """Density-sensitive cluster sharpening: within each transitive cluster,
     one level of weighted-modularity optimization (Louvain phase 1) over ALL
@@ -560,6 +612,14 @@ def refine_clusters_modularity(
     size. Clusters with < ``min_refine_size`` members pass through
     untouched. Refinement only splits, never merges; labels stay
     min-member-id canonical.
+
+    ``levels`` > 1 runs full multi-level Louvain
+    (:func:`_louvain_multilevel`, the reference's igraph
+    ``community_multilevel``): each level condenses communities into
+    super-nodes and re-optimizes, letting whole fragments move as units —
+    single-level node moves can freeze in over-fragmented local optima
+    (e.g. heavy bridges pin phase 1 at size-2 fragments) that aggregation
+    escapes.
 
     ``labels``: (file_id, cluster_id); ``edges``: (u, v, score).
     """
@@ -586,7 +646,12 @@ def refine_clusters_modularity(
                 out_f.append(members)
                 out_c.append(np.full(len(members), cl[s], dtype=np.int64))
                 continue
-            comm = _louvain_one_level(members, eu, ev_, ew, resolution=resolution)
+            if levels > 1:
+                comm = _louvain_multilevel(
+                    members, eu, ev_, ew, resolution=resolution, max_levels=levels
+                )
+            else:
+                comm = _louvain_one_level(members, eu, ev_, ew, resolution=resolution)
             # canonical label: min member id per community
             order = np.argsort(comm, kind="stable")
             cstarts = segment_boundaries(comm[order])

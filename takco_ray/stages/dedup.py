@@ -847,6 +847,7 @@ def group_set_jaccard(
     threshold_millis: int = 300,
     seed: int = 41,
     num_partitions: int | None = None,
+    max_groups: int = 1_000_000,
 ):
     """EXACT shingle-set Jaccard between GROUPS (repo-level near-dup).
 
@@ -865,9 +866,13 @@ def group_set_jaccard(
     as :func:`ngram_jaccard_exact`: a shingle shared by k groups emits
     O(k²) pair rows, so this is the *audit* operator — at web scale run
     MinHash over the per-group shingle sets (``minhash_dedup`` with group
-    as the id) and reserve this for candidate verification. Group
-    cardinality is assumed driver-bounded (sizes ride a broadcast dict;
-    swap for a hash join past ~1e7 groups).
+    as the id) and reserve this for candidate verification. Group sizes
+    ride a ``ray.put`` broadcast (one row per group), so group cardinality
+    must stay driver-bounded: the op counts groups first and raises above
+    ``max_groups`` (default 1e6 ≈ tens of MB broadcast) instead of silently
+    collecting an unbounded side — the same contract as ``skew_join``'s
+    hot-row guard. Past that, use ``group_minhash_neardup`` (the scale
+    rung) or swap the size lookup for a hash join.
     """
     import ray as _ray
 
@@ -918,10 +923,18 @@ def group_set_jaccard(
 
     gs = partitioned_group_map(rows, "shingle", distinct_in_partition, parts).materialize()
 
-    # per-group distinct-shingle counts — small side (one row per group)
-    sizes_tab = pa.Table.from_pylist(
-        gs.groupby("grp").count().take_all()
-    )
+    # per-group distinct-shingle counts — small side (one row per group),
+    # guarded: refuse to collect/broadcast an unbounded group universe
+    sizes_agg = gs.groupby("grp").count().materialize()
+    n_groups = sizes_agg.count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"group_set_jaccard: {n_groups} groups exceeds max_groups="
+            f"{max_groups}; the per-group size broadcast would be unbounded. "
+            f"Use group_minhash_neardup (the scale rung) or raise max_groups "
+            f"deliberately."
+        )
+    sizes_tab = pa.Table.from_pylist(sizes_agg.take_all())
     size_keys = sizes_tab.column("grp").combine_chunks()
     size_vals = sizes_tab.column("count()").combine_chunks()
     sizes_ref = _ray.put((size_keys, size_vals))

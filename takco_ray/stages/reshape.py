@@ -100,6 +100,141 @@ def seq_prefix_cells(headers: list[list[str]]):
     return out
 
 
+def get_colspan_repeats(headers: list[list[str]]):
+    """Per row: (colspans, repeat-counts) — runs of equal adjacent cells are
+    spans; non-adjacent re-occurrences are repeats (SpannedRepeat
+    ``get_colspan_repeats``, findpivot.py:400-429)."""
+    header_colspan, header_repeats = [], []
+    for row in headers:
+        colspan = [1 for _ in row]
+        repeats: dict = {}
+        c, span = None, 1
+        for ci, cell in enumerate(list(row) + [None]):
+            cell = str(cell)
+            if cell == c:
+                span += 1
+            elif c:
+                for j in range(1, span + 1):
+                    colspan[ci - j] = span
+                span = 1
+                repeats[c] = repeats.get(c, 0) + 1
+            c = cell
+        header_colspan.append(colspan)
+        header_repeats.append([repeats.get(str(cell), 0) for cell in row])
+    return header_colspan, header_repeats
+
+
+def get_colspan_fromto(headers: list[list[str]]):
+    """Per row: the (first, last) column index of each cell's equal-adjacent
+    span (reference ``get_colspan_fromto``, findpivot.py:38-60)."""
+    out = []
+    for row in headers:
+        fromto: list[tuple[int, int]] = []
+        start = 0
+        for ci, cell in enumerate(row):
+            if ci and str(cell) != str(row[ci - 1]):
+                start = ci
+            fromto.append((start, ci))
+        # extend each run's 'to' to the run end
+        for ci in range(len(row) - 2, -1, -1):
+            if str(row[ci]) == str(row[ci + 1]):
+                fromto[ci] = (fromto[ci][0], fromto[ci + 1][1])
+        out.append(fromto)
+    return out
+
+
+def spanned_repeat_cells(headers: list[list[str]]):
+    """Cells spanning multiple columns where another header row repeats a
+    value inside the span (SpannedRepeat ``find_pivot_cells``,
+    findpivot.py:431-447) — the 'Sales | Sales | Sales' over
+    'Q1 | Q2 | Q1' shape that the numeric finders miss."""
+    header_colspan, header_repeats = get_colspan_repeats(headers)
+    header_fromto = get_colspan_fromto(headers)
+    out = []
+    for ri, row in enumerate(headers):
+        colspan = header_colspan[ri]
+        fromto = header_fromto[ri]
+        for ci, cell in enumerate(row):
+            f, t = fromto[ci]
+            if cell and colspan[ci] > 1:
+                if any(
+                    header_repeats[rj][cspan] > 1
+                    for rj in range(len(headers))
+                    if rj != ri
+                    for cspan in range(f, t + 1)
+                ):
+                    out.append((ri, ci))
+    return out
+
+
+def rule_cells(
+    headers: list[list[str]],
+    id_vars: list[str] | None = None,
+    value_vars: list[str] | None = None,
+):
+    """User-declared melt rule (reference ``Rule``, findpivot.py:560-579):
+    a header row containing all id_vars and all value_vars yields its
+    value_vars cells (or every non-id cell when value_vars is empty)."""
+    id_vars = list(id_vars or [])
+    value_vars = list(value_vars or [])
+    out = []
+    if not (id_vars or value_vars):
+        return out
+    for ri, hrow in enumerate(headers):
+        if all(v in hrow for v in id_vars) and all(v in hrow for v in value_vars):
+            for ci, hcell in enumerate(hrow):
+                if value_vars:
+                    if hcell in value_vars:
+                        out.append((ri, ci))
+                elif hcell not in id_vars:
+                    out.append((ri, ci))
+    return out
+
+
+def build_attribute_context(ds, att_col: str, headers_col: str) -> list[str]:
+    """Corpus-built AttributeContext heuristic (reference ``build``,
+    findpivot.py:533-550): header cells whose text equals the table's
+    context attribute (case-insensitive, len > 1) are pivot markers.
+
+    The build is the A4/A5 shape: a map-side per-batch set-union over
+    ``map_batches`` (headers are JSON list-of-list matrices in
+    ``headers_col``), a tiny ``unique`` exchange over the distinct values,
+    and a driver-side collect of the (small) marker set — which callers then
+    broadcast once with ``ray.put`` for use inside downstream map stages.
+    """
+    import json
+
+    def collect(t: pa.Table) -> pa.Table:
+        values: set[str] = set()
+        for att, hj in zip(
+            t.column(att_col).to_pylist(), t.column(headers_col).to_pylist()
+        ):
+            att = str(att or "").lower()
+            if not att:
+                continue
+            for hrow in json.loads(hj or "[]"):
+                for cell in hrow:
+                    text = cell.get("text", "") if isinstance(cell, dict) else cell
+                    if text and len(text) > 1 and att == text.lower():
+                        values.add(text)
+        return pa.table({"value": pa.array(sorted(values), type=pa.string())})
+
+    partials = ds.map_batches(collect, batch_format="pyarrow", zero_copy_batch=True)
+    return sorted(partials.unique("value"))
+
+
+def attribute_context_cells(headers: list[list[str]], values) -> list:
+    """Cells whose text is in the corpus-built marker set
+    (AttributeContext ``find_pivot_cells``, findpivot.py:552-557)."""
+    values = set(values)
+    return [
+        (ri, ci)
+        for ri, hrow in enumerate(headers)
+        for ci, cell in enumerate(hrow)
+        if cell in values
+    ]
+
+
 def longest_run(cells) -> tuple[int, int, int] | None:
     """Longest same-row consecutive-column run among pivot cells →
     ``(level, colfrom, colto)`` (reference ``longest_seq``,
@@ -145,16 +280,22 @@ def split_header_regex(
     return vals, vars_
 
 
-def detect_pivot(headers: list[list[str]]):
+def detect_pivot(headers: list[list[str]], extra_candidates=None):
     """Best pivot across heuristics: each finder proposes cells, the longest
     consecutive run wins (reference tries finders in order and unpivots the
     heuristic with the longest run). Returns
     ``(finder_name, level, colfrom, colto)`` or None when no finder proposes
-    a run wider than one column or spanning the whole row."""
+    a run wider than one column or spanning the whole row.
+
+    ``extra_candidates``: optional ``[(name, cells)]`` from the stateful /
+    corpus-built finders (:func:`spanned_repeat_cells`,
+    :func:`attribute_context_cells` with a broadcast marker set,
+    :func:`rule_cells`) — they compete under the same longest-run rule."""
     candidates = [
         ("NumSuffix", regex_pivot_cells(headers, NUM_SUFFIX)),
         ("NumPrefix", regex_pivot_cells(headers, NUM_PREFIX)),
         ("SeqPrefix", seq_prefix_cells(headers)),
+        *(extra_candidates or []),
     ]
     best = None
     for name, cells in candidates:

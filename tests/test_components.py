@@ -349,3 +349,71 @@ def test_cluster_manifest_kernel(ray_session):
     prow = {int(r["cluster_id"]): r for r in plain.take_all()}[3]
     assert prow["rep_id"] == 3 and prow["members_sample"] == [3, 7, 9]
     assert "quality_min" not in prow and "n_sources" not in prow
+
+
+def test_multilevel_louvain_escapes_fragmented_local_optimum(ray_session):
+    """VERDICT r4 item 8: planted hierarchical communities — A = A1∪A2 and
+    B = B1∪B2 (K5 sub-cliques, HEAVY A1–A2 / B1–B2 bridges, two weak A–B
+    links). Single-level local moves freeze in an over-fragmented local
+    optimum (ten size-2 fragments straddling the planted boundaries, ARI
+    ≈ 0); the iterated multi-level pass (phase 1 + aggregation, reference
+    igraph community_multilevel, cluster.py:74-106) moves whole fragments
+    as units and recovers the planted A/B split exactly. ARI quantified
+    via score_clusters on both."""
+    import itertools
+
+    import ray.data
+    from takco_ray.stages.components import (
+        connected_components,
+        refine_clusters_modularity,
+    )
+    from takco_ray.stages.report import score_clusters
+
+    A1, A2 = list(range(0, 5)), list(range(5, 10))
+    B1, B2 = list(range(10, 15)), list(range(15, 20))
+    eu, ev, w = [], [], []
+
+    def add(a, b, wt=1.0):
+        eu.append(a), ev.append(b), w.append(wt)
+
+    for grp in (A1, A2, B1, B2):
+        for a, b in itertools.combinations(grp, 2):
+            add(a, b)
+    for top, bot in ((A1, A2), (B1, B2)):  # 8 heavy intra-super bridges
+        for i in range(8):
+            add(top[i % 5], bot[(i * 3) % 5])
+    add(A1[0], B1[0])  # two weak inter-super links keep one CC
+    add(A2[1], B2[1])
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(eu, type=pa.int64()),
+                "v": pa.array(ev, type=pa.int64()),
+                "score": pa.array(w, type=pa.float64()),
+            }
+        )
+    )
+    base = connected_components(edges.select_columns(["u", "v"]))
+    assert len(set(r["cluster_id"] for r in base.take_all())) == 1
+
+    gold = ray.data.from_arrow(
+        pa.table(
+            {
+                "file_id": pa.array(list(range(20)), type=pa.int64()),
+                "entity_id": pa.array([0] * 10 + [1] * 10, type=pa.int64()),
+            }
+        )
+    )
+
+    one = refine_clusters_modularity(base, edges, num_partitions=4, levels=1)
+    rep_1 = score_clusters(one, gold).take_all()[0]
+    n_one = len(set(r["cluster_id"] for r in one.take_all()))
+    assert n_one == 10  # frozen size-2 fragments
+    assert rep_1["ari"] < 0.3  # fails the planted split
+
+    multi = refine_clusters_modularity(base, edges, num_partitions=4, levels=8)
+    got = {int(r["file_id"]): int(r["cluster_id"]) for r in multi.take_all()}
+    assert got == {**{i: 0 for i in range(10)}, **{i: 10 for i in range(10, 20)}}
+    rep_m = score_clusters(multi, gold).take_all()[0]
+    assert rep_m["ari"] == pytest.approx(1.0)

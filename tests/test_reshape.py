@@ -86,3 +86,87 @@ def test_unpivot_rows_end_to_end():
     assert len(rows) == 6
     # no pivot → None
     assert unpivot_rows([["a", "b"]], [[1, 2]]) is None
+
+
+def test_spanned_repeat_cells_fires_where_numeric_finders_fail():
+    """The 'Sales|Sales|Sales' span over repeating 'Q1|Q2|Q1' (reference
+    SpannedRepeat, findpivot.py:394-447): no digits glued to names, no
+    shared first token across > 1 distinct cells — NumSuffix/NumPrefix
+    find nothing meltable and SeqPrefix proposes nothing."""
+    from takco_ray.stages.reshape import (
+        attribute_context_cells,
+        detect_pivot,
+        get_colspan_repeats,
+        rule_cells,
+        spanned_repeat_cells,
+    )
+
+    headers = [
+        ["team", "Sales", "Sales", "Sales", "Sales"],
+        ["team", "Q1", "Q2", "Q1", "Q2"],
+    ]
+    assert detect_pivot(headers) is None  # built-in finders miss this shape
+    cells = spanned_repeat_cells(headers)
+    assert cells == [(0, 1), (0, 2), (0, 3), (0, 4)]
+    name, level, s, e = detect_pivot(
+        headers, extra_candidates=[("SpannedRepeat", cells)]
+    )
+    assert (name, level, s, e) == ("SpannedRepeat", 0, 1, 4)
+
+    colspan, repeats = get_colspan_repeats(headers)
+    assert colspan[0] == [1, 4, 4, 4, 4]
+    assert repeats[1] == [1, 2, 2, 2, 2]  # one completed run counts 1
+
+    # a spanning cell with NO repeats under it is not a pivot
+    quiet = [["x", "grp", "grp"], ["x", "a", "b"]]
+    assert spanned_repeat_cells(quiet) == []
+
+
+def test_rule_cells_declared_melt():
+    from takco_ray.stages.reshape import rule_cells
+
+    headers = [["country", "gold", "silver", "bronze"]]
+    assert rule_cells(headers, id_vars=["country"]) == [(0, 1), (0, 2), (0, 3)]
+    assert rule_cells(headers, value_vars=["gold", "silver"]) == [(0, 1), (0, 2)]
+    # row lacking an id var yields nothing
+    assert rule_cells(headers, id_vars=["city"]) == []
+    # no declaration: no cells (reference Rule guards on id/value vars)
+    assert rule_cells(headers) == []
+
+
+def test_attribute_context_build_and_find(ray_session):
+    """Corpus build (set-union + unique) → marker set → membership finder
+    (reference AttributeContext, findpivot.py:528-557)."""
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from takco_ray.stages.reshape import (
+        attribute_context_cells,
+        build_attribute_context,
+        detect_pivot,
+    )
+
+    tables = pa.table(
+        {
+            "section": ["medals", "Medals", "teams", None, "medals"],
+            "headers_json": [
+                json.dumps([["country", "Medals", "Medals"]]),
+                json.dumps([["country", "medals", "x"]]),
+                json.dumps([["club", "city"]]),
+                json.dumps([["a", "b"]]),
+                json.dumps([["nation", "MEDALS"]]),  # matches case-insensitively
+            ],
+        }
+    )
+    values = build_attribute_context(
+        ray.data.from_arrow(tables), "section", "headers_json"
+    )
+    assert values == ["MEDALS", "Medals", "medals"]
+
+    headers = [["country", "Medals", "medals", "area"]]
+    cells = attribute_context_cells(headers, values)
+    assert cells == [(0, 1), (0, 2)]
+    hit = detect_pivot(headers, extra_candidates=[("AttributeContext", cells)])
+    assert hit == ("AttributeContext", 0, 1, 2)

@@ -1241,3 +1241,31 @@ def test_bloom_active_filter_pairs_identical(ray_session, test_corpus):
         probes = probes[~np.isin(probes, exact_keys)]
         fp = bloom_contains(active[1], active[2], probes).mean()
         assert fp < 0.05
+
+
+def test_group_set_jaccard_guards_group_broadcast(ray_session):
+    """The per-group size broadcast is bounded: above max_groups the op
+    raises instead of silently collecting an unbounded side (VERDICT r4
+    item 7; mirrors skew_join's hot-row guard)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+    from takco_ray.stages.dedup import group_set_jaccard
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([f"repo{i}" for i in range(8)]),
+                "text": pa.array(["shared words for every group here"] * 8),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        group_set_jaccard(
+            ds, "source", "text", shingle_k=3, num_partitions=2, max_groups=4
+        ).take_all()
+    # at the limit it still runs
+    out = group_set_jaccard(
+        ds, "source", "text", shingle_k=3, num_partitions=2, max_groups=8
+    )
+    assert out.count() == 8 * 7 // 2  # identical groups: every pair emitted
