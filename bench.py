@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "novelty_customer_segments",
     "html_tables_roundtrip",
     "compound_split_parts",
+    # round-5 additions
+    "warc_tables_roundtrip",
+    "media_features",
 ]
 
 

@@ -982,6 +982,73 @@ def _extract_html_tables(ctx, cfg):
     )
 
 
+@op("read_warc")
+def _read_warc(ctx, cfg):
+    """WARC shards → (path, url, about, html) pages (reference
+    ``WarcPages.load``, pages.py:65-104). ``paths`` is an explicit list or
+    a directory scanned for ``*.warc`` / ``*.warc.gz``."""
+    import glob as _glob
+    import os as _os
+
+    from ..sources.warc import read_warc_pages
+
+    paths = cfg.get("paths")
+    if not paths:
+        root = cfg["dir"]
+        paths = sorted(
+            p
+            for pat in ("*.warc.gz", "*.warc")
+            for p in _glob.glob(_os.path.join(root, pat))
+        )
+    return read_warc_pages(
+        list(paths),
+        records_per_block=int(cfg.get("records_per_block", 4096)),
+    )
+
+
+@op("load_semtab")
+def _load_semtab(ctx, cfg):
+    from ..sources.gold import load_semtab_tables
+
+    return load_semtab_tables(cfg["root"])
+
+
+@op("load_wdc")
+def _load_wdc(ctx, cfg):
+    import glob as _glob
+
+    from ..sources.gold import load_wdc_tables
+
+    fnames = cfg.get("paths") or sorted(_glob.glob(cfg["glob"]))
+    return load_wdc_tables(list(fnames))
+
+
+@op("refine_modularity")
+def _refine_modularity(ctx, cfg):
+    """Within-cluster (multi-level) Louvain refinement; ``levels`` > 1 runs
+    full multilevel (phase-1 moves + aggregation)."""
+    from ..stages.components import refine_clusters_modularity
+
+    return refine_clusters_modularity(
+        _ds(ctx, cfg), _ds(ctx, cfg, "edges"),
+        num_partitions=int(cfg.get("num_partitions", 64)),
+        resolution=float(cfg.get("resolution", 1.0)),
+        min_refine_size=int(cfg.get("min_refine_size", 3)),
+        levels=int(cfg.get("levels", 1)),
+    )
+
+
+@op("media_features")
+def _media_features(ctx, cfg):
+    from ..stages.multimodal import extract_media_features
+
+    return extract_media_features(
+        _ds(ctx, cfg),
+        kind_filter=cfg.get("kind_filter"),
+        batch_size=int(cfg.get("batch_size", 64)),
+    )
+
+
 @op("build_duckdb")
 def _build_duckdb(ctx, cfg):
     from ..sources.dbsink import build_duckdb

@@ -226,6 +226,7 @@ def extract_tables_stage(
     """
 
     def parse_batch(t: pa.Table) -> pa.Table:
+        id_type = t.column(id_col).type  # int ids and string ids both flow
         ids = t.column(id_col).to_pylist()
         htmls = t.column(html_col).to_pylist()
         pid, tidx, nh, nr, nc, hj, bj = [], [], [], [], [], [], []
@@ -240,7 +241,7 @@ def extract_tables_stage(
                 bj.append(json.dumps(tab["body"]))
         return pa.table(
             {
-                "page_id": pa.array(pid, type=pa.int64()),
+                "page_id": pa.array(pid, type=id_type),
                 "table_idx": pa.array(np.array(tidx, dtype=np.int64), type=pa.int64()),
                 "n_head": pa.array(np.array(nh, dtype=np.int64), type=pa.int64()),
                 "n_rows": pa.array(np.array(nr, dtype=np.int64), type=pa.int64()),

@@ -512,3 +512,109 @@ def test_table_pipeline_toml_example(ray_session, tmp_path):
     nov = pq.read_table(files[0]).to_pandas().set_index("novelty")
     # KB == triples → everything existing
     assert set(nov.index) == {"existing"}
+
+
+def test_warc_to_tables_toml_pipeline(ray_session, tmp_path):
+    """[[stage]] TOML: read_warc (shard dir scan) → extract_html_tables —
+    the Common-Crawl-shaped ingestion path (reference WarcPages →
+    extractor), driven through the runner with checkpoints."""
+    import pyarrow.parquet as pq
+    from takco_ray.run import run_config
+    from takco_ray.sources.warc import write_warc
+
+    warcdir = tmp_path / "warc"
+    warcdir.mkdir()
+    html = (
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    write_warc(
+        str(warcdir / "s0.warc.gz"),
+        [(f"http://x.test/page/{i}", None, html) for i in range(4)],
+    )
+    write_warc(
+        str(warcdir / "s1.warc.gz"),
+        [(f"http://x.test/page/{4 + i}", None, html) for i in range(3)],
+    )
+
+    outdir = str(tmp_path / "out")
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        f'workdir = "{tmp_path / "ckpt"}"\n'
+        "[[stage]]\n"
+        f'op = "read_warc"\ndir = "{warcdir}"\noutput = "pages"\n'
+        "[[stage]]\n"
+        'op = "extract_html_tables"\ninput = "pages"\nhtml_col = "html"\nid_col = "url"\noutput = "tables"\n'
+        "[[stage]]\n"
+        'op = "write_parquet"\ninput = "tables"\npath = "' + outdir + '"\n'
+    )
+    run_config(str(cfg))
+    t = pq.read_table(outdir)
+    assert t.num_rows == 7
+    assert set(t.column("n_cols").to_pylist()) == {2}
+    assert set(t.column("n_head").to_pylist()) == {1}
+
+
+def test_refine_modularity_toml_op(ray_session, tmp_path):
+    """refine_modularity registry op with levels > 1 splits the planted
+    heavy-bridge hierarchy inside the runner."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from takco_ray.run import run_config
+
+    A1, A2 = list(range(0, 5)), list(range(5, 10))
+    B1, B2 = list(range(10, 15)), list(range(15, 20))
+    eu, ev = [], []
+    for grp in (A1, A2, B1, B2):
+        for a, b in itertools.combinations(grp, 2):
+            eu.append(a), ev.append(b)
+    for top, bot in ((A1, A2), (B1, B2)):
+        for i in range(8):
+            eu.append(top[i % 5]), ev.append(bot[(i * 3) % 5])
+    eu += [A1[0], A2[1]]
+    ev += [B1[0], B2[1]]
+
+    edges_path = str(tmp_path / "edges.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "u": pa.array(eu, type=pa.int64()),
+                "v": pa.array(ev, type=pa.int64()),
+                "score": pa.array([1.0] * len(eu), type=pa.float64()),
+            }
+        ),
+        edges_path,
+    )
+    labels_path = str(tmp_path / "labels.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_id": pa.array(list(range(20)), type=pa.int64()),
+                "cluster_id": pa.array([0] * 20, type=pa.int64()),
+            }
+        ),
+        labels_path,
+    )
+
+    outdir = str(tmp_path / "out")
+    cfg = tmp_path / "pipe.toml"
+    cfg.write_text(
+        f'workdir = "{tmp_path / "ckpt"}"\n'
+        "[[stage]]\n"
+        f'op = "read_parquet"\npath = "{labels_path}"\noutput = "labels"\n'
+        "[[stage]]\n"
+        f'op = "read_parquet"\npath = "{edges_path}"\noutput = "edges"\n'
+        "[[stage]]\n"
+        'op = "refine_modularity"\ninput = "labels"\nedges = "edges"\n'
+        "levels = 8\nnum_partitions = 4\n"
+        'output = "refined"\n'
+        "[[stage]]\n"
+        'op = "write_parquet"\ninput = "refined"\npath = "' + outdir + '"\n'
+    )
+    run_config(str(cfg))
+    df = pq.read_table(outdir).to_pandas().set_index("file_id").sort_index()
+    assert df.loc[0:9, "cluster_id"].nunique() == 1
+    assert df.loc[10:19, "cluster_id"].nunique() == 1
+    assert df.loc[0, "cluster_id"] != df.loc[10, "cluster_id"]
