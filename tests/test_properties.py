@@ -80,3 +80,51 @@ def test_ntile_partition_invariants(n, k):
     assert tiles.min() == 1 and tiles.max() == min(k, n)
     assert all(s in (big, small) for s in sizes if s)
     assert (np.diff(tiles) >= 0).all() and sizes.sum() == n
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.text(
+                # exclude surrogates (not encodable) — everything else is
+                # payload bytes and must survive the WARC framing verbatim
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=400,
+            ),
+            st.booleans(),
+        ),
+        max_size=8,
+    ),
+    st.booleans(),
+)
+def test_warc_roundtrip_property(pages, gz):
+    """Any unicode payload round-trips through the WARC writer/reader
+    bit-exactly: framing is byte-counted (Content-Length), never delimiter
+    -based, so record bodies containing 'WARC/1.0', CRLFs, or empty
+    strings must not confuse the parser."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _roundtrip(tmp, pages, gz)
+
+
+def _roundtrip(tmp, pages, gz):
+    import os as _os
+
+    from takco_ray.sources.warc import iter_response_pages, write_warc
+
+    path = _os.path.join(tmp, "p.warc.gz" if gz else "p.warc")
+    triples = [
+        (
+            f"http://t.test/page/{i}",
+            f"http://kb.test/e{about_id}" if has_about else None,
+            text,
+        )
+        for i, (about_id, text, has_about) in enumerate(pages)
+    ]
+    n = write_warc(path, triples)
+    assert n == len(triples)
+    got = list(iter_response_pages(path))
+    assert got == triples
