@@ -3240,6 +3240,154 @@ FROM documents WHERE doc_id % 7 = 0
 """
 
 
+def q_semtab_tables(sf_dir: str):
+    """SemTab gold-layout loader round-trip (SURVEY §2 S4; reference
+    ``Semtab.tables``, ``takco/evaluate/dataset/semtab.py:17-45``).
+    Deterministic ``tables/*.csv`` files are generated from doc ids under
+    /tmp (a text Name column + a numeric Value column, row count keyed to
+    the id), loaded back through the distributed per-file parser, and the
+    oracle recomputes shapes + the entity-column heuristic (numeric columns
+    excluded) from the generator's formula."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.gold import load_semtab_tables
+
+    ids = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_numpy()
+    )
+    ids = np.sort(ids[ids % 13 == 0])
+    key = hashlib.sha256(
+        f"semtabfix1:{os.path.abspath(sf_dir)}:{len(ids)}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/takco_semtab_{key}"
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        tmp = f"{root}.build.{os.getpid()}"
+        os.makedirs(os.path.join(tmp, "tables"), exist_ok=True)
+        for i in ids:
+            i = int(i)
+            rows = ["Name,Value"] + [
+                f"name{i}_{j},{i * 10 + j}" for j in range(1 + i % 5)
+            ]
+            with open(os.path.join(tmp, "tables", f"t{i}.csv"), "w") as f:
+                f.write("\n".join(rows) + "\n")
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    loaded = load_semtab_tables(root)
+
+    def project(t: pa.Table) -> pa.Table:
+        ec = t.column("entcols")
+        return pa.table(
+            {
+                "table": t.column("table"),
+                "n_rows": t.column("n_rows"),
+                "n_cols": t.column("n_cols"),
+                "n_entcols": pc.cast(pc.list_value_length(ec), pa.int64()),
+                "first_entcol": pc.list_element(ec, 0),
+            }
+        )
+
+    return loaded.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_SEMTAB_TABLES = """
+SELECT 't' || CAST(doc_id AS VARCHAR) AS "table",
+       CAST(1 + doc_id % 5 AS BIGINT) AS n_rows,
+       CAST(2 AS BIGINT) AS n_cols,
+       CAST(1 AS BIGINT) AS n_entcols,
+       CAST(0 AS BIGINT) AS first_entcol
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def q_wdc_tables(sf_dir: str):
+    """WebDataCommons jsonl loader round-trip (SURVEY §2 S4; reference
+    ``WebDataCommons.convert``, ``takco/evaluate/dataset/wdc.py:43-74``).
+    Deterministic jsonl shards are generated from doc ids under /tmp with
+    COLUMN-MAJOR relations; ids ≡ 2 (mod 3) get ``headerPosition: NONE``
+    and must be filtered out; the oracle recomputes the surviving rows'
+    urls, domains and shapes from the generator's formula — any fault in
+    the transpose, the FIRST_ROW filter, or the domain parse changes the
+    output."""
+    import hashlib
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.gold import load_wdc_tables
+
+    ids = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_numpy()
+    )
+    ids = np.sort(ids[ids % 17 == 0])
+    key = hashlib.sha256(
+        f"wdcfix1:{os.path.abspath(sf_dir)}:{len(ids)}".encode()
+    ).hexdigest()[:16]
+    root = f"/tmp/takco_wdc_{key}"
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        tmp = f"{root}.build.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        shard_size = 1024
+        for s, lo in enumerate(range(0, len(ids), shard_size)):
+            with open(os.path.join(tmp, f"shard-{s:04d}.jsonl"), "w") as f:
+                for i in ids[lo : lo + shard_size]:
+                    i = int(i)
+                    n_body = 1 + i % 3
+                    doc = {
+                        "relation": [
+                            ["col_a"] + [f"a{i}_{r}" for r in range(n_body)],
+                            ["col_b"] + [f"b{i}_{r}" for r in range(n_body)],
+                        ],
+                        "headerPosition": "NONE" if i % 3 == 2 else "FIRST_ROW",
+                        "url": f"http://s{i % 7}.test/page/{i}",
+                        "tableNum": i % 4,
+                    }
+                    f.write(_json.dumps(doc) + "\n")
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    shards = sorted(
+        os.path.join(root, f) for f in os.listdir(root) if f.endswith(".jsonl")
+    )
+    loaded = load_wdc_tables(shards)
+    return loaded.select_columns(
+        ["url", "domain", "table_num", "n_rows", "n_cols"]
+    )
+
+
+SQL_WDC_TABLES = """
+SELECT 'http://s' || CAST(doc_id % 7 AS VARCHAR) || '.test/page/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       's' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS domain,
+       CAST(doc_id % 4 AS BIGINT) AS table_num,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_rows,
+       CAST(2 AS BIGINT) AS n_cols
+FROM documents WHERE doc_id % 17 = 0 AND doc_id % 3 <> 2
+"""
+
+
 def q_compound_split_parts(sf_dir: str):
     """Compound-identifier splitting (SURVEY §2 M10 analog; reference
     ``CompoundSplitter.find_splits``, ``takco/reshape/compound.py:90-95``).
@@ -3425,6 +3573,8 @@ def _build_queries_unordered() -> dict:
         "compound_split_parts": q_compound_split_parts,
         # round-5 additions (SQL-oracled)
         "warc_tables_roundtrip": q_warc_tables_roundtrip,
+        "semtab_tables": q_semtab_tables,
+        "wdc_tables": q_wdc_tables,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -3536,4 +3686,6 @@ def build_oracle_sql() -> dict:
         "compound_split_parts": SQL_COMPOUND_SPLIT,
         "warc_tables_roundtrip": SQL_WARC_TABLES_ROUNDTRIP,
         "media_features": SQL_MEDIA_FEATURES,
+        "semtab_tables": SQL_SEMTAB_TABLES,
+        "wdc_tables": SQL_WDC_TABLES,
     }
