@@ -3388,6 +3388,89 @@ FROM documents WHERE doc_id % 17 = 0 AND doc_id % 3 <> 2
 """
 
 
+def q_kb_search_customers(sf_dir: str):
+    """Local SQLite KB search with the part-split fallback (SURVEY §2 ST5;
+    reference ``SQLiteSearcher.search_entities``,
+    ``takco/link/db/sqlite.py:341-408``). The KB is built DISTRIBUTED from
+    customer names (score 1.0 on even keys, 0.5 on odd — the
+    prefLabel/altLabel split) into the reference's label(uri,txt,score)
+    layout under /tmp; mentions are every third customer's name, with
+    every ninth customer's mention suffixed ``" (branch)"`` so the exact
+    probe misses and the ``(``-split parts fallback must recover it. The
+    oracle recomputes uri/score/flags from the generator's formula."""
+    import hashlib
+    import os
+
+    from ..stages.kbsearch import build_sqlite_kb, search_kb
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    key = hashlib.sha256(
+        f"kbfix1:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:16]
+    db_path = f"/tmp/takco_kb_{key}.sqlite"
+    if not os.path.exists(db_path + ".done"):
+        def kb_rows(t: pa.Table) -> pa.Table:
+            keys = t.column("c_custkey")
+            return pa.table(
+                {
+                    "uri": pc.binary_join_element_wise(
+                        pa.array(["kb:c"] * t.num_rows),
+                        pc.cast(keys, pa.string()),
+                        "",
+                    ),
+                    "label": t.column("c_name"),
+                    "score": pc.if_else(
+                        pc.equal(pc.bit_wise_and(keys, 1), 0), 1.0, 0.5
+                    ),
+                }
+            )
+
+        kb = cust.map_batches(kb_rows, batch_format="pyarrow", zero_copy_batch=True)
+        tmp_db = f"{db_path}.build.{os.getpid()}"
+        build_sqlite_kb(kb, tmp_db, "uri", "label", score_col="score")
+        try:
+            os.rename(tmp_db, db_path)
+            open(db_path + ".done", "w").close()
+        except OSError:
+            if os.path.exists(tmp_db):
+                os.remove(tmp_db)
+
+    def mention_rows(t: pa.Table) -> pa.Table:
+        keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        keep = keys % 3 == 0
+        names = t.column("c_name").to_numpy(zero_copy_only=False)[keep]
+        kk = keys[keep]
+        mention = [
+            f"{n} (branch)" if k % 9 == 0 else str(n)
+            for n, k in zip(names, kk)
+        ]
+        return pa.table(
+            {
+                "c_custkey": pa.array(kk, type=pa.int64()),
+                "mention": pa.array(mention, type=pa.string()),
+            }
+        )
+
+    mentions = cust.map_batches(
+        mention_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = search_kb(mentions, "mention", db_path)
+    return out.select_columns(
+        ["c_custkey", "kb_uri", "kb_score", "kb_matched", "kb_via_parts"]
+    )
+
+
+SQL_KB_SEARCH_CUSTOMERS = """
+SELECT c_custkey,
+       'kb:c' || CAST(c_custkey AS VARCHAR) AS kb_uri,
+       CASE WHEN c_custkey % 2 = 0 THEN 1.0 ELSE 0.5 END AS kb_score,
+       TRUE AS kb_matched,
+       c_custkey % 9 = 0 AS kb_via_parts
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
 def q_compound_split_parts(sf_dir: str):
     """Compound-identifier splitting (SURVEY §2 M10 analog; reference
     ``CompoundSplitter.find_splits``, ``takco/reshape/compound.py:90-95``).
@@ -3575,6 +3658,7 @@ def _build_queries_unordered() -> dict:
         "warc_tables_roundtrip": q_warc_tables_roundtrip,
         "semtab_tables": q_semtab_tables,
         "wdc_tables": q_wdc_tables,
+        "kb_search_customers": q_kb_search_customers,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -3688,4 +3772,5 @@ def build_oracle_sql() -> dict:
         "media_features": SQL_MEDIA_FEATURES,
         "semtab_tables": SQL_SEMTAB_TABLES,
         "wdc_tables": SQL_WDC_TABLES,
+        "kb_search_customers": SQL_KB_SEARCH_CUSTOMERS,
     }

@@ -1049,6 +1049,32 @@ def _media_features(ctx, cfg):
     )
 
 
+@op("build_sqlite_kb")
+def _build_sqlite_kb(ctx, cfg):
+    """Sink: distributed-reduce (uri,label[,score]) rows into the
+    reference's label(uri,txt,score) SQLite layout (ST5)."""
+    from ..stages.kbsearch import build_sqlite_kb
+
+    build_sqlite_kb(
+        _ds(ctx, cfg), cfg["db_path"], cfg["uri_col"], cfg["label_col"],
+        score_col=cfg.get("score_col"),
+        default_score=float(cfg.get("default_score", 1.0)),
+    )
+    return None
+
+
+@op("kb_search")
+def _kb_search(ctx, cfg):
+    """Actor-pool SQLite KB probe with the part-split fallback (ST5)."""
+    from ..stages.kbsearch import search_kb
+
+    return search_kb(
+        _ds(ctx, cfg), cfg["mention_col"], cfg["db_path"],
+        parts=bool(cfg.get("parts", True)),
+        batch_size=int(cfg.get("batch_size", 4096)),
+    )
+
+
 @op("build_duckdb")
 def _build_duckdb(ctx, cfg):
     from ..sources.dbsink import build_duckdb
