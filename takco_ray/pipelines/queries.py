@@ -3471,6 +3471,96 @@ FROM customer WHERE c_custkey % 3 = 0
 """
 
 
+def q_integrate_customer_facts(sf_dir: str):
+    """N-ary KB fact matching → column-property discovery (SURVEY §2 M17's
+    KB arm; reference ``NaryDB.integrate``, ``takco/link/integrate.py:
+    33-75``). The customer table becomes cells (col 0 = name carrying a
+    linked entity on keys ≢ 1 (mod 4), col 1 = segment, col 2 = nation key
+    as text); facts assert ``mem:segment`` for every entity and
+    ``mem:nation`` for even keys. The match counts per (from_col, to_col,
+    prop) are exact integers the oracle recomputes from the generator's
+    formula — any fault in either join, the literal normalization, or the
+    self-match guard changes a count."""
+    from ..stages.linking import integrate_nary
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+    )
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        keys = t.column("c_custkey")
+        n = t.num_rows
+        ent = pc.if_else(
+            pc.not_equal(pc.bit_wise_and(keys, 3), 1),
+            pc.binary_join_element_wise(
+                pa.array(["kb:c"] * n), pc.cast(keys, pa.string()), ""
+            ),
+            pa.scalar(None, type=pa.string()),
+        )
+        nat = pc.cast(t.column("c_nationkey"), pa.string())
+        return pa.table(
+            {
+                "row_idx": pa.concat_arrays([pc.cast(keys, pa.int64()).combine_chunks()] * 3),
+                "col_idx": pa.array(
+                    np.repeat(np.array([0, 1, 2], dtype=np.int64), n)
+                ),
+                "celltext": pa.concat_arrays(
+                    [
+                        pc.cast(t.column("c_name"), pa.string()).combine_chunks(),
+                        pc.cast(t.column("c_mktsegment"), pa.string()).combine_chunks(),
+                        nat.combine_chunks(),
+                    ]
+                ),
+                "entity_uri": pa.concat_arrays(
+                    [
+                        ent.combine_chunks(),
+                        pa.nulls(n, type=pa.string()),
+                        pa.nulls(n, type=pa.string()),
+                    ]
+                ),
+            }
+        )
+
+    cells = cust.map_batches(to_cells, batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_facts(t: pa.Table) -> pa.Table:
+        keys = t.column("c_custkey")
+        n = t.num_rows
+        s = pc.binary_join_element_wise(
+            pa.array(["kb:c"] * n), pc.cast(keys, pa.string()), ""
+        )
+        seg = pa.table(
+            {
+                "s": s,
+                "p": pa.array(["mem:segment"] * n),
+                "o": t.column("c_mktsegment"),
+            }
+        )
+        even = pc.equal(pc.bit_wise_and(keys, 1), 0)
+        natt = pa.table(
+            {
+                "s": s,
+                "p": pa.array(["mem:nation"] * n),
+                "o": pc.cast(t.column("c_nationkey"), pa.string()),
+            }
+        ).filter(even)
+        return pa.concat_tables([seg, natt])
+
+    facts = cust.map_batches(to_facts, batch_format="pyarrow", zero_copy_batch=True)
+    return integrate_nary(cells, facts)
+
+
+SQL_INTEGRATE_CUSTOMER_FACTS = """
+SELECT CAST(0 AS BIGINT) AS from_col, CAST(1 AS BIGINT) AS to_col,
+       'mem:segment' AS prop,
+       count(*) AS n_matches
+FROM customer WHERE c_custkey % 4 <> 1
+UNION ALL
+SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'mem:nation', count(*)
+FROM customer WHERE c_custkey % 4 <> 1 AND c_custkey % 2 = 0
+"""
+
+
 def q_compound_split_parts(sf_dir: str):
     """Compound-identifier splitting (SURVEY §2 M10 analog; reference
     ``CompoundSplitter.find_splits``, ``takco/reshape/compound.py:90-95``).
@@ -3659,6 +3749,7 @@ def _build_queries_unordered() -> dict:
         "semtab_tables": q_semtab_tables,
         "wdc_tables": q_wdc_tables,
         "kb_search_customers": q_kb_search_customers,
+        "integrate_customer_facts": q_integrate_customer_facts,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -3773,4 +3864,5 @@ def build_oracle_sql() -> dict:
         "semtab_tables": SQL_SEMTAB_TABLES,
         "wdc_tables": SQL_WDC_TABLES,
         "kb_search_customers": SQL_KB_SEARCH_CUSTOMERS,
+        "integrate_customer_facts": SQL_INTEGRATE_CUSTOMER_FACTS,
     }

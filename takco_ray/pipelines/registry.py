@@ -1075,6 +1075,21 @@ def _kb_search(ctx, cfg):
     )
 
 
+@op("integrate_facts")
+def _integrate_facts(ctx, cfg):
+    """N-ary fact matching → column-property counts (M17's KB arm)."""
+    from ..stages.linking import integrate_nary
+
+    return integrate_nary(
+        _ds(ctx, cfg), _ds(ctx, cfg, "facts"),
+        row_col=cfg.get("row_col", "row_idx"),
+        col_col=cfg.get("col_col", "col_idx"),
+        text_col=cfg.get("text_col", "celltext"),
+        ent_col=cfg.get("ent_col", "entity_uri"),
+        num_partitions=cfg.get("num_partitions"),
+    )
+
+
 @op("build_duckdb")
 def _build_duckdb(ctx, cfg):
     from ..sources.dbsink import build_duckdb

@@ -176,3 +176,195 @@ def novelty_counts(classified, out_col: str = "novelty"):
     ``count_noveltyhashes`` without the gold/pred P/R arm, which
     ``stages/report.py`` already covers for clusters)."""
     return classified.groupby(out_col).count().rename_columns({"count()": "n"})
+
+
+def integrate_nary(
+    cells,
+    facts,
+    row_col: str = "row_idx",
+    col_col: str = "col_idx",
+    text_col: str = "celltext",
+    ent_col: str = "entity_uri",
+    num_partitions: int | None = None,
+):
+    """Column-property discovery by n-ary KB fact matching — the reference's
+    ``NaryDB.integrate`` loop (``takco/link/integrate.py:33-75``), M17's KB
+    arm, re-expressed as two hash joins + one aggregate (no per-row KB
+    service calls):
+
+    1. cells carrying a linked entity (``ent_col`` non-null) hash-join
+       ``facts`` on entity = subject → candidate (row, from_col, prop,
+       object) rows;
+    2. candidates and the table's normalized cell texts union into ONE
+       grouped pass keyed (row, object-text): inside each hash partition a
+       vectorized sorted-merge pairs fact objects with same-row cell texts
+       (the reference's literal match, string form) and pre-aggregates
+       (from_col, to_col, prop) partial counts — one exchange, same cost
+       as a second hash join, and it sidesteps Ray's join-of-join
+       empty-partition schema loss;
+    3. a small final count-sum per (from_col, to_col, prop) gives the
+       reference's ``n`` (with the caller's row count, ``n / nrows`` — the
+       column-relation score) as exact integers, SQL-oracle-stable.
+
+    ``cells``: one row per (row, col, celltext[, entity_uri nullable]);
+    ``facts``: (s, p, o) with o in surface-text form. Self-matches
+    (from_col == to_col) are dropped like the reference's ``c1 == c2``
+    guard. Both exchanges shuffle on bounded keys; nothing is broadcast
+    (a KB fact table is typically NOT small).
+    """
+    from ..util import default_join_partitions, join_remote_args
+
+    parts = num_partitions or default_join_partitions()
+
+    def key_side(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t.column(ent_col))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "__row": t.column(row_col),
+                "__from_col": t.column(col_col),
+                "__ent": pc.cast(t.column(ent_col), pa.string()),
+            }
+        )
+
+    def fact_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__s": pc.cast(t.column("s"), pa.string()),
+                "__p": pc.cast(t.column("p"), pa.string()),
+                "__o": normalize_label(pc.cast(t.column("o"), pa.string())),
+            }
+        )
+
+    keys = cells.map_batches(key_side, batch_format="pyarrow", zero_copy_batch=True)
+    kb = facts.map_batches(fact_side, batch_format="pyarrow", zero_copy_batch=True)
+    cand = keys.join(
+        kb,
+        join_type="inner",
+        num_partitions=parts,
+        on=("__ent",),
+        right_on=("__s",),
+        aggregator_ray_remote_args=join_remote_args(parts),
+    )
+
+    # rows of BOTH relations under one composite (row \x00 text) key;
+    # fact rows carry (from_col, prop) with to_col = -1, text rows carry
+    # to_col with from_col = -1 — the union shuffles each side once
+    _SEP = "\x00"
+
+    def cand_rows(t: pa.Table) -> pa.Table:
+        # a hash-join's empty output partitions carry NO columns (Ray
+        # emits them schemaless) — re-assert the schema explicitly
+        if t.num_rows == 0 or t.num_columns == 0:
+            return pa.schema(
+                [("__k", pa.string()), ("from_col", pa.int64()),
+                 ("to_col", pa.int64()), ("prop", pa.string())]
+            ).empty_table()
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column("__row"), pa.string()), t.column("__o"), _SEP
+        )
+        return pa.table(
+            {
+                "__k": k,
+                "from_col": pc.cast(t.column("__from_col"), pa.int64()),
+                "to_col": pa.array(
+                    np.full(t.num_rows, -1, dtype=np.int64), type=pa.int64()
+                ),
+                "prop": t.column("__p"),
+            }
+        )
+
+    def text_rows(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column(row_col), pa.string()),
+            normalize_label(pc.cast(t.column(text_col), pa.string())),
+            _SEP,
+        )
+        return pa.table(
+            {
+                "__k": k,
+                "from_col": pa.array(
+                    np.full(t.num_rows, -1, dtype=np.int64), type=pa.int64()
+                ),
+                "to_col": pc.cast(t.column(col_col), pa.int64()),
+                "prop": pa.array([""] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    both = cand.map_batches(
+        cand_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        cells.map_batches(text_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    from .groupmap import partitioned_group_map_any
+
+    def match_partition(g: pa.Table) -> pa.Table:
+        # vectorized sorted-merge of fact rows × text rows per key
+        enc = pc.dictionary_encode(g.column("__k").combine_chunks())
+        codes = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+        from_col = np.asarray(g.column("from_col").combine_chunks(), dtype=np.int64)
+        to_col = np.asarray(g.column("to_col").combine_chunks(), dtype=np.int64)
+        penc = pc.dictionary_encode(g.column("prop").combine_chunks())
+        pcodes = np.asarray(pc.fill_null(penc.indices, 0), dtype=np.int64)
+        fact = from_col >= 0
+        f_codes, f_from, f_prop = codes[fact], from_col[fact], pcodes[fact]
+        t_codes, t_to = codes[~fact], to_col[~fact]
+        empty = pa.table(
+            {
+                "from_col": pa.array([], type=pa.int64()),
+                "to_col": pa.array([], type=pa.int64()),
+                "prop": pa.array([], type=pa.string()),
+                "n_partial": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(f_codes) == 0 or len(t_codes) == 0:
+            return empty
+        t_order = np.argsort(t_codes, kind="stable")
+        t_sorted, t_to_sorted = t_codes[t_order], t_to[t_order]
+        uniq, starts = np.unique(t_sorted, return_index=True)
+        cnts = np.diff(np.append(starts, len(t_sorted)))
+        pos = np.searchsorted(uniq, f_codes)
+        pos = np.minimum(pos, len(uniq) - 1)
+        hit = uniq[pos] == f_codes
+        if not hit.any():
+            return empty
+        fh_from, fh_prop = f_from[hit], f_prop[hit]
+        n_text = cnts[pos[hit]]
+        total = int(n_text.sum())
+        cum0 = np.concatenate([[0], np.cumsum(n_text)[:-1]]).astype(np.int64)
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum0, n_text)
+        tidx = np.repeat(starts[pos[hit]], n_text) + intra
+        out_from = np.repeat(fh_from, n_text)
+        out_prop = np.repeat(fh_prop, n_text)
+        out_to = t_to_sorted[tidx]
+        keep = out_from != out_to  # the reference's c1 == c2 guard
+        out_from, out_to, out_prop = out_from[keep], out_to[keep], out_prop[keep]
+        # pre-aggregate partial counts inside the partition
+        trip = np.stack([out_from, out_to, out_prop], axis=1)
+        utrip, ucnt = np.unique(trip, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "from_col": pa.array(utrip[:, 0], type=pa.int64()),
+                "to_col": pa.array(utrip[:, 1], type=pa.int64()),
+                "prop": penc.dictionary.take(
+                    pa.array(utrip[:, 2], type=pa.int64())
+                ),
+                "n_partial": pa.array(ucnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    partials = partitioned_group_map_any(both, "__k", match_partition, parts)
+    counts = partials.groupby(["from_col", "to_col", "prop"]).sum("n_partial")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "from_col": t.column("from_col"),
+                "to_col": t.column("to_col"),
+                "prop": t.column("prop"),
+                "n_matches": pc.cast(t.column("sum(n_partial)"), pa.int64()),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

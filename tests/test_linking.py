@@ -73,3 +73,51 @@ def test_novelty_classes_multi_object_kb():
     assert int(counts["existing"]) == 1
     assert int(counts["valnovel"]) == 2
     assert int(counts["attnovel"]) == 1
+
+
+def test_integrate_nary_fact_matching(ray_session):
+    """N-ary fact matching (reference NaryDB.integrate,
+    takco/link/integrate.py:33-75): entity-linked cells join facts on the
+    subject, objects join OTHER cells of the same row by normalized text,
+    self-matches drop, counts aggregate per (from_col, to_col, prop)."""
+    import pyarrow as pa
+    import ray.data
+
+    from takco_ray.stages.linking import integrate_nary
+
+    # rows: 3 table rows of (col0 key cell + col1 city + col2 country)
+    cells = ray.data.from_arrow(
+        pa.table(
+            {
+                "row_idx": pa.array([0, 0, 0, 1, 1, 1, 2, 2, 2], type=pa.int64()),
+                "col_idx": pa.array([0, 1, 2, 0, 1, 2, 0, 1, 2], type=pa.int64()),
+                "celltext": [
+                    "Alpha", "  BERLIN ", "Germany",
+                    "Beta", "Paris", "France",
+                    "Gamma", "Rome", "Italy",
+                ],
+                # row 2's key cell carries no entity → contributes nothing
+                "entity_uri": ["kb:a", None, None, "kb:b", None, None, None, None, None],
+            }
+        )
+    )
+    facts = ray.data.from_arrow(
+        pa.table(
+            {
+                "s": ["kb:a", "kb:a", "kb:b", "kb:b", "kb:c"],
+                "p": ["in:city", "in:country", "in:city", "in:self", "in:city"],
+                # normalization must bridge '  BERLIN ' ↔ 'berlin'
+                "o": ["berlin", "GERMANY", "Paris", "Beta", "Rome"],
+            }
+        )
+    )
+    out = {
+        (r["from_col"], r["to_col"], r["prop"]): r["n_matches"]
+        for r in integrate_nary(cells, facts).take_all()
+    }
+    # kb:c matches row 2's 'Rome' ONLY if some cell links kb:c — none does
+    # 'in:self' would match row 1 col 0 itself → dropped by the c1==c2 guard
+    assert out == {
+        (0, 1, "in:city"): 2,       # berlin (row 0) + paris (row 1)
+        (0, 2, "in:country"): 1,    # germany (row 0)
+    }
