@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     # round-5 additions
     "warc_tables_roundtrip",
     "media_features",
+    "semtab_tables",
+    "wdc_tables",
+    "kb_search_customers",
+    "integrate_customer_facts",
 ]
 
 
