@@ -900,6 +900,10 @@ def _er(ctx, cfg):
     result = er_pipeline(
         cfg["corpus"], ERConfig(**er_kwargs), checkpoint_root=cfg.get("er_workdir")
     )
+    if cfg.get("edges_output"):
+        # second output: the scored edge list, for downstream refinement
+        # (refine_modularity levels > 1, refine_clusters min_score cuts)
+        ctx[cfg["edges_output"]] = result["edges"]
     return result["labels"]
 
 
@@ -1225,7 +1229,39 @@ def run_pipeline(cfg: dict) -> dict:
             result = fn(ctx, st)  # sink: always executes
             runner.metrics[stage_key] = {"sink": True}
             continue
-        result = runner.run(stage_key, fp, lambda: fn(ctx, st), materialize=False)
+
+        # Multi-output ops declare extra outputs via ``*_output`` kwargs
+        # (e.g. er's ``edges_output``): the op sets ctx[<name>] while
+        # building. Each extra gets its OWN checkpoint under the same
+        # fingerprint, so a rerun that checkpoint-hits the main output
+        # still restores the extras (or rebuilds the op once when an
+        # extra's checkpoint is missing/stale) — a bare ctx side effect
+        # would silently vanish on the hit path.
+        extra_names = [
+            st[k] for k in sorted(st) if k.endswith("_output") and st[k]
+        ]
+        built: dict = {}
+
+        def build_main():
+            r = fn(ctx, st)
+            built["ran"] = True
+            return r
+
+        result = runner.run(stage_key, fp, build_main, materialize=False)
         ctx[out_name] = result
         fps[out_name] = fp
+        for en in extra_names:
+            def build_extra(en=en):
+                if "ran" not in built:
+                    # main output came from its checkpoint; re-run the op
+                    # once to regenerate this extra (ops with internal
+                    # checkpointing make this cheap)
+                    fn(ctx, st)
+                    built["ran"] = True
+                return ctx[en]
+
+            ctx[en] = runner.run(
+                f"{stage_key}.{en}", fp, build_extra, materialize=False
+            )
+            fps[en] = fp
     return {"datasets": ctx, "metrics": runner.metrics}

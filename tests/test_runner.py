@@ -618,3 +618,65 @@ def test_refine_modularity_toml_op(ray_session, tmp_path):
     assert df.loc[0:9, "cluster_id"].nunique() == 1
     assert df.loc[10:19, "cluster_id"].nunique() == 1
     assert df.loc[0, "cluster_id"] != df.loc[10, "cluster_id"]
+
+
+def test_multi_output_op_survives_checkpoint_reuse(ray_session, tmp_path):
+    """A *_output extra (er's edges_output) must survive a rerun where the
+    main output checkpoint-hits: the extra restores from its OWN
+    checkpoint, and a downstream config change (refine levels) recomputes
+    only the downstream stages — never a KeyError, never a stale reuse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from takco_ray.run import run_config
+
+    corpus = tmp_path / "files"
+    corpus.mkdir()
+    text = " ".join(f"tok{i}" for i in range(200))
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r/a", "r/b", "r/c"],
+                "path": ["a.py", "b.py", "c.py"],
+                "commit": ["c"] * 3,
+                "lang": ["py"] * 3,
+                "content": pa.array(
+                    [text, text + " tail", "totally different " * 40],
+                    type=pa.large_string(),
+                ),
+            }
+        ),
+        str(corpus / "shard_00000.parquet"),
+    )
+    out = str(tmp_path / "refined")
+    workdir = str(tmp_path / "ckpt")
+
+    def write_cfg(levels: int):
+        cfg = tmp_path / "ml.toml"
+        cfg.write_text(
+            f'workdir = "{workdir}"\n'
+            "[[stage]]\n"
+            f'op = "er"\ncorpus = "{corpus}"\nedges_output = "edges"\noutput = "labels"\n'
+            "[[stage]]\n"
+            f'op = "refine_modularity"\ninput = "labels"\nedges = "edges"\nlevels = {levels}\n'
+            'num_partitions = 4\noutput = "refined"\n'
+            "[[stage]]\n"
+            f'op = "write_parquet"\ninput = "refined"\npath = "{out}"\n'
+        )
+        return str(cfg)
+
+    m1 = run_config(write_cfg(1))
+    assert not m1["00-er"].get("skipped")
+    assert pq.read_table(out).num_rows == 3
+
+    # rerun with a changed downstream knob: er + er.edges restore from
+    # checkpoints, refine recomputes
+    m2 = run_config(write_cfg(8))
+    assert m2["00-er"].get("skipped")
+    assert m2["00-er.edges"].get("skipped")
+    assert not m2["01-refine_modularity"].get("skipped")
+    assert pq.read_table(out).num_rows == 3
+
+    # identical rerun: everything dataset-producing skips
+    m3 = run_config(write_cfg(8))
+    assert m3["00-er"].get("skipped") and m3["00-er.edges"].get("skipped")
+    assert m3["01-refine_modularity"].get("skipped")
