@@ -1007,6 +1007,7 @@ def _read_warc(ctx, cfg):
     return read_warc_pages(
         list(paths),
         records_per_block=int(cfg.get("records_per_block", 4096)),
+        on_error=cfg.get("on_error", "raise"),
     )
 
 

@@ -337,7 +337,15 @@ def load_wdc_tables(fnames: list[str]) -> ray.data.Dataset:
                 for li, line in enumerate(f):
                     if not line.strip():
                         continue
-                    doc = json.loads(line)
+                    try:
+                        doc = json.loads(line)
+                    except json.JSONDecodeError:
+                        # reference drops malformed jsonl records rather
+                        # than failing the shard (robust_json_loads_lines,
+                        # takco/util.py:12-21)
+                        continue
+                    if not isinstance(doc, dict):
+                        continue
                     if "table" in doc:
                         doc = doc["table"]
                     if doc.get("headerPosition") != "FIRST_ROW":

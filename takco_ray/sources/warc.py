@@ -88,13 +88,34 @@ def _strip_http_headers(payload: bytes) -> bytes:
     return payload
 
 
-def iter_response_pages(path: str) -> Iterator[tuple[str, str | None, str]]:
+def iter_response_pages(
+    path: str, on_error: str = "raise"
+) -> Iterator[tuple[str, str | None, str]]:
     """Yield ``(url, about, html)`` for each *response* record in one shard —
     the reference's ``WarcPages.load`` loop (``pages.py:88-104``), including
-    the ``?about=`` entity-URI split."""
+    the ``?about=`` entity-URI split.
+
+    ``on_error="skip"``: a corrupt shard (truncated gzip member, mangled
+    record framing) stops at the corruption point, keeping the records
+    already parsed, instead of failing the task — at 100k-shard scale a
+    deterministic parse error would otherwise fail every retry of that
+    task and kill the whole job for one bad shard. Default stays
+    ``"raise"`` (corruption is loud unless the caller opts into skipping).
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
-        for headers, payload in iter_warc_records(f):
+        it = iter_warc_records(f)
+        while True:
+            try:
+                headers, payload = next(it)
+            except StopIteration:
+                return
+            except (ValueError, EOFError, OSError):
+                if on_error == "raise":
+                    raise
+                return  # framing is byte-counted: no resync past corruption
             if headers.get("warc-type") != "response":
                 continue
             url = headers.get("warc-target-uri", "")
@@ -150,7 +171,9 @@ def write_warc(
     return n
 
 
-def read_warc_pages(paths: list[str], *, records_per_block: int = 4096):
+def read_warc_pages(
+    paths: list[str], *, records_per_block: int = 4096, on_error: str = "raise"
+):
     """Ray source: WARC shard paths → Dataset of ``(path, url, about, html)``.
 
     One read task per shard (``batch_size=1`` over the path list), so a
@@ -158,6 +181,8 @@ def read_warc_pages(paths: list[str], *, records_per_block: int = 4096):
     shard re-reads alone. Records stream from the gzip member chain;
     ``records_per_block`` bounds the rows accumulated before a block is
     emitted, keeping worker heap independent of shard size.
+    ``on_error="skip"`` tolerates corrupt shards (see
+    :func:`iter_response_pages`).
     """
     import ray
 
@@ -166,7 +191,7 @@ def read_warc_pages(paths: list[str], *, records_per_block: int = 4096):
     def parse(t: pa.Table) -> Iterator[pa.Table]:
         for path in t.column("path").to_pylist():
             rows: list = []
-            for url, about, html in iter_response_pages(path):
+            for url, about, html in iter_response_pages(path, on_error=on_error):
                 rows.append((path, url, about, html))
                 if len(rows) >= records_per_block:
                     yield _pages_table(rows)

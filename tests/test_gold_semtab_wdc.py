@@ -186,3 +186,23 @@ def test_semtab_end_to_end_linking_eval(ray_session, tmp_path):
     assert rep["f1"] == pytest.approx(1.0)
     assert rep["precision"] == pytest.approx(1.0)
     assert rep["recall"] == pytest.approx(1.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_load_wdc_drops_malformed_lines(tmp_path):
+    """Malformed jsonl records drop instead of failing the shard — the
+    reference's robust_json_loads_lines policy (takco/util.py:12-21)."""
+    p = str(tmp_path / "bad.jsonl")
+    good = {
+        "relation": [["City", "Berlin"]],
+        "headerPosition": "FIRST_ROW",
+        "url": "http://ok.test/x",
+    }
+    with open(p, "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write("{not json at all\n")
+        f.write('"a bare string, not an object"\n')
+        f.write(json.dumps(good) + "\n")
+    df = load_wdc_tables([p]).to_pandas()
+    assert len(df) == 2
+    assert set(df["url"]) == {"http://ok.test/x"}

@@ -121,3 +121,46 @@ def test_read_warc_pages_blocks_bounded(ray_session, tmp_path):
     write_warc(p, [(f"http://x.test/page/{i}", None, f"<p>{i}</p>") for i in range(10)])
     ds = read_warc_pages([p], records_per_block=3)
     assert ds.count() == 10
+
+
+def test_warc_corrupt_shard_skip_policy(tmp_path):
+    """on_error='skip' keeps records parsed before the corruption point
+    and stops there (byte-counted framing has no resync); the default
+    stays loud."""
+    import pytest
+
+    from takco_ray.sources.warc import iter_response_pages, write_warc
+
+    good = str(tmp_path / "good.warc.gz")
+    write_warc(good, PAGES[:2])
+    # corrupt: truncate the shard mid-record
+    corrupt = str(tmp_path / "corrupt.warc.gz")
+    with open(good, "rb") as f:
+        blob = f.read()
+    with open(corrupt, "wb") as f:
+        f.write(blob[: len(blob) - 40])
+
+    with pytest.raises((ValueError, EOFError, OSError)):
+        list(iter_response_pages(corrupt))
+    got = list(iter_response_pages(corrupt, on_error="skip"))
+    assert 0 < len(got) < len(PAGES[:2]) + 1  # prefix survived, no crash
+    assert got[0][0] == PAGES[0][0]
+
+    with pytest.raises(ValueError, match="on_error"):
+        list(iter_response_pages(good, on_error="ignore"))
+
+
+def test_read_warc_pages_skip_policy(ray_session, tmp_path):
+    """A corrupt shard among good ones: on_error='skip' yields every good
+    record plus the corrupt shard's parsed prefix."""
+    from takco_ray.sources.warc import read_warc_pages, write_warc
+
+    g = str(tmp_path / "g.warc.gz")
+    write_warc(g, PAGES)
+    c = str(tmp_path / "c.warc.gz")
+    with open(g, "rb") as f:
+        blob = f.read()
+    with open(c, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    n = read_warc_pages([g, c], on_error="skip").count()
+    assert n >= len(PAGES)  # all of g + whatever prefix of c parsed
