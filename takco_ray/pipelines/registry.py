@@ -1095,6 +1095,21 @@ def _integrate_facts(ctx, cfg):
     )
 
 
+@op("score_annotations")
+def _score_annotations(ctx, cfg):
+    """Annotation-set P/R/F1 vs gold (reference `classification`,
+    score.py:8-40), with only_annotated / any_annotated slicing."""
+    from ..stages.report import score_annotations
+
+    return score_annotations(
+        _ds(ctx, cfg), _ds(ctx, cfg, "gold"),
+        list(cfg["target_cols"]), cfg.get("label_col", "uri"),
+        only_annotated=bool(cfg.get("only_annotated", False)),
+        any_annotated=bool(cfg.get("any_annotated", False)),
+        num_partitions=cfg.get("num_partitions"),
+    )
+
+
 @op("build_duckdb")
 def _build_duckdb(ctx, cfg):
     from ..sources.dbsink import build_duckdb

@@ -132,3 +132,188 @@ def score_clusters(
             }
         )
     )
+
+
+def score_annotations(
+    pred,
+    gold,
+    target_cols: list[str],
+    label_col: str = "uri",
+    only_annotated: bool = False,
+    any_annotated: bool = False,
+    num_partitions: int | None = None,
+):
+    """Annotation-set P/R/F1 — the reference's ``classification`` scorer
+    (``takco/evaluate/score.py:8-40``) over (target..., label) keys,
+    distributed.
+
+    ``pred`` and ``gold`` are Datasets of annotation keys: ``target_cols``
+    identify the annotated unit (cell = (table, col, row); property =
+    (table, from_col, to_col); class = (table, col)) and ``label_col`` the
+    asserted URI. Standard mode counts per (target, label) key: TP =
+    key in both, FP = pred only, FN = gold only.
+
+    ``only_annotated``: restrict to targets with at least one gold label
+    (the reference's unannotated-target exclusion). ``any_annotated``:
+    collapse each target to at most one TP ("some prediction is right"),
+    one FP ("predictions exist, none right"), and one FN ("no prediction
+    at all") — multiple right answers per target count once
+    (``score.py:20-26``).
+
+    Shape: one full-outer hash join on the composite key, then a per-target
+    grouped reduction (max of three flags) — no annotation set ever sits on
+    the driver. Returns a 1-row Dataset (tp, fp, fn, precision, recall,
+    f1).
+    """
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from ..util import default_join_partitions, join_remote_args
+
+    target_cols = list(target_cols)
+    key_cols = target_cols + [label_col]
+    parts = num_partitions or default_join_partitions()
+
+    def tag(flag_name):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {c: t.column(c) for c in key_cols}
+            cols[flag_name] = pa.array(
+                np.ones(t.num_rows, dtype=np.int8), type=pa.int8()
+            )
+            return pa.table(cols)
+
+        return fn
+
+    p = pred.map_batches(tag("__p"), batch_format="pyarrow", zero_copy_batch=True)
+    g = gold.map_batches(tag("__g"), batch_format="pyarrow", zero_copy_batch=True)
+    joined = p.join(
+        g,
+        join_type="full_outer",
+        num_partitions=parts,
+        on=tuple(key_cols),
+        aggregator_ray_remote_args=join_remote_args(parts),
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:  # schemaless empty partition
+            return pa.schema(
+                [(c, pa.string()) for c in target_cols]
+                + [("__isp", pa.int64()), ("__isg", pa.int64()),
+                   ("__tp", pa.int64())]
+            ).empty_table()
+        isp = pc.cast(pc.is_valid(t.column("__p")), pa.int64())
+        isg = pc.cast(pc.is_valid(t.column("__g")), pa.int64())
+        cols = {c: pc.cast(t.column(c), pa.string()) for c in target_cols}
+        cols["__isp"] = isp
+        cols["__isg"] = isg
+        cols["__tp"] = pc.multiply(isp, isg)
+        return pa.table(cols)
+
+    flat = joined.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+
+    if not (only_annotated or any_annotated):
+        agg = flat.sum(["__isp", "__isg", "__tp"])
+        n_pred = int(agg["sum(__isp)"] or 0)
+        n_gold = int(agg["sum(__isg)"] or 0)
+        tp = int(agg["sum(__tp)"] or 0)
+        fp, fn = n_pred - tp, n_gold - tp
+    else:
+        per_target = flat.groupby(target_cols).max(["__isp", "__isg", "__tp"])
+
+        def target_counts(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                z = pa.array([0], type=pa.int64())
+                return pa.table({"tp": z, "fp": z, "fn": z})
+            anyp = np.asarray(t.column("max(__isp)"), dtype=np.int64)
+            anyg = np.asarray(t.column("max(__isg)"), dtype=np.int64)
+            anytp = np.asarray(t.column("max(__tp)"), dtype=np.int64)
+            keep = anyg > 0 if only_annotated else np.ones(len(anyp), dtype=bool)
+            anyp, anyg, anytp = anyp[keep], anyg[keep], anytp[keep]
+            # reached only in any_annotated mode (score.py:20-26): one
+            # tp / fp / fn per target at most
+            tp_ = int(anytp.sum())
+            fp_ = int(((anyp > 0) & (anytp == 0)).sum())
+            fn_ = int((anyp == 0).sum())  # no-pred targets exist via gold keys
+            return pa.table(
+                {
+                    "tp": pa.array([tp_], type=pa.int64()),
+                    "fp": pa.array([fp_], type=pa.int64()),
+                    "fn": pa.array([fn_], type=pa.int64()),
+                }
+            )
+
+        if only_annotated and not any_annotated:
+            # key-level counts restricted to gold-bearing targets: re-join
+            # the per-target gold flag onto the key rows via a grouped pass
+            from .groupmap import partitioned_group_map_any
+
+            def key_with_target(t: pa.Table) -> pa.Table:
+                k = t.column(target_cols[0]).cast(pa.string())
+                for c in target_cols[1:]:
+                    k = pc.binary_join_element_wise(
+                        k, pc.cast(t.column(c), pa.string()), "\x00"
+                    )
+                return pa.table(
+                    {
+                        "__t": k,
+                        "__isp": t.column("__isp"),
+                        "__isg": t.column("__isg"),
+                        "__tp": t.column("__tp"),
+                    }
+                )
+
+            keyed = flat.map_batches(
+                key_with_target, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+            def per_partition(gtab: pa.Table) -> pa.Table:
+                enc = pc.dictionary_encode(gtab.column("__t").combine_chunks())
+                codes = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+                isp = np.asarray(gtab.column("__isp"), dtype=np.int64)
+                isg = np.asarray(gtab.column("__isg"), dtype=np.int64)
+                istp = np.asarray(gtab.column("__tp"), dtype=np.int64)
+                n_t = int(codes.max()) + 1 if len(codes) else 0
+                anyg = np.bincount(codes, weights=isg, minlength=n_t) > 0
+                keep = anyg[codes]
+                z = pa.array(
+                    [int(istp[keep].sum())], type=pa.int64()
+                )
+                return pa.table(
+                    {
+                        "tp": z,
+                        "fp": pa.array(
+                            [int((isp[keep] - istp[keep]).sum())], type=pa.int64()
+                        ),
+                        "fn": pa.array(
+                            [int((isg[keep] - istp[keep]).sum())], type=pa.int64()
+                        ),
+                    }
+                )
+
+            partials = partitioned_group_map_any(keyed, "__t", per_partition, parts)
+        else:
+            partials = per_target.map_batches(
+                target_counts, batch_format="pyarrow", zero_copy_batch=True
+            )
+        agg = partials.sum(["tp", "fp", "fn"])
+        tp = int(agg["sum(tp)"] or 0)
+        fp = int(agg["sum(fp)"] or 0)
+        fn = int(agg["sum(fn)"] or 0)
+
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "tp": pa.array([tp], type=pa.int64()),
+                "fp": pa.array([fp], type=pa.int64()),
+                "fn": pa.array([fn], type=pa.int64()),
+                "precision": pa.array([round(prec, 6)], type=pa.float64()),
+                "recall": pa.array([round(rec, 6)], type=pa.float64()),
+                "f1": pa.array([round(f1, 6)], type=pa.float64()),
+            }
+        )
+    )

@@ -466,3 +466,135 @@ def test_type_channel_f1_not_worse(er_result, test_corpus, ray_session):
     labels_on = er_pipeline(test_corpus["files"], cfg_on)["labels"].to_pandas()
     f1_on, _, _ = _pairwise_f1(labels_on, pairs)
     assert f1_on >= f1_off - 1e-12, f"on={f1_on} off={f1_off}"
+
+
+def _ref_classification(keys_gold, keys_pred, only_annotated, any_annotated):
+    """Pure-pandas emulation of the reference's ``classification``
+    (takco/evaluate/score.py:8-30) → (tp, fp, fn)."""
+    import pandas as pd
+
+    union = sorted(keys_gold | keys_pred)
+    if not union:
+        return 0, 0, 0
+    df = pd.DataFrame(
+        {
+            "gold": [k in keys_gold for k in union],
+            "pred": [k in keys_pred for k in union],
+        },
+        index=pd.MultiIndex.from_tuples(union),
+    )
+    levels = list(range(df.index.nlevels))[:-1]
+    if only_annotated:
+        df = df[df.groupby(level=levels).gold.transform("any")]
+    if any_annotated:
+        anypred = df.pred.groupby(level=levels).transform("any")
+        anycorrect = (df.pred & df.gold).groupby(level=levels).transform("any")
+        fn = df[~anypred].groupby(level=levels).head(1)
+        fp = df[(~anycorrect) & df.pred].groupby(level=levels).head(1)
+        tp = df[df.pred & df.gold].groupby(level=levels).head(1)
+        df = pd.concat([fn, fp, tp])
+    return (
+        int((df.pred & df.gold).sum()),
+        int((df.pred & ~df.gold).sum()),
+        int((~df.pred & df.gold).sum()),
+    )
+
+
+def test_score_annotations_matches_reference_semantics(ray_session):
+    """score_annotations vs a pandas emulation of the reference's
+    classification across all mode combinations on a fixture exercising
+    multi-answer targets, wrong-only targets, unpredicted targets and
+    unannotated-but-predicted targets."""
+    import pyarrow as pa
+    import ray.data
+
+    from takco_ray.stages.report import score_annotations
+
+    # keys: (table, col, uri)
+    gold = {
+        ("t0", 0, "u1"), ("t0", 0, "u2"),   # multi-answer target
+        ("t0", 1, "u3"),                     # predicted wrong
+        ("t1", 0, "u4"),                     # not predicted at all
+        ("t1", 1, "u5"),                     # predicted right
+    }
+    pred = {
+        ("t0", 0, "u1"),                     # one of two right answers
+        ("t0", 1, "u9"),                     # wrong
+        ("t1", 1, "u5"),                     # right
+        ("t2", 0, "u6"), ("t2", 0, "u7"),   # unannotated target, 2 preds
+    }
+
+    def ds_of(keys):
+        ks = sorted(keys)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "table": pa.array([k[0] for k in ks]),
+                    "col": pa.array([k[1] for k in ks], type=pa.int64()),
+                    "uri": pa.array([k[2] for k in ks]),
+                }
+            )
+        )
+
+    for only in (False, True):
+        for anym in (False, True):
+            got = score_annotations(
+                ds_of(pred), ds_of(gold), ["table", "col"], "uri",
+                only_annotated=only, any_annotated=anym, num_partitions=4,
+            ).take_all()[0]
+            tp, fp, fn = _ref_classification(gold, pred, only, anym)
+            assert (got["tp"], got["fp"], got["fn"]) == (tp, fp, fn), (
+                only, anym, got,
+            )
+            if tp + fp:
+                assert got["precision"] == pytest.approx(tp / (tp + fp), abs=1e-6)
+            if tp + fn:
+                assert got["recall"] == pytest.approx(tp / (tp + fn), abs=1e-6)
+
+
+def test_score_annotations_randomized_vs_reference(ray_session):
+    """Randomized small annotation sets, all four modes, exact tp/fp/fn
+    parity with the reference emulation."""
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from takco_ray.stages.report import score_annotations
+
+    rng = random.Random(7)
+    for trial in range(4):
+        targets = [(f"t{i}", c) for i in range(4) for c in range(3)]
+        uris = [f"u{i}" for i in range(5)]
+        gold = {
+            (*t, u) for t in targets for u in uris if rng.random() < 0.25
+        }
+        pred = {
+            (*t, u) for t in targets for u in uris if rng.random() < 0.25
+        }
+        if not (gold | pred):
+            continue
+
+        def ds_of(keys):
+            ks = sorted(keys)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "table": pa.array([k[0] for k in ks]),
+                        "col": pa.array([k[1] for k in ks], type=pa.int64()),
+                        "uri": pa.array([k[2] for k in ks]),
+                    }
+                )
+            )
+
+        for only in (False, True):
+            for anym in (False, True):
+                got = score_annotations(
+                    ds_of(pred), ds_of(gold), ["table", "col"], "uri",
+                    only_annotated=only, any_annotated=anym,
+                    num_partitions=4,
+                ).take_all()[0]
+                want = _ref_classification(gold, pred, only, anym)
+                assert (got["tp"], got["fp"], got["fn"]) == want, (
+                    trial, only, anym,
+                )
