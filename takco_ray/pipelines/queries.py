@@ -3561,6 +3561,101 @@ FROM customer WHERE c_custkey % 4 <> 1 AND c_custkey % 2 = 0
 """
 
 
+def q_triples_customer(sf_dir: str):
+    """Triple emission from annotated tables (SURVEY §2 M18; reference
+    ``yield_triples``, ``takco/evaluate/triples.py:13-133``). The customer
+    table becomes cells (col 0 name, col 1 segment) with entity
+    annotations on col 0 for keys ≢ 1 (mod 3), a column class, and a
+    0→1 property; every linked row must emit exactly one label, one
+    rdf:type, and one literal property triple, which the oracle rebuilds
+    from the generator's formula (kind/s/p/o/row all checked)."""
+    from ..stages.triples import LABEL, TYPE, emit_triples
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t.column("c_custkey"), pa.int64()).combine_chunks()
+        n = t.num_rows
+        return pa.table(
+            {
+                "table": pa.array(["customer"] * (2 * n), type=pa.string()),
+                "row": pa.concat_arrays([keys, keys]),
+                "col": pa.array(
+                    np.repeat(np.array([0, 1], dtype=np.int64), n)
+                ),
+                "text": pa.concat_arrays(
+                    [
+                        pc.cast(t.column("c_name"), pa.string()).combine_chunks(),
+                        pc.cast(t.column("c_mktsegment"), pa.string()).combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    def to_entities(t: pa.Table) -> pa.Table:
+        keys = t.column("c_custkey")
+        kn = keys.to_numpy(zero_copy_only=False)
+        sel = kn % 3 != 1
+        kn = kn[sel]
+        return pa.table(
+            {
+                "table": pa.array(["customer"] * len(kn), type=pa.string()),
+                "row": pa.array(kn, type=pa.int64()),
+                "col": pa.array(np.zeros(len(kn), dtype=np.int64)),
+                "uri": pa.array([f"kb:c{k}" for k in kn], type=pa.string()),
+                "score": pa.array(np.ones(len(kn)), type=pa.float64()),
+            }
+        )
+
+    cells = cust.map_batches(to_cells, batch_format="pyarrow", zero_copy_batch=True)
+    entities = cust.map_batches(
+        to_entities, batch_format="pyarrow", zero_copy_batch=True
+    )
+    classes = ray.data.from_arrow(
+        pa.table(
+            {
+                "table": ["customer"],
+                "col": pa.array([0], type=pa.int64()),
+                "uri": ["mem:Customer"],
+                "score": [1.0],
+            }
+        )
+    )
+    props = ray.data.from_arrow(
+        pa.table(
+            {
+                "table": ["customer"],
+                "from_col": pa.array([0], type=pa.int64()),
+                "to_col": pa.array([1], type=pa.int64()),
+                "uri": ["mem:segment"],
+                "score": [0.9],
+            }
+        )
+    )
+    out = emit_triples(cells, entities, classes, props)
+    return out.select_columns(["kind", "s", "p", "o", "row", "col"])
+
+
+SQL_TRIPLES_CUSTOMER = """
+WITH linked AS (SELECT * FROM customer WHERE c_custkey % 3 <> 1)
+SELECT 'label' AS kind, 'kb:c' || CAST(c_custkey AS VARCHAR) AS s,
+       'http://www.w3.org/2000/01/rdf-schema#label' AS p,
+       c_name AS o, c_custkey AS row, CAST(0 AS BIGINT) AS col
+FROM linked
+UNION ALL
+SELECT 'class', 'kb:c' || CAST(c_custkey AS VARCHAR),
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'mem:Customer', c_custkey, CAST(0 AS BIGINT)
+FROM linked
+UNION ALL
+SELECT 'property', 'kb:c' || CAST(c_custkey AS VARCHAR), 'mem:segment',
+       c_mktsegment, c_custkey, CAST(1 AS BIGINT)
+FROM linked
+"""
+
+
 def q_compound_split_parts(sf_dir: str):
     """Compound-identifier splitting (SURVEY §2 M10 analog; reference
     ``CompoundSplitter.find_splits``, ``takco/reshape/compound.py:90-95``).
@@ -3751,6 +3846,7 @@ def _build_queries_unordered() -> dict:
         "wdc_tables": q_wdc_tables,
         "kb_search_customers": q_kb_search_customers,
         "integrate_customer_facts": q_integrate_customer_facts,
+        "triples_customer": q_triples_customer,
         # round-3 rows-only (estimate is LSH-probabilistic; pytest-pinned)
         "source_neardup_minhash": q_source_neardup_minhash,
         "doc_quality": q_doc_quality,
@@ -3866,4 +3962,5 @@ def build_oracle_sql() -> dict:
         "wdc_tables": SQL_WDC_TABLES,
         "kb_search_customers": SQL_KB_SEARCH_CUSTOMERS,
         "integrate_customer_facts": SQL_INTEGRATE_CUSTOMER_FACTS,
+        "triples_customer": SQL_TRIPLES_CUSTOMER,
     }

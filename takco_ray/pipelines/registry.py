@@ -1095,6 +1095,23 @@ def _integrate_facts(ctx, cfg):
     )
 
 
+@op("emit_triples")
+def _emit_triples(ctx, cfg):
+    """Annotated-table relations → triples (reference yield_triples)."""
+    from ..stages.triples import emit_triples
+
+    return emit_triples(
+        _ds(ctx, cfg),
+        _ds(ctx, cfg, "entities"),
+        classes=_ds(ctx, cfg, "classes") if "classes" in cfg else None,
+        properties=_ds(ctx, cfg, "properties") if "properties" in cfg else None,
+        table_col=cfg.get("table_col", "table"),
+        include_type=bool(cfg.get("include_type", True)),
+        include_label=bool(cfg.get("include_label", True)),
+        num_partitions=cfg.get("num_partitions"),
+    )
+
+
 @op("score_annotations")
 def _score_annotations(ctx, cfg):
     """Annotation-set P/R/F1 vs gold (reference `classification`,
@@ -1220,7 +1237,11 @@ def run_pipeline(cfg: dict) -> dict:
         out_name = st.pop("output", None)
         upstream = [
             fps[st[k]]
-            for k in ("input", "input_a", "input_b", "right", "other", "gold", "benchmark", "signals", "base_labels", "base_signatures", "kb")
+            for k in (
+                "input", "input_a", "input_b", "right", "other", "gold",
+                "benchmark", "signals", "base_labels", "base_signatures",
+                "kb", "edges", "facts", "entities", "classes", "properties",
+            )
             if k in st and st[k] in fps
         ]
         extra = {}
