@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "wdc_tables",
     "kb_search_customers",
     "integrate_customer_facts",
+    "triples_customer",
 ]
 
 
