@@ -1095,6 +1095,22 @@ def _integrate_facts(ctx, cfg):
     )
 
 
+@op("corpus_split_compounds")
+def _corpus_split_compounds(ctx, cfg):
+    """Structural + corpus-learned identifier splitting (ST6's offline
+    analog: token frequencies from a corpus Dataset are the model)."""
+    from ..functions.compound import build_split_vocab, corpus_split_stage
+
+    vocab_ref = build_split_vocab(
+        _ds(ctx, cfg, "corpus"), cfg.get("corpus_text_col", "text"),
+        top_k=int(cfg.get("top_k", 100_000)),
+    )
+    return corpus_split_stage(
+        _ds(ctx, cfg), cfg["column"], vocab_ref,
+        batch_size=int(cfg.get("batch_size", 4096)),
+    )
+
+
 @op("emit_triples")
 def _emit_triples(ctx, cfg):
     """Annotated-table relations → triples (reference yield_triples)."""
@@ -1240,7 +1256,7 @@ def run_pipeline(cfg: dict) -> dict:
             for k in (
                 "input", "input_a", "input_b", "right", "other", "gold",
                 "benchmark", "signals", "base_labels", "base_signatures",
-                "kb", "edges", "facts", "entities", "classes", "properties",
+                "kb", "edges", "facts", "entities", "classes", "properties", "corpus",
             )
             if k in st and st[k] in fps
         ]

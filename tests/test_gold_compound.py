@@ -96,3 +96,62 @@ def test_compound_parts_stage():
     ds = ray.data.from_arrow(pa.table({"ident": ["parseHTML", "x_y_z"]}))
     out = compound_parts_stage(ds, "ident").to_pandas()
     assert list(out["n_parts"]) == [2, 3]
+
+
+def test_corpus_learned_compound_splitting(ray_session):
+    """ST6's offline analog: the corpus IS the model. Frequencies from a
+    small corpus segment caseless concatenations (requestslogger →
+    requests+logger) that the structural splitter cannot; unknown runs
+    survive unsplit instead of shattering."""
+    import pyarrow as pa
+    import ray.data
+
+    from takco_ray.functions.compound import (
+        build_split_vocab,
+        corpus_split_stage,
+        viterbi_split,
+    )
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "text": [
+                    "requests logger handler requests logger",
+                    "the logger writes requests to the handler",
+                    "requests handler logger requests",
+                ]
+                * 4
+            }
+        )
+    )
+    vocab_ref = build_split_vocab(docs, "text", top_k=100)
+    import ray as _ray
+
+    vocab = _ray.get(vocab_ref)
+    assert {"requests", "logger", "handler"} <= set(vocab)
+
+    # pure function: DP segmentation
+    assert viterbi_split("requestslogger", vocab) == ["requests", "logger"]
+    assert viterbi_split("loggerhandlerrequests", vocab) == [
+        "logger", "handler", "requests",
+    ]
+    # unknown material stays one run (merged unknown chars)
+    assert viterbi_split("zzqx", vocab) == ["zzqx"]
+
+    idents = ray.data.from_arrow(
+        pa.table(
+            {
+                "ident": [
+                    "requestslogger_util",   # snake + caseless compound
+                    "getRequestsLogger",     # camel handles it structurally
+                    "zzqxblob",              # unknown: unsplit
+                ]
+            }
+        )
+    )
+    out = corpus_split_stage(idents, "ident", vocab_ref).to_pandas()
+    got = {r.ident: list(r.parts) for r in out.itertuples()}
+    assert got["requestslogger_util"] == ["requests", "logger", "util"]
+    # structural splitter lowercases parts (its established contract)
+    assert got["getRequestsLogger"] == ["get", "requests", "logger"]
+    assert got["zzqxblob"] == ["zzqxblob"]
