@@ -1018,6 +1018,55 @@ def _load_semtab(ctx, cfg):
     return load_semtab_tables(cfg["root"])
 
 
+@op("load_semtab_cea")
+def _load_semtab_cea(ctx, cfg):
+    """CEA gold targets (small csv) as a Dataset."""
+    import ray.data as _rd
+
+    from ..sources.gold import load_semtab_cea
+
+    return _rd.from_arrow(load_semtab_cea(cfg["path"]))
+
+
+@op("explode_table_cells")
+def _explode_table_cells(ctx, cfg):
+    """Loader output (table, rows_json[, entcols]) → one row per body cell
+    ``(table, row_idx, col_idx, celltext)``; ``entcols_only`` restricts to
+    the entity-column heuristic's picks."""
+    import json as _json
+
+    import pyarrow as pa
+
+    entcols_only = bool(cfg.get("entcols_only", False))
+
+    def fn(t: pa.Table) -> pa.Table:
+        tables, ris, cis, texts = [], [], [], []
+        has_ec = "entcols" in t.schema.names
+        ec_col = t.column("entcols").to_pylist() if has_ec else None
+        for i, (name, rows_json) in enumerate(
+            zip(t.column("table").to_pylist(), t.column("rows_json").to_pylist())
+        ):
+            allowed = set(ec_col[i]) if (entcols_only and has_ec) else None
+            for ri, row in enumerate(_json.loads(rows_json or "[]")):
+                for ci, cell in enumerate(row):
+                    if allowed is not None and ci not in allowed:
+                        continue
+                    tables.append(name)
+                    ris.append(ri)
+                    cis.append(ci)
+                    texts.append(cell)
+        return pa.table(
+            {
+                "table": pa.array(tables, type=pa.string()),
+                "row_idx": pa.array(ris, type=pa.int64()),
+                "col_idx": pa.array(cis, type=pa.int64()),
+                "celltext": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return _ds(ctx, cfg).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 @op("load_wdc")
 def _load_wdc(ctx, cfg):
     import glob as _glob

@@ -680,3 +680,72 @@ def test_multi_output_op_survives_checkpoint_reuse(ray_session, tmp_path):
     m3 = run_config(write_cfg(8))
     assert m3["00-er"].get("skipped") and m3["00-er.edges"].get("skipped")
     assert m3["01-refine_modularity"].get("skipped")
+
+
+def test_semtab_eval_toml_pipeline(ray_session, tmp_path):
+    """examples/semtab_eval.toml shape: gold-layout load → entcols cells →
+    label linking → CEA annotation P/R/F1, all through registry ops."""
+    import csv
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from takco_ray.run import run_config
+
+    root = tmp_path / "semtab"
+    (root / "tables").mkdir(parents=True)
+    with open(root / "tables" / "t0.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerows(
+            [["City", "Pop"], ["Berlin", "3,644,826"], ["Paris", "2,175,601"]]
+        )
+    with open(root / "cea.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["t0", "1", "0", "http://kb.test/Berlin"])
+        w.writerow(["t0", "2", "0", "http://kb.test/Rome"])  # wrong gold → fn+fp
+    kb_path = str(tmp_path / "kb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "label": ["Berlin", "Paris", "Rome"],
+                "uri": [
+                    "http://kb.test/Berlin",
+                    "http://kb.test/Paris",
+                    "http://kb.test/Rome",
+                ],
+                "ent": pa.array([1, 2, 3], type=pa.int64()),
+            }
+        ),
+        kb_path,
+    )
+    out = str(tmp_path / "report")
+    cfg = tmp_path / "eval.toml"
+    cfg.write_text(
+        f'workdir = "{tmp_path / "ckpt"}"\n'
+        "[[stage]]\n"
+        f'op = "load_semtab"\nroot = "{root}"\noutput = "tables"\n'
+        "[[stage]]\n"
+        'op = "explode_table_cells"\ninput = "tables"\nentcols_only = true\noutput = "cells"\n'
+        "[[stage]]\n"
+        f'op = "read_parquet"\npath = "{kb_path}"\noutput = "kb"\n'
+        "[[stage]]\n"
+        'op = "link_cells"\ninput = "cells"\nkb = "kb"\nmention_col = "celltext"\n'
+        'label_col = "label"\nid_col = "ent"\noutput = "linked"\n'
+        "[[stage]]\n"
+        'op = "join"\ninput = "linked"\nright = "kb"\njoin_type = "inner"\n'
+        'on = ["entity_id"]\nright_on = ["ent"]\noutput = "pred"\n'
+        "[[stage]]\n"
+        f'op = "load_semtab_cea"\npath = "{root / "cea.csv"}"\noutput = "gold"\n'
+        "[[stage]]\n"
+        'op = "score_annotations"\ninput = "pred"\ngold = "gold"\n'
+        'target_cols = ["table", "row_idx", "col_idx"]\nlabel_col = "uri"\n'
+        'any_annotated = true\noutput = "report"\n'
+        "[[stage]]\n"
+        f'op = "write_parquet"\ninput = "report"\npath = "{out}"\n'
+    )
+    run_config(str(cfg))
+    rep = pq.read_table(out).to_pandas().iloc[0]
+    # Berlin correct; Paris predicted but gold says Rome → 1 tp, 1 fp, 0 fn
+    # (any_annotated: the wrongly-annotated target counts one fp, and has
+    # no unpredicted-target fn)
+    assert (rep.tp, rep.fp, rep.fn) == (1, 1, 0)
+    assert rep.precision == 0.5 and rep.recall == 1.0
