@@ -186,6 +186,31 @@ def score_annotations(
 
     p = pred.map_batches(tag("__p"), batch_format="pyarrow", zero_copy_batch=True)
     g = gold.map_batches(tag("__g"), batch_format="pyarrow", zero_copy_batch=True)
+
+    # one side empty: Ray's hash join cannot build schemaless empty
+    # partitions, and the counts are directly computable anyway
+    p = p.materialize()
+    g = g.materialize()
+    n_p, n_g = p.count(), g.count()
+    if n_p == 0 or n_g == 0:
+        def n_targets(ds, n_rows):
+            return ds.groupby(target_cols).count().count() if n_rows else 0
+
+        if n_p == 0 and n_g == 0:
+            tp = fp = fn = 0
+        elif n_p == 0:  # everything gold is unpredicted
+            tp = fp = 0
+            fn = n_targets(g, n_g) if any_annotated else n_g
+        else:  # no gold: every prediction is wrong, unless sliced away
+            tp = fn = 0
+            if only_annotated:
+                fp = 0
+            elif any_annotated:
+                fp = n_targets(p, n_p)
+            else:
+                fp = n_p
+        return _annotation_report(tp, fp, fn)
+
     joined = p.join(
         g,
         join_type="full_outer",
@@ -212,10 +237,10 @@ def score_annotations(
     flat = joined.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
 
     if not (only_annotated or any_annotated):
-        agg = flat.sum(["__isp", "__isg", "__tp"])
-        n_pred = int(agg["sum(__isp)"] or 0)
-        n_gold = int(agg["sum(__isg)"] or 0)
-        tp = int(agg["sum(__tp)"] or 0)
+        agg = flat.sum(["__isp", "__isg", "__tp"]) or {}
+        n_pred = int(agg.get("sum(__isp)") or 0)
+        n_gold = int(agg.get("sum(__isg)") or 0)
+        tp = int(agg.get("sum(__tp)") or 0)
         fp, fn = n_pred - tp, n_gold - tp
     else:
         per_target = flat.groupby(target_cols).max(["__isp", "__isg", "__tp"])
@@ -295,11 +320,15 @@ def score_annotations(
             partials = per_target.map_batches(
                 target_counts, batch_format="pyarrow", zero_copy_batch=True
             )
-        agg = partials.sum(["tp", "fp", "fn"])
-        tp = int(agg["sum(tp)"] or 0)
-        fp = int(agg["sum(fp)"] or 0)
-        fn = int(agg["sum(fn)"] or 0)
+        agg = partials.sum(["tp", "fp", "fn"]) or {}
+        tp = int(agg.get("sum(tp)") or 0)
+        fp = int(agg.get("sum(fp)") or 0)
+        fn = int(agg.get("sum(fn)") or 0)
 
+    return _annotation_report(tp, fp, fn)
+
+
+def _annotation_report(tp: int, fp: int, fn: int):
     prec = tp / (tp + fp) if tp + fp else 0.0
     rec = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0

@@ -598,3 +598,40 @@ def test_score_annotations_randomized_vs_reference(ray_session):
                 assert (got["tp"], got["fp"], got["fn"]) == want, (
                     trial, only, anym,
                 )
+
+
+def test_score_annotations_empty_sides(ray_session):
+    """Empty pred/gold sides short-circuit (Ray's hash join cannot build
+    fully-empty partitions) with mode-correct counts."""
+    import pyarrow as pa
+    import ray.data
+
+    from takco_ray.stages.report import score_annotations
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "table": pa.array([], type=pa.string()),
+                "col": pa.array([], type=pa.int64()),
+                "uri": pa.array([], type=pa.string()),
+            }
+        )
+    )
+    full = ray.data.from_arrow(
+        pa.table(
+            {
+                "table": ["t0", "t0"],
+                "col": pa.array([0, 1], type=pa.int64()),
+                "uri": ["u1", "u2"],
+            }
+        )
+    )
+    for only in (False, True):
+        for anym in (False, True):
+            kw = dict(only_annotated=only, any_annotated=anym, num_partitions=2)
+            r = score_annotations(empty, empty, ["table", "col"], "uri", **kw).take_all()[0]
+            assert (r["tp"], r["fp"], r["fn"]) == (0, 0, 0)
+            r = score_annotations(empty, full, ["table", "col"], "uri", **kw).take_all()[0]
+            assert (r["tp"], r["fp"], r["fn"]) == (0, 0, 2)
+            r = score_annotations(full, empty, ["table", "col"], "uri", **kw).take_all()[0]
+            assert (r["tp"], r["fp"], r["fn"]) == (0, 0 if only else 2, 0)
