@@ -69,7 +69,6 @@ def build_split_vocab(ds, text_col: str, top_k: int = 100_000, min_len: int = 2)
     """
     import math
 
-    import numpy as np
     import pyarrow as pa
     import ray as _ray
 

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import csv
 import html
-import io
 import os
 import urllib.parse
 

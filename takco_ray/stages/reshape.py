@@ -23,7 +23,6 @@ import re
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # reference NumSuffix / NumPrefix patterns (findpivot.py:331-346): a header
 # cell is a pivot candidate when a numeric value is glued to a variable name
